@@ -1,0 +1,289 @@
+"""array_reduce — element-wise monoid reduction of an array column.
+
+The reference's centerpiece UDAF ``ArrayMonoidReduce`` (``src/monoid.rs:
+226-332``): aggregate a column of ``ARRAY<T>`` rows into one ``ARRAY<T>``
+by position-wise monoid combine, e.g. ``[1,2,3] (+) [4,5,6] = [5,7,9]``
+(doc comment ``src/monoid.rs:223-225``).
+
+Pinned semantics (SURVEY.md §2.1 decision — deterministic superset of the
+reference's asserted behavior):
+
+* rows whose array is NULL are skipped        (``src/monoid.rs:431-434``)
+* rows whose array is empty ``[]`` are skipped (``src/monoid.rs:361-363``)
+* result length = **min** length over remaining arrays — the reference
+  truncates to the *first* array's length, which is partition-order-
+  dependent for ragged input (``src/monoid.rs:361-369``); min-length is
+  deterministic and matches every asserted reference output
+  (``src/monoid.rs:589-639``: ``[1,2,3] (+) [4,5,6,7] = [5,7,9]``)
+* NULL elements contribute the identity       (``src/monoid.rs:371-373``)
+* zero qualifying rows => result is NULL, not ``[]`` (``src/monoid.rs:387-393``)
+
+Three execution forms (all must agree; cross-checked in tests):
+
+1. :func:`array_reduce` — **pure Catalyst expression**:
+   ``aggregate(collect_list(col), NULL, fold)``.  No Python workers, fully
+   whole-stage-codegen'd.  ``collect_list`` materializes each group's
+   arrays on one executor, so use for moderate group cardinality.
+2. :func:`array_reduce_exploded` — **the scale form** (SURVEY.md §2.1a):
+   posexplode -> per-(group, pos) built-in aggregate (Catalyst does
+   partial+final map-side combine, the Spark analogue of the reference's
+   ``state``/``merge_batch`` split, ``src/monoid.rs:387-403, 445-465``) ->
+   rebuild array.  Handles unbounded group sizes; this is what you run on
+   100 TB.
+3. :func:`array_reduce_pandas` — **oracle form**: per-group NumPy fold via
+   ``applyInPandas``.  Complete-mode only (no partial agg); used to
+   cross-validate the other two.
+
+Partial-aggregation safety is exactly the monoid argument the reference is
+named for (``src/monoid.rs:13-21``): identity + associativity (+ here
+commutativity, since shuffles reorder rows) make any partitioning of the
+fold produce the same result.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datafusion_monoid_spark.monoid import (
+    ELEMENT_TYPES,
+    INT_BOUNDS,
+    MONOIDS,
+    Monoid,
+    get_monoid,
+)
+
+__all__ = [
+    "array_reduce",
+    "array_reduce_exploded",
+    "array_reduce_pandas",
+    "make_pandas_udaf",
+    "register_all",
+]
+
+
+# ---------------------------------------------------------------------------
+# Form 1: pure Catalyst expression
+# ---------------------------------------------------------------------------
+
+def array_reduce(col: Column | str, monoid: Monoid | str,
+                 elem: str = "int") -> Column:
+    """Aggregate ``Column`` expression: monoid-reduce an array column.
+
+    Usage::
+
+        df.groupBy("g").agg(array_reduce("arrays", "sum").alias("result"))
+
+    Entirely built-in higher-order functions — Catalyst optimizes and
+    codegens the whole fold; no Python worker involved.
+    """
+    m = monoid if isinstance(monoid, Monoid) else get_monoid(monoid, elem)
+    c = F.col(col) if isinstance(col, str) else col
+    arr_t = T.ArrayType(m.spark_type, True)
+
+    # collect only non-null, non-empty arrays (collect_list drops nulls)
+    valid = F.when(F.size(c) > 0, c.cast(arr_t))
+    collected = F.collect_list(valid)
+
+    ident = m.identity_lit()
+
+    def merge(acc: Column, x: Column) -> Column:
+        # min-length truncation: slice both sides to the shorter length
+        n = F.least(F.size(acc), F.size(x))
+        return (
+            F.when(acc.isNull(), F.transform(x, lambda e: F.coalesce(e, ident)))
+            .otherwise(
+                F.zip_with(
+                    F.slice(acc, 1, n),
+                    F.slice(x, 1, n),
+                    lambda a, b: m.combine(a, F.coalesce(b, ident)),
+                )
+            )
+        )
+
+    # seed NULL => empty input folds to NULL (src/monoid.rs:387-393)
+    return F.aggregate(collected, F.lit(None).cast(arr_t), merge)
+
+
+# ---------------------------------------------------------------------------
+# Form 2: posexplode two-phase (the 100 TB form)
+# ---------------------------------------------------------------------------
+
+def _int_product_agg(m: Monoid, e: Column) -> Column:
+    """Distributed saturating integer product per (group, pos).
+
+    No exact built-in integer product aggregate exists in Spark, so:
+    sign from the parity of negative factors, zero short-circuit, overflow
+    detection from sum(log2|x|), magnitude from the double-typed
+    ``F.product``.  All components are partial-aggregation-capable
+    built-ins.  Caveat (documented): in-range products with magnitude in
+    (2^53, 2^63) lose low-bit precision to the double mantissa; the
+    expression and pandas forms are exact there.
+    """
+    lo, hi = INT_BOUNDS[m.elem]
+    d = e.cast("double")
+    any_zero = F.max((e == 0).cast("int"))
+    neg_parity = F.sum(F.when(e < 0, 1).otherwise(0)) % 2
+    log_mag = F.sum(F.when(e != 0, F.log2(F.abs(d))).otherwise(F.lit(0.0)))
+    prod_d = F.product(d)
+    saturated = F.when(neg_parity == 1, F.lit(lo)).otherwise(F.lit(hi))
+    in_range = F.least(
+        F.greatest(F.round(prod_d).cast("decimal(38,0)"),
+                   F.lit(lo).cast("decimal(38,0)")),
+        F.lit(hi).cast("decimal(38,0)"),
+    ).cast(m.spark_type.simpleString())
+    return (
+        F.when(any_zero == 1, F.lit(0).cast(m.spark_type.simpleString()))
+        .when(log_mag > F.lit(62.999), saturated.cast(m.spark_type.simpleString()))
+        .otherwise(in_range)
+    )
+
+
+def array_reduce_exploded(df: DataFrame, group_cols: Sequence[str],
+                          array_col: str, monoid: Monoid | str,
+                          elem: str = "int",
+                          result_col: str = "result") -> DataFrame:
+    """Scalable two-phase monoid reduce (SURVEY.md §2.1a).
+
+    Plan shape::
+
+        scan -> filter(valid) -> posexplode
+             -> HashAggregate(group, pos)      # partial+final, map-side combine
+             -> window max(cnt) over group     # min-length truncation w/o a join
+             -> HashAggregate(group)           # rebuild array, sorted by pos
+
+    The (group, pos) aggregation carries the monoid across partitions the
+    same way the reference's ``merge_batch`` does (``src/monoid.rs:445-465``)
+    — associativity makes the shuffle-split safe.  Min-length truncation
+    exploits that every valid array covers position 0, so the number of
+    arrays in a group equals ``max(cnt)``; a position belongs to the
+    result iff **all** arrays cover it (``cnt == max(cnt)``).  The window
+    and the rebuild aggregate share the group hash-partitioning, so AQE
+    reuses the exchange instead of shuffling twice.
+    """
+    m = monoid if isinstance(monoid, Monoid) else get_monoid(monoid, elem)
+    ident = m.identity_lit()
+
+    groups = list(group_cols)
+    dummy = not groups
+    if dummy:
+        df = df.withColumn("__g", F.lit(1))
+        groups = ["__g"]
+
+    arr = F.col(array_col).cast(T.ArrayType(m.spark_type, True))
+    base = (
+        df.where(F.col(array_col).isNotNull() & (F.size(array_col) > 0))
+        .select(*groups, F.posexplode(arr).alias("__pos", "__elem"))
+    )
+    e = F.coalesce(F.col("__elem"), ident)
+
+    if m.op == "product" and m.agg is None:
+        agg_v = _int_product_agg(m, e)
+    else:
+        agg_v = m.agg(e)
+
+    per_pos = base.groupBy(*groups, "__pos").agg(
+        agg_v.alias("__v"), F.count(F.lit(1)).alias("__cnt"))
+
+    w = Window.partitionBy(*groups)
+    kept = (
+        per_pos.withColumn("__n", F.max("__cnt").over(w))
+        .where(F.col("__cnt") == F.col("__n"))
+    )
+    out = kept.groupBy(*groups).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("__pos", "__v"))),
+            lambda s: s["__v"],
+        ).alias(result_col)
+    )
+    return out.drop("__g") if dummy else out
+
+
+# ---------------------------------------------------------------------------
+# Form 3: pandas / NumPy oracle
+# ---------------------------------------------------------------------------
+
+def _np_fold(arrays: Iterable, m: Monoid):
+    """NumPy mirror of the accumulator fold (``src/monoid.rs:360-378``)."""
+    vals = [a for a in arrays if a is not None and len(a) > 0]
+    if not vals:
+        return None
+    n = min(len(a) for a in vals)
+    acc = None
+    for a in vals:
+        v = np.asarray(a[:n], dtype=object)
+        v = np.where(pd.isna(v), m.identity, v)
+        if m.elem in ("float", "double"):
+            v = v.astype(np.float64)
+        acc = v if acc is None else m.np_combine(acc, v)
+    return [x for x in acc]
+
+
+def array_reduce_pandas(df: DataFrame, group_cols: Sequence[str],
+                        array_col: str, monoid: Monoid | str,
+                        elem: str = "int",
+                        result_col: str = "result") -> DataFrame:
+    """Per-group NumPy fold via ``applyInPandas`` — the oracle form.
+
+    Complete-mode (whole group on one executor through Arrow); the
+    reference's semantics in ~15 lines of NumPy.  Not for unbounded
+    groups — that's :func:`array_reduce_exploded`.
+    """
+    m = monoid if isinstance(monoid, Monoid) else get_monoid(monoid, elem)
+    groups = list(group_cols)
+    dummy = not groups
+    if dummy:
+        df = df.withColumn("__g", F.lit(1))
+        groups = ["__g"]
+
+    gfields = [df.schema[g] for g in groups]
+    schema = T.StructType(
+        [T.StructField(f.name, f.dataType, f.nullable) for f in gfields]
+        + [T.StructField(result_col, T.ArrayType(m.spark_type, True), True)]
+    )
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        row = {g: [pdf[g].iloc[0]] for g in groups}
+        row[result_col] = [_np_fold(pdf[array_col], m)]
+        return pd.DataFrame(row)
+
+    out = df.select(*groups, array_col).groupBy(*groups).applyInPandas(fold, schema)
+    return out.drop("__g") if dummy else out
+
+
+# ---------------------------------------------------------------------------
+# SQL registration (reference entry point: ctx.register_udaf,
+# src/monoid.rs:542 + factories src/monoid.rs:472-526)
+# ---------------------------------------------------------------------------
+
+def make_pandas_udaf(monoid: Monoid):
+    """GROUPED_AGG pandas UDAF for ``SELECT array_reduce_sum(arrays)``."""
+    m = monoid
+
+    @F.pandas_udf(T.ArrayType(m.spark_type, True))
+    def udaf(s: pd.Series) -> list:
+        return _np_fold(s, m)
+
+    return udaf
+
+
+def register_all(spark: SparkSession, elems: Sequence[str] = ("int",),
+                 suffix_types: Sequence[str] = ()) -> None:
+    """Register the UDAF family into the session SQL registry.
+
+    ``array_reduce_{sum,product,max,min}`` default to Int32 like the
+    reference's backward-compat factories (``src/monoid.rs:472-489``);
+    type-suffixed names (``array_reduce_sum_double``) mirror the generic
+    factories (``src/monoid.rs:491-526``).
+    """
+    for op in ("sum", "product", "max", "min"):
+        for elem in elems:
+            spark.udf.register(f"array_reduce_{op}", make_pandas_udaf(get_monoid(op, elem)))
+        for elem in suffix_types:
+            spark.udf.register(
+                f"array_reduce_{op}_{elem}", make_pandas_udaf(get_monoid(op, elem)))

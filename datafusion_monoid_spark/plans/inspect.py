@@ -1,0 +1,30 @@
+"""Plan-inspection helpers — assert that the optimizer did its job.
+
+Used by tests and bench to verify: filters reach the parquet scan
+(PushedFilters), projections prune columns (ReadSchema), joins broadcast
+when a side is small, and the hot path stays inside WholeStageCodegen.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def explain_str(df: DataFrame, mode: str = "formatted") -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), mode)
+
+
+def has_pushed_filters(df: DataFrame) -> bool:
+    return "PushedFilters: [" in explain_str(df) and \
+        not re.search(r"PushedFilters: \[\]", explain_str(df))
+
+
+def codegen_stages(df: DataFrame) -> int:
+    return len(re.findall(r"WholeStageCodegen", explain_str(df, "simple")))
+
+
+def broadcast_joins(df: DataFrame) -> int:
+    return len(re.findall(r"BroadcastHashJoin", explain_str(df, "simple")))
