@@ -1,0 +1,57 @@
+"""Plan-shape tests — the optimizer contract at 100 TB.
+
+These pin the physical-plan properties that matter at cluster scale:
+pushdown, pruning, broadcast joins, map-side partial aggregation, and
+exchange reuse in the posexplode monoid form.  A regression here is a
+performance bug even if results stay correct.
+"""
+
+import re
+
+import pytest
+
+from datafusion_monoid_spark import queries as qcat
+
+SF = "/root/testdata/sf0.001"
+
+
+def _explain(df, mode="formatted"):
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), mode)
+
+
+@pytest.fixture(scope="module")
+def catalog():
+    return qcat.catalog()
+
+
+def test_q1_pushdown_and_pruning(spark, catalog):
+    p = _explain(catalog["tpch_q1"][0](spark, SF))
+    assert re.search(r"PushedFilters: \[.*LessThanOrEqual\(l_shipdate", p)
+    # projection pruning: l_orderkey etc. must NOT be read
+    m = re.search(r"ReadSchema: (\S+)", p)
+    assert m and "l_orderkey" not in m.group(1) and "l_partkey" not in m.group(1)
+
+
+def test_join_is_broadcast(spark, catalog):
+    p = _explain(catalog["join_revenue_by_nation"][0](spark, SF), "simple")
+    assert p.count("BroadcastHashJoin") == 3
+    assert "SortMergeJoin" not in p
+
+
+def test_monoid_exploded_partial_agg_and_pruning(spark, catalog):
+    df = catalog["monoid_sum_double"][0](spark, SF)
+    p = _explain(df, "simple")
+    # map-side combine before the shuffle (the reference's Partial->Final
+    # split, src/monoid.rs:387-403)
+    assert "partial_sum" in p
+    # exactly two exchanges: (grp, pos) then (grp); window + rebuild reuse
+    # the second
+    assert p.count("Exchange hashpartitioning") == 2
+    # scan reads only the 4 needed columns
+    m = re.search(r"ReadSchema: (\S+)", _explain(df))
+    assert m and "l_orderkey" not in m.group(1)
+
+
+def test_topk_uses_take_ordered(spark, catalog):
+    p = _explain(catalog["sort_limit_top_orders"][0](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p  # per-partition top-K, no full sort
