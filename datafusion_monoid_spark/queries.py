@@ -374,5 +374,187 @@ def events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deduplication (training-data pipeline operators; no reference analogue —
+# designed with the same partial-agg-safe discipline, SURVEY.md §7 phase 5)
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import dedup as dd
+from datafusion_monoid_spark.functions.vector import cosine_similarity
+
+
+@register("dedup_exact_stats", f"""
+SELECT source, count(*) AS n_docs,
+       count(DISTINCT md5({dd.NORMALIZE_SQL.format(expr='text')})) AS n_unique
+FROM documents GROUP BY source
+""")
+def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one shuffle on the normalized-content hash."""
+    d = dd.exact_dedup_keys(_t(spark, sf_dir, "documents"), "text")
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("dup_key").alias("n_unique"),
+    )
+
+
+@register("dedup_ngram_jaccard_pairs", f"""
+WITH d AS (SELECT doc_id, {dd.shingles_sql('text')} AS sh
+           FROM documents WHERE doc_id % 2 = 0),
+p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             len(list_intersect(a.sh, b.sh))::DOUBLE
+             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
+      FROM d a JOIN d b ON a.doc_id < b.doc_id)
+SELECT id_a, id_b, round(j, 3) AS jacc FROM p WHERE j >= 0.05
+""")
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard on a 1/2 id-sample — the verification
+    primitive.  At scale this runs on LSH candidates, never all pairs."""
+    d = (_t(spark, sf_dir, "documents")
+         .where(F.col("doc_id") % 2 == 0)
+         .select("doc_id", dd.word_shingles("text").alias("sh")))
+    a, b = d.alias("a"), d.alias("b")
+    j = dd.jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
+        .where(j >= 0.05)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
+                F.round(j, 3).alias("jacc"))
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    mins = ",\n         ".join(
+        f"min((h * {dd._minhash_params(i)[0]} + {dd._minhash_params(i)[1]}) "
+        f"% {dd.MINHASH_P}) AS mh{i}"
+        for i in range(dd.MINHASH_NUM))
+    sig = "[" + ", ".join(f"mh{i}" for i in range(dd.MINHASH_NUM)) + "]"
+    bands = ", ".join(
+        "md5(" + " || ',' || ".join(
+            f"CAST(sig[{j * dd.MINHASH_ROWS + r + 1}] AS VARCHAR)"
+            for r in range(dd.MINHASH_ROWS)) + f") AS b{j}"
+        for j in range(dd.MINHASH_BANDS))
+    band_list = "[" + ", ".join(f"b{j}" for j in range(dd.MINHASH_BANDS)) + "]"
+    return f"""
+WITH sh AS (
+  SELECT doc_id, unnest({dd.shingles_sql('text')}) AS s FROM documents
+),
+hashed AS (SELECT doc_id, {dd.md5_long_sql('s')} % 4294967296 AS h FROM sh),
+sigs AS (
+  SELECT doc_id, {sig} AS sig FROM (
+    SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
+),
+banded AS (
+  SELECT doc_id, sig, unnest({band_list}) AS band_hash,
+         unnest(range(0, {dd.MINHASH_BANDS})) AS band_idx
+  FROM (SELECT doc_id, sig, {bands} FROM sigs)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
+  FROM banded a JOIN banded b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b,
+       round(len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+                             i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM}, 3) AS est_jacc
+FROM cand
+WHERE len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+                      i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM} >= 0.35
+"""
+
+
+@register("dedup_minhash_lsh_pairs", _minhash_oracle_sql())
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands x 4): near-dup candidates without an
+    all-pairs product; estimated Jaccard from signature agreement."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id")
+    est = dd.estimated_jaccard("sig_a", "sig_b")
+    return (
+        cand.where(est >= 0.35)
+        .select("id_a", "id_b", F.round(est, 3).alias("est_jacc"))
+    )
+
+
+def _simhash_oracle_sql(max_hamming: int = 7) -> str:
+    tok_norm = dd.NORMALIZE_SQL.format(expr="text")
+    vh = ", ".join(
+        f"sum(CASE WHEN (hi >> {i}) & 1 = 1 THEN w ELSE -w END) AS vh{i}"
+        for i in range(32))
+    vl = ", ".join(
+        f"sum(CASE WHEN (lo >> {i}) & 1 = 1 THEN w ELSE -w END) AS vl{i}"
+        for i in range(32))
+    hi_asm = " + ".join(f"(CASE WHEN vh{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+                        for i in range(32))
+    lo_asm = " + ".join(f"(CASE WHEN vl{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
+                        for i in range(32))
+    return f"""
+WITH tok AS (
+  SELECT doc_id, t, count(*) AS w FROM (
+    SELECT doc_id, unnest(list_filter(string_split({tok_norm}, ' '), x -> x != '')) AS t
+    FROM documents) GROUP BY doc_id, t
+),
+hashed AS (
+  SELECT doc_id, w,
+         CAST(concat('0x', substr(md5(t), 1, 8)) AS BIGINT) AS hi,
+         CAST(concat('0x', substr(md5(t), 9, 8)) AS BIGINT) AS lo
+  FROM tok
+),
+votes AS (SELECT doc_id, {vh}, {vl} FROM hashed GROUP BY doc_id),
+sims AS (SELECT doc_id, {hi_asm} AS sim_hi, {lo_asm} AS sim_lo FROM votes),
+chunked AS (
+  SELECT doc_id, sim_hi, sim_lo,
+         unnest([(sim_hi >> 0) & 255, (sim_hi >> 8) & 255,
+                 (sim_hi >> 16) & 255, (sim_hi >> 24) & 255,
+                 (sim_lo >> 0) & 255, (sim_lo >> 8) & 255,
+                 (sim_lo >> 16) & 255, (sim_lo >> 24) & 255]) AS chunk,
+         unnest(range(0, 8)) AS chunk_idx
+  FROM sims
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) AS hamming
+FROM chunked a JOIN chunked b
+  ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <= {max_hamming}
+"""
+
+
+@register("dedup_simhash_hamming", _simhash_oracle_sql())
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(64-bit) near-dups: 8-bit pigeonhole chunk buckets (complete
+    recall at Hamming <= 7) then exact Hamming via bit_count(xor)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = dd.simhash(docs, "doc_id", "text")
+    return dd.simhash_hamming_pairs(sh, "doc_id", max_hamming=7)
+
+
+@register("dedup_embedding_neardup", """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
+  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
+""")
+def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dups on a 1/4 id-sample; expression-level
+    cosine (JVM-side).  The scale path buckets by random-hyperplane LSH
+    (see operators/similarity.py) instead of sampling."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .where(F.col("vec_id") % 4 == 0)
+         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
+    a, b = e.alias("a"), e.alias("b")
+    sim = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .where(sim >= 0.35)
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
+                F.round(sim, 3).alias("sim"))
+    )
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
