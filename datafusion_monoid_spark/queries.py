@@ -556,5 +556,57 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Similarity search over the embeddings table
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import similarity as sim
+
+
+@register("sim_topk_bruteforce", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+p AS (SELECT query_id, cand_id,
+             list_inner_product(qvec, cvec)
+             / (sqrt(list_inner_product(qvec, qvec))
+                * sqrt(list_inner_product(cvec, cvec))) AS sim
+      FROM q JOIN c ON query_id != cand_id),
+r AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM p)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, round(sim, 3) AS sim
+FROM r WHERE rk <= 5
+""")
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for 20 query vectors — the ANN baseline."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
+
+
+@register("sim_topk_numpy", None)  # same semantics as bruteforce; Arrow/NumPy tier
+def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput tier: NumPy matmul per Arrow batch, local top-k then
+    global window.  Equivalence with the expression tier is pinned in
+    tests/test_similarity.py; the driver records a rows-only check."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.brute_force_topk_np(e, e.where(F.col("vec_id") < 20), k=5)
+
+
+@register("sim_topk_lsh", None)  # approximate: recall vs brute force pinned in tests
+def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier 1: random-hyperplane LSH buckets + multiprobe."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.lsh_bucket_topk(e, e.where(F.col("vec_id") < 20), k=5)
+
+
+@register("sim_topk_ivf", None)  # approximate: recall vs brute force pinned in tests
+def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN tier 2: IVF with deterministic centroids, nprobe=8/32."""
+    e = _t(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5)
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
