@@ -608,5 +608,110 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
+# ---------------------------------------------------------------------------
+# Text analysis over the documents table
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import text as tx
+
+_NORM = dd.NORMALIZE_SQL.format(expr="text")
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t != '')"
+
+
+def _langid_oracle_sql() -> str:
+    langs = sorted(tx.LANG_MARKERS)
+    score_exprs = {
+        lang: ("len(list_filter(toks, t -> list_contains("
+               + "[" + ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang]) + "], t)))::DOUBLE"
+               + " / greatest(len(toks), 1)")
+        for lang in langs
+    }
+    scores_sel = ", ".join(f"{score_exprs[l]} AS s_{l}" for l in langs)
+    pred, best = f"'{langs[0]}'", f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores_sel} FROM t)
+SELECT doc_id, {pred} AS pred_lang, round({best}, 4) AS score FROM s
+"""
+
+
+@register("text_lang_id", _langid_oracle_sql())
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-stopword language ID with a deterministic argmax chain."""
+    d = _t(spark, sf_dir, "documents")
+    pred, score = tx.lang_id("text")
+    return d.select("doc_id", pred.alias("pred_lang"), F.round(score, 4).alias("score"))
+
+
+@register("text_quality", f"""
+WITH t AS (
+  SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         len(list_filter(toks, t -> list_contains(
+             ['the','and','of','to','a','in','is','that'], t)))::DOUBLE
+           / greatest(len(toks), 1) AS stopword_ratio,
+         length(regexp_replace(norm, ' ', '', 'g'))
+           / greatest(len(toks), 1)::DOUBLE AS mean_token_len
+  FROM t
+)
+SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars, CAST(n_tokens AS BIGINT) AS n_tokens,
+       round(stopword_ratio, 4) AS stopword_ratio,
+       round(punct_ratio, 4) AS punct_ratio,
+       round(0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 1000 THEN 1.0 ELSE 0.3 END)
+           + 0.3 * (CASE WHEN mean_token_len BETWEEN 2 AND 12 THEN 1.0 ELSE 0.4 END)
+           + 0.2 * least(stopword_ratio * 4, 1.0)
+           + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)), 4) AS quality
+FROM f
+""")
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cheap quality pre-filter: length/stopword/punctuation signals."""
+    d = _t(spark, sf_dir, "documents")
+    f = tx.quality_features("text")
+    return d.select(
+        "doc_id", f["n_chars"].alias("n_chars"), f["n_tokens"].alias("n_tokens"),
+        F.round(f["stopword_ratio"], 4).alias("stopword_ratio"),
+        F.round(f["punct_ratio"], 4).alias("punct_ratio"),
+        F.round(tx.quality_score("text"), 4).alias("quality"),
+    )
+
+
+@register("text_token_stats", f"""
+WITH t AS (SELECT doc_id, {_NORM} AS norm, {_TOKS} AS toks FROM documents)
+SELECT doc_id, CAST(len(toks) AS BIGINT) AS ws_tokens,
+       CAST(len(regexp_extract_all(norm, '[a-z0-9]+|[^a-z0-9\\s]')) AS BIGINT) AS bpe_tokens
+FROM t
+""")
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget estimation: whitespace + BPE-ish segmentation."""
+    d = _t(spark, sf_dir, "documents")
+    c = tx.token_counts("text")
+    return d.select("doc_id", c["ws_tokens"].alias("ws_tokens"),
+                    c["bpe_tokens"].alias("bpe_tokens"))
+
+
+@register("text_fingerprint", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT,
+                      list_transform(toks, t -> {dd.md5_long_sql('t')})),
+         (acc, h) -> (acc * 31 + h) % {tx.FINGERPRINT_P}) AS fp
+FROM t
+""")
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-sensitive rolling-hash document fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", tx.fingerprint("text").alias("fp"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
