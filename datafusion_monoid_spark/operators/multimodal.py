@@ -1,0 +1,103 @@
+"""Multimodal columns: opaque BINARY payloads + typed metadata, with
+decode / feature-extract / frame-sample as Arrow-batched pipeline stages.
+
+Design for 100 TB: media bytes ride as an opaque ``BinaryType`` column
+(at real scale: content-addressed object-store references + byte ranges,
+same schema), metadata is a typed struct usable for pruning/partitioning
+WITHOUT touching bytes, and every byte-touching stage is ``mapInPandas``
+(per-partition Arrow batches — no per-row Python, no driver collect).
+
+The actual codec work (PIL/ffmpeg/librosa) is NOT available in this
+container; the decode stage is therefore **stubbed**:
+
+* ``decoder="fake"`` (default) — a deterministic stand-in (byte
+  histogram) so the full pipeline shape (schema, partitioning, UDF
+  signature, batch flow) is real and testable end-to-end.
+* any other decoder — raises ``NotImplementedError`` with the exact
+  integration point named.  Swapping in a real codec changes ONLY the
+  body of ``_decode_batch``.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+N_FEATURES = 16
+FRAME_BYTES = 4
+
+
+def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic fake media: payload = md5 bytes of the text, typed
+    metadata struct alongside.  Stands in for real image/audio ingestion;
+    everything downstream treats the bytes as opaque."""
+    payload = F.unhex(F.md5(F.col(text_col)))
+    return docs.select(
+        "doc_id",
+        payload.alias("media"),
+        F.struct(
+            F.lit("fake/rgb8").alias("format"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _decode_batch(buf: bytes, decoder: str) -> np.ndarray:
+    """The single integration point for real codecs."""
+    if decoder == "fake":
+        # deterministic stand-in: 16-bin byte histogram, L1-normalized
+        arr = np.frombuffer(buf, dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=N_FEATURES).astype(np.float32)
+        return hist / max(hist.sum(), 1.0)
+    raise NotImplementedError(
+        f"decoder={decoder!r}: real media decoding (PIL/ffmpeg/librosa) is "
+        "not available in this environment; implement _decode_batch for it.")
+
+
+def decode_features(df: DataFrame, media_col: str = "media",
+                    decoder: str = "fake") -> DataFrame:
+    """media BINARY -> features ARRAY<FLOAT>[16] via mapInPandas.
+
+    Arrow batches in, Arrow batches out; partitioning untouched, so this
+    pipelines after a parquet scan with no extra shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [
+                None if b is None else _decode_batch(bytes(b), decoder).tolist()
+                for b in pdf[media_col]
+            ]
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return df.select("doc_id", media_col).mapInPandas(
+        run, schema="doc_id long, features array<float>")
+
+
+def frame_sample(df: DataFrame, media_col: str = "media",
+                 stride: int = 2) -> DataFrame:
+    """Treat the payload as a frame sequence (FRAME_BYTES per frame) and
+    sample every ``stride``-th frame — the video-pipeline shape.
+
+    Pure expression (substring on binary): frames explode into
+    (doc_id, frame_idx, frame BINARY) rows without Python."""
+    n_frames = F.floor(F.length(media_col) / FRAME_BYTES).cast("int")
+    idxs = F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
+    return (
+        df.where(F.length(media_col) >= FRAME_BYTES)
+        .select(
+            "doc_id",
+            F.explode(idxs).alias("frame_idx"),
+            F.col(media_col).alias("__m"),
+        )
+        .select(
+            "doc_id", "frame_idx",
+            F.expr(f"substring(__m, frame_idx * {FRAME_BYTES} + 1, {FRAME_BYTES})")
+            .alias("frame"),
+        )
+    )

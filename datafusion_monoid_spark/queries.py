@@ -713,5 +713,66 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
+# ---------------------------------------------------------------------------
+# Multimodal columns + streaming batch-twin
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import multimodal as mm
+
+
+@register("multimodal_meta", """
+SELECT doc_id, octet_length(unhex(md5(text))) AS n_bytes,
+       CAST(floor(octet_length(unhex(md5(text))) / 4) AS INTEGER) AS n_frames
+FROM documents
+""")
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-only pass over the media column — no byte decoding, the
+    pruning/partitioning tier of the multimodal pipeline."""
+    docs = _t(spark, sf_dir, "documents")
+    media = mm.attach_fake_media(docs)
+    return media.select(
+        "doc_id",
+        F.length("media").cast("int").alias("n_bytes"),
+        F.floor(F.length("media") / mm.FRAME_BYTES).cast("int").alias("n_frames"),
+    )
+
+
+@register("multimodal_features", None)  # mapInPandas decode: rows-only check;
+                                        # determinism pinned in tests/test_multimodal.py
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (stub) decode -> 16-dim features, exploded to
+    (doc_id, pos, val) scalar rows."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = mm.decode_features(mm.attach_fake_media(docs))
+    return feats.select("doc_id", F.posexplode("features").alias("pos", "val")) \
+                .withColumn("val", F.round("val", 4))
+
+
+@register("events_vector_stats", """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket, event_type, pos,
+       CAST(sum(elem) AS BIGINT) AS val
+FROM (
+  SELECT ts, event_type,
+         unnest([mv, mv * mv, 1::BIGINT]) AS elem,
+         unnest([0, 1, 2]) AS pos
+  FROM (SELECT ts, event_type, CAST(round(value * 1000) AS BIGINT) AS mv FROM events)
+) GROUP BY hour_bucket, event_type, pos
+""")
+def events_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming/monoid_stream.py: single-pass vector stats
+    [sum, sum_sq, count] per hour x type via the element-wise monoid sum.
+    Values are quantized to integer milli-units so the sums are exact in
+    any engine (float sums round-trip differently at the last ulp)."""
+    e = _events(spark, sf_dir)
+    mv = F.round(F.col("value") * 1000).cast("bigint")
+    vec = F.array(mv, mv * mv, F.lit(1).cast("bigint"))
+    return (
+        e.select(F.floor(F.col("sec") / 3600).cast("bigint").alias("hour_bucket"),
+                 "event_type", F.posexplode(vec).alias("pos", "elem"))
+        .groupBy("hour_bucket", "event_type", "pos")
+        .agg(F.sum("elem").alias("val"))
+    )
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

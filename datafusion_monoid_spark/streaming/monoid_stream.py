@@ -1,0 +1,73 @@
+"""Structured Streaming monoid aggregation.
+
+The monoid algebra is what makes the reference's aggregate streamable
+(``src/monoid.rs:13-21``): identity + associative combine means state
+updates are incremental-merge-safe — exactly Spark's streaming-agg state
+contract.  The streaming form keeps the output EXPLODED
+(window, group, pos, val): one aggregation pass (streaming-legal —
+the batch posexplode form's window-function truncation and array rebuild
+need a second aggregation, which Structured Streaming forbids), and the
+consumer reassembles arrays if needed.
+
+Events quirk: the driver parquet stores ts as TIMESTAMP(NANOS); we read
+with an explicit LongType schema (+ nanosAsLong) and derive the event
+time as a proper timestamp for watermarking.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.monoid import Monoid, get_monoid
+
+EVENTS_SCHEMA = ("event_id long, ts long, user_id long, "
+                 "event_type string, value double, props string")
+
+
+def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Streaming source over the events parquet layout, with a proper
+    event-time column for watermarking."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    return raw.withColumn(
+        "event_time", F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+
+
+def streaming_monoid_reduce(events: DataFrame,
+                            monoid: Monoid | str = "sum",
+                            elem: str = "double",
+                            window: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Windowed element-wise monoid reduce of per-event vectors.
+
+    Vector = [value, value^2, 1] per event; the element-wise sum per
+    (window, event_type) yields (sum, sum of squares, count) in ONE
+    streaming state — the monoid trick for single-pass vector stats.
+    Output: (window_start, event_type, pos, val)."""
+    m = monoid if isinstance(monoid, Monoid) else get_monoid(monoid, elem)
+    ident = m.identity_lit()
+    vec = F.array(F.col("value"), F.col("value") * F.col("value"), F.lit(1.0))
+    exploded = (
+        events.withWatermark("event_time", watermark)
+        .select("event_time", "event_type", F.posexplode(vec).alias("pos", "elem"))
+    )
+    return (
+        exploded.groupBy(F.window("event_time", window), "event_type", "pos")
+        .agg(m.agg(F.coalesce(F.col("elem"), ident)).alias("val"))
+        .select(F.col("window").start.alias("window_start"),
+                "event_type", "pos", "val")
+    )
+
+
+def run_stream_to_memory(agg: DataFrame, query_name: str = "monoid_stream",
+                         checkpoint_dir: str | None = None):
+    """Drive the streaming query over all available input (test/batch
+    harness); returns the started query after it drains."""
+    w = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(query_name))
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q

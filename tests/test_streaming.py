@@ -1,0 +1,74 @@
+"""Structured Streaming monoid aggregation: the streamed result must
+equal the batch computation of the same monoid reduce (the merge-safety
+property the reference is named for, src/monoid.rs:13-21)."""
+
+import shutil
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.streaming.monoid_stream import (
+    read_events_stream,
+    run_stream_to_memory,
+    streaming_monoid_reduce,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def events_dir(tmp_path):
+    d = tmp_path / "events_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    return str(d)
+
+
+def test_stream_matches_batch(spark, events_dir, tmp_path):
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_monoid_reduce(stream, "sum", window="1 hour")
+    q = run_stream_to_memory(agg, "mstream", str(tmp_path / "ckpt"))
+    try:
+        got = {
+            (r["window_start"], r["event_type"], r["pos"]): round(r["val"], 6)
+            for r in spark.sql("SELECT * FROM mstream").collect()
+        }
+    finally:
+        q.stop()
+
+    # batch twin on the same file
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("event_time",
+                    F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+        .select("event_time", "event_type",
+                F.posexplode(F.array("value", F.col("value") * F.col("value"),
+                                     F.lit(1.0))).alias("pos", "elem"))
+        .groupBy(F.window("event_time", "1 hour"), "event_type", "pos")
+        .agg(F.sum("elem").alias("val"))
+        .select(F.col("window").start.alias("ws"), "event_type", "pos", "val")
+    )
+    want = {(r["ws"], r["event_type"], r["pos"]): round(r["val"], 6)
+            for r in batch.collect()}
+
+    assert got == want
+    assert len(got) > 100  # real coverage: many windows x types x 3 positions
+
+
+def test_stream_is_incremental(spark, events_dir, tmp_path):
+    """Feeding the same data as TWO files must produce the doubled sums —
+    i.e. state actually merges across micro-batches (monoid property)."""
+    d = Path(events_dir)
+    shutil.copy(d / "part-0.parquet", d / "part-1.parquet")
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_monoid_reduce(stream, "sum", window="1 hour")
+    q = run_stream_to_memory(agg, "mstream2", str(tmp_path / "ckpt2"))
+    try:
+        rows = spark.sql(
+            "SELECT sum(val) AS s FROM mstream2 WHERE pos = 2").collect()
+    finally:
+        q.stop()
+    # pos 2 sums the per-event literal 1.0 -> total events x 2 files
+    assert rows[0]["s"] == 2000.0
