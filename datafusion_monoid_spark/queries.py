@@ -774,5 +774,77 @@ def events_vector_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# As-of and range joins (operators Spark lacks natively)
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import joins as jn
+
+
+@register("asof_purchase_click", """
+WITH l AS (
+  SELECT event_id, user_id, epoch_ns(ts) AS ns, value
+  FROM events WHERE event_type = 'purchase'
+),
+r0 AS (
+  SELECT user_id, epoch_ns(ts) AS ns, value, event_id,
+         row_number() OVER (PARTITION BY user_id, epoch_ns(ts)
+                            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_type = 'click'
+),
+r AS (SELECT user_id, ns, value, event_id FROM r0 WHERE rn = 1)
+SELECT l.event_id, l.user_id,
+       r.event_id AS matched_event_id,
+       CAST(round(coalesce(r.value, -1) * 1000) AS BIGINT) AS matched_value_mu
+FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ns >= r.ns
+""")
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every purchase, the user's most recent click at-or-before it —
+    the classic as-of join, via one shuffle + sorted window (no cross
+    product).  DuckDB's native ASOF JOIN is the oracle."""
+    e = _events(spark, sf_dir)
+    left = (e.where(F.col("event_type") == "purchase")
+            .select("event_id", "user_id", F.col("ts").alias("ns"), "value"))
+    w = Window.partitionBy("user_id", "ns").orderBy(F.col("event_id").desc())
+    right = (e.where(F.col("event_type") == "click")
+             .select("user_id", F.col("ts").alias("ns"), "value", "event_id")
+             .withColumn("rn", F.row_number().over(w)).where("rn = 1").drop("rn"))
+    j = jn.asof_join(left, right, on="ns", by="user_id",
+                     right_cols=["value", "event_id"])
+    return j.select(
+        "event_id", "user_id",
+        F.col("matched_event_id"),
+        F.round(F.coalesce(F.col("matched_value"), F.lit(-1.0)) * 1000)
+        .cast("bigint").alias("matched_value_mu"),
+    )
+
+
+@register("range_join_price_tiers", """
+WITH tiers AS (
+  SELECT * FROM (VALUES ('t1', 0.0, 50000.0), ('t2', 50000.0, 150000.0),
+                        ('t3', 150000.0, 300000.0), ('t4', 300000.0, 600000.0),
+                        ('t5', 600000.0, 100000000.0)) AS t(tier, lo, hi)
+)
+SELECT tier, count(*) AS n_orders, CAST(round(sum(o_totalprice)) AS BIGINT) AS revenue
+FROM orders JOIN tiers ON o_totalprice >= lo AND o_totalprice < hi
+GROUP BY tier
+""")
+def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join orders into price tiers via bucketed equi-join (the
+    scale path for interval joins — no nested loop)."""
+    o = _t(spark, sf_dir, "orders")
+    tiers = spark.createDataFrame(
+        [("t1", 0.0, 50000.0), ("t2", 50000.0, 150000.0),
+         ("t3", 150000.0, 300000.0), ("t4", 300000.0, 600000.0),
+         ("t5", 600000.0, 100000000.0)],
+        "tier string, lo double, hi double")
+    j = jn.range_join_bucketed(o, tiers, "o_totalprice", "lo", "hi",
+                               granularity=50000.0)
+    return j.groupBy("tier").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice")).cast("bigint").alias("revenue"),
+    )
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
