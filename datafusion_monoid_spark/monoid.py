@@ -83,8 +83,9 @@ def _is_float(elem: str) -> bool:
 
 
 def _clamp(col: Column, lo: int, hi: int) -> Column:
-    return F.least(F.greatest(col, F.lit(lo).cast(_WIDE_DECIMAL)),
-                   F.lit(hi).cast(_WIDE_DECIMAL))
+    # bounds as string literals: F.lit() rejects ints beyond int64 (u64 max)
+    return F.least(F.greatest(col, F.lit(str(lo)).cast(_WIDE_DECIMAL)),
+                   F.lit(str(hi)).cast(_WIDE_DECIMAL))
 
 
 def _sat_int_binop(op: Callable[[Column, Column], Column], elem: str
@@ -136,7 +137,10 @@ class Monoid:
         return ELEMENT_TYPES[self.elem]
 
     def identity_lit(self) -> Column:
-        return F.lit(self.identity).cast(self.spark_type)
+        v = self.identity
+        if isinstance(v, int) and not (-(2**63) <= v < 2**63):
+            return F.lit(str(v)).cast(self.spark_type)  # u64 identities
+        return F.lit(v).cast(self.spark_type)
 
 
 def _np_clamp(arr: np.ndarray, elem: str) -> np.ndarray:
