@@ -27,9 +27,15 @@ LANG_MARKERS: dict[str, tuple[str, ...]] = {
 FINGERPRINT_P = 2147483647  # 2^31 - 1; keeps (acc*31 + h) inside int64
 
 
-def lang_scores(text_col: Column | str) -> dict[str, Column]:
-    """marker-token hit ratio per language."""
-    toks = tokens(text_col)
+def lang_scores(text_col: Column | str, toks: Column | None = None
+                ) -> dict[str, Column]:
+    """marker-token hit ratio per language.
+
+    Pass a pre-materialized ``toks`` column to avoid re-tokenizing once
+    per language (Catalyst does not CSE across lambda functions — 5
+    languages means 5 tokenizations otherwise)."""
+    if toks is None:
+        toks = tokens(text_col)
     n = F.greatest(F.size(toks), F.lit(1))
 
     def matcher(markers: tuple[str, ...]):
@@ -43,11 +49,12 @@ def lang_scores(text_col: Column | str) -> dict[str, Column]:
     }
 
 
-def lang_id(text_col: Column | str) -> tuple[Column, Column]:
+def lang_id(text_col: Column | str, toks: Column | None = None
+            ) -> tuple[Column, Column]:
     """(predicted language, its score) — argmax with a deterministic
     alphabetical-priority CASE chain (ties go to the earlier language),
     so any SQL engine reproduces it exactly."""
-    scores = lang_scores(text_col)
+    scores = lang_scores(text_col, toks)
     langs = sorted(scores)
     pred = F.lit(langs[0])
     best = scores[langs[0]]

