@@ -565,13 +565,20 @@ WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
 """)
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dups on a 1/4 id-sample; expression-level
-    cosine (JVM-side).  The scale path buckets by random-hyperplane LSH
+    (JVM-side).  Vectors are unit-normalized ONCE per vector before the
+    pair join, so each pair costs a single dot product instead of a dot
+    plus two norms (3x less per-pair work — the normalize-once rule).
+    The scale path buckets by random-hyperplane LSH
     (see operators/similarity.py) instead of sampling."""
+    from datafusion_monoid_spark.functions.vector import dot, l2_norm
     e = (_t(spark, sf_dir, "embeddings")
          .where(F.col("vec_id") % 4 == 0)
          .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
-    a, b = e.alias("a"), e.alias("b")
-    sim = cosine_similarity(F.col("a.emb"), F.col("b.emb"))
+    unit = e.withColumn("nrm", l2_norm("emb")).select(
+        "vec_id",
+        F.transform("emb", lambda x: x / F.col("nrm")).alias("u"))
+    a, b = unit.alias("a"), unit.alias("b")
+    sim = dot(F.col("a.u"), F.col("b.u"))
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .where(sim >= 0.35)
@@ -869,6 +876,138 @@ def range_join_price_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice")).cast("bigint").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Host-surface depth: multi-way join + top-k, semi/anti joins, cube,
+# pivot, multi-granularity grouping-sets rollup
+# ---------------------------------------------------------------------------
+
+@register("q3_shipping_priority", """
+SELECT o_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey, o_orderpriority
+ORDER BY revenue DESC, o_orderkey LIMIT 20
+""")
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dimension filter -> fact join -> agg ->
+    global top-k.  customer broadcasts; lineitem only shuffles for the
+    aggregation."""
+    c = F.broadcast(_t(spark, sf_dir, "customer")
+                    .where(F.col("c_mktsegment") == "BUILDING"))
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(20)
+        .select("o_orderkey", "revenue", "o_orderpriority")
+    )
+
+
+@register("q4_semi_join", """
+SELECT o_orderpriority, count(*) AS n
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_quantity > 45)
+GROUP BY o_orderpriority
+""")
+def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelates to a LEFT SEMI join."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_quantity") > 45)
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey, "left_semi")
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("anti_join_silent_customers", """
+SELECT c_mktsegment, count(*) AS n
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY c_mktsegment
+""")
+def anti_join_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS -> LEFT ANTI join: customers with no pending order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "P")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("cube_order_stats", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE: all 2^2 grouping combinations in one pass."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+
+
+@register("pivot_status_by_priority", """
+SELECT o_orderpriority,
+       count(*) FILTER (o_orderstatus = 'F') AS status_f,
+       count(*) FILTER (o_orderstatus = 'O') AS status_o,
+       count(*) FILTER (o_orderstatus = 'P') AS status_p
+FROM orders GROUP BY o_orderpriority
+""")
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot order status into columns (explicit value list — at scale
+    never let pivot() scan for distinct values)."""
+    o = _t(spark, sf_dir, "orders")
+    p = (o.groupBy("o_orderpriority")
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "o_orderpriority",
+        F.coalesce("F", F.lit(0)).alias("status_f"),
+        F.coalesce("O", F.lit(0)).alias("status_o"),
+        F.coalesce("P", F.lit(0)).alias("status_p"),
+    )
+
+
+@register("events_multi_rollup", """
+SELECT CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+       CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day_bucket,
+       event_type, count(*) AS n,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_mu
+FROM events
+GROUP BY GROUPING SETS ((hour_bucket, event_type), (day_bucket, event_type),
+                        (day_bucket), ())
+""")
+def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate shape: hourly, daily,
+    daily-total, and grand-total rollups in ONE pass via grouping sets —
+    at scale this feeds materialized rollup tables without re-scanning."""
+    e = _events(spark, sf_dir)
+    mv = F.round(F.col("value") * 1000).cast("bigint")
+    base = e.select(
+        F.floor(F.col("sec") / 3600).cast("bigint").alias("hour_bucket"),
+        F.floor(F.col("sec") / 86400).cast("bigint").alias("day_bucket"),
+        "event_type", mv.alias("mv"))
+    base.createOrReplaceTempView("__ev_rollup")
+    return spark.sql("""
+        SELECT hour_bucket, day_bucket, event_type,
+               count(*) AS n, CAST(sum(mv) AS BIGINT) AS total_mu
+        FROM __ev_rollup
+        GROUP BY GROUPING SETS ((hour_bucket, event_type),
+                                (day_bucket, event_type), (day_bucket), ())
+    """)
 
 
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:

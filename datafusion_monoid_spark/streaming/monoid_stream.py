@@ -61,13 +61,73 @@ def streaming_monoid_reduce(events: DataFrame,
 
 
 def run_stream_to_memory(agg: DataFrame, query_name: str = "monoid_stream",
-                         checkpoint_dir: str | None = None):
+                         checkpoint_dir: str | None = None,
+                         output_mode: str = "complete"):
     """Drive the streaming query over all available input (test/batch
     harness); returns the started query after it drains."""
-    w = (agg.writeStream.outputMode("complete")
+    w = (agg.writeStream.outputMode(output_mode)
          .format("memory").queryName(query_name))
     if checkpoint_dir:
         w = w.option("checkpointLocation", checkpoint_dir)
     q = w.start()
     q.processAllAvailable()
     return q
+
+
+def streaming_session_windows(events: DataFrame, gap: str = "30 minutes",
+                              watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-based), the streaming twin of the
+    batch lag+cumsum sessionization in queries.py — but here the engine
+    maintains session state natively (merging adjacent windows as events
+    arrive, monoid-style)."""
+    return (
+        events.withWatermark("event_time", watermark)
+        .groupBy(F.session_window("event_time", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum("value").alias("total"))
+        .select(F.col("session_window").start.alias("session_start"),
+                F.col("session_window").end.alias("session_end"),
+                "user_id", "n_events", "total")
+    )
+
+
+def stateful_monoid_accumulator(events: DataFrame, n_dims: int = 3):
+    """Custom stateful operator via ``applyInPandasWithState``: per
+    event_type, the state IS a monoid accumulator vector
+    [sum, sum_sq, count] merged incrementally across micro-batches —
+    the reference's ``ArrayMonoidReduceAccumulator`` contract
+    (src/monoid.rs:334-470: update_batch/merge via the same combine)
+    re-expressed as Spark streaming state."""
+    import pandas as pd  # local: executors import lazily
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = ("event_type string, acc_sum double, acc_sumsq double, "
+                  "acc_count double, batches int")
+    state_schema = "acc array<double>, batches int"
+
+    def update(key, pdfs, state: GroupState):
+        acc = [0.0] * n_dims
+        batches = 0
+        if state.exists:
+            stored_acc, batches = state.get
+            acc = list(stored_acc)
+        for pdf in pdfs:
+            v = pdf["value"].astype(float)
+            # element-wise monoid combine with the batch's partial vector
+            acc[0] += float(v.sum())
+            acc[1] += float((v * v).sum())
+            acc[2] += float(len(v))
+        batches += 1
+        state.update((acc, batches))
+        yield pd.DataFrame({
+            "event_type": [key[0]],
+            "acc_sum": [acc[0]], "acc_sumsq": [acc[1]], "acc_count": [acc[2]],
+            "batches": [batches],
+        })
+
+    return (
+        events.groupBy("event_type")
+        .applyInPandasWithState(update, out_schema, state_schema,
+                                "update", GroupStateTimeout.NoTimeout)
+    )

@@ -57,6 +57,73 @@ def test_stream_matches_batch(spark, events_dir, tmp_path):
     assert len(got) > 100  # real coverage: many windows x types x 3 positions
 
 
+def test_session_windows_match_batch(spark, events_dir, tmp_path):
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        streaming_session_windows)
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_session_windows(stream, gap="30 minutes")
+    q = run_stream_to_memory(agg, "sessions", str(tmp_path / "ckpt_s"))
+    try:
+        got = {(r["user_id"], r["session_start"]): (r["n_events"], round(r["total"], 4))
+               for r in spark.sql("SELECT * FROM sessions").collect()}
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (
+        spark.read.parquet(events_dir)
+        .withColumn("event_time",
+                    F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+        .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .select(F.col("session_window").start.alias("ss"), "user_id", "n", "t")
+    )
+    want = {(r["user_id"], r["ss"]): (r["n"], round(r["t"], 4))
+            for r in batch.collect()}
+    assert got == want and len(got) > 50
+
+
+def test_stateful_monoid_accumulator_merges_across_batches(spark, events_dir, tmp_path):
+    """Two micro-batches; final state must equal the single-pass batch
+    computation — the accumulator merge contract (src/monoid.rs:445-465)."""
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        stateful_monoid_accumulator)
+    d = Path(events_dir)
+
+    stream = read_events_stream(spark, events_dir)
+    acc = stateful_monoid_accumulator(stream)
+    q = run_stream_to_memory(acc, "acc1", str(tmp_path / "ckpt_a"),
+                             output_mode="update")
+    try:
+        # feed a second identical file -> a second micro-batch
+        shutil.copy(f"{SF}/events.parquet", d / "part-1.parquet")
+        q.processAllAvailable()
+        rows = spark.sql("""
+            SELECT event_type, acc_sum, acc_count, batches FROM acc1
+        """).collect()
+    finally:
+        q.stop()
+    # memory sink in update mode appends updated rows; keep the latest
+    # (max batches) per event_type
+    latest = {}
+    for r in rows:
+        if r["event_type"] not in latest or r["batches"] > latest[r["event_type"]]["batches"]:
+            latest[r["event_type"]] = r
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = {r["event_type"]: (r["s"], r["c"]) for r in
+             spark.read.parquet(events_dir)
+             .groupBy("event_type")
+             .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
+             .collect()}
+    assert set(latest) == set(batch)
+    for et, r in latest.items():
+        s, c = batch[et]
+        assert r["acc_count"] == float(c)
+        assert abs(r["acc_sum"] - s) < 1e-6 * max(1.0, abs(s))
+        assert r["batches"] >= 2          # state really spanned micro-batches
+
+
 def test_stream_is_incremental(spark, events_dir, tmp_path):
     """Feeding the same data as TWO files must produce the doubled sums —
     i.e. state actually merges across micro-batches (monoid property)."""
