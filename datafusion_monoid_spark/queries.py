@@ -1010,5 +1010,79 @@ def events_multi_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """)
 
 
+# ---------------------------------------------------------------------------
+# SQL-UDAF entry-point parity + composite pipeline
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators.array_reduce import register_all as _register_all
+
+# same semantics as monoid_sum_ragged_int, but executed through the
+# registered SQL aggregate (the reference's literal entry point,
+# src/monoid.rs:568-571) -> shares its oracle
+_RAGGED_ORACLE = _CATALOG["monoid_sum_ragged_int"][1]
+
+
+@register("monoid_sql_udaf", _RAGGED_ORACLE)
+def monoid_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`SELECT grp, array_reduce_sum(arr) ... GROUP BY grp` through the
+    registered pandas-UDAF SQL path — the verbatim reference entry point,
+    oracle-checked against the same DuckDB reduction as the posexplode
+    form (the two forms must agree end-to-end)."""
+    _register_all(spark)
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_udaf")
+    df = spark.sql("""
+        WITH arrs AS (
+          SELECT l_orderkey,
+                 transform(array_sort(collect_list(struct(l_linenumber, l_quantity))),
+                           s -> CAST(s.l_quantity AS INT)) AS arr
+          FROM __li_udaf GROUP BY l_orderkey
+        ),
+        g AS (SELECT CAST(least(size(arr), 3) AS INT) AS grp, arr FROM arrs)
+        SELECT grp, array_reduce_sum(arr) AS result FROM g GROUP BY grp
+    """)
+    return df.select("grp", F.posexplode("result").alias("pos", "val"))
+
+
+@register("pipeline_clean_corpus", f"""
+WITH t AS (
+  SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, norm, toks,
+         len(list_filter(toks, x -> list_contains(
+             ['the','and','of','to','a','in','is','that'], x)))::DOUBLE
+           / greatest(len(toks), 1) AS stop_ratio,
+         len(toks) AS n_tokens
+  FROM t
+),
+q AS (SELECT * FROM f WHERE n_tokens >= 10 AND stop_ratio >= 0.02),
+d AS (SELECT md5(norm) AS k, min(doc_id) AS keep_id, min(len(toks)) AS toks_n
+      FROM q GROUP BY md5(norm))
+SELECT count(*) AS n_docs, CAST(sum(toks_n) AS BIGINT) AS total_tokens
+FROM d
+""")
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite training-data pipeline: quality gate -> exact dedup ->
+    token budget, in one declarative plan (Catalyst fuses the stages; at
+    scale the dedup groupBy is the only shuffle)."""
+    from datafusion_monoid_spark.operators import dedup as ddp
+    docs = _t(spark, sf_dir, "documents")
+    toks = ddp.tokens("text")
+    en = tx.LANG_MARKERS["en"]
+    filtered = (
+        docs.select("doc_id", "text", F.size(toks).alias("n_tokens"),
+                    (F.size(F.filter(toks, lambda x: x.isin(*en)))
+                     / F.greatest(F.size(toks), F.lit(1))).alias("stop_ratio"))
+        .where((F.col("n_tokens") >= 10) & (F.col("stop_ratio") >= 0.02))
+    )
+    deduped = (
+        ddp.exact_dedup_keys(filtered, "text")
+        .groupBy("dup_key")
+        .agg(F.min("doc_id").alias("keep_id"), F.min("n_tokens").alias("toks_n"))
+    )
+    return deduped.agg(F.count(F.lit(1)).alias("n_docs"),
+                       F.sum("toks_n").cast("bigint").alias("total_tokens"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
