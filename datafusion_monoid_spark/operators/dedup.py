@@ -150,9 +150,14 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     """Banded LSH: equal band-hash => candidate pair (id_a < id_b).
 
     Bucket join on (band_idx, band_hash) — candidates only, never the
-    full cross product.  Output carries both signatures for estimation."""
+    full cross product.  The banded relation carries ONLY
+    (id, band_idx, band_hash): exploding the 64-element signature 16×
+    through the self-join shuffle doubles-to-quadruples shuffle bytes for
+    nothing — signatures re-attach to the deduplicated pairs afterwards
+    (two narrow hash joins on id).  Output carries both signatures for
+    estimation."""
     banded = sigs.select(
-        id_col, "sig",
+        id_col,
         F.posexplode(
             F.array(*[
                 F.md5(F.concat_ws(",", *[
@@ -163,15 +168,18 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
         ).alias("band_idx", "band_hash"),
     )
     a, b = banded.alias("a"), banded.alias("b")
-    return (
+    pairs = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_hash") == F.col("b.band_hash"))
                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
         .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+                F.col(f"b.{id_col}").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
+    return pairs.join(sa, "id_a").join(sb, "id_b") \
+                .select("id_a", "id_b", "sig_a", "sig_b")
 
 
 def estimated_jaccard(sig_a: Column | str, sig_b: Column | str,

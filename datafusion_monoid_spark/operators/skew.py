@@ -1,0 +1,56 @@
+"""Skew- and layout-aware helpers: salting and bucketed co-location.
+
+At 100 TB the two classic killers are (a) one hot key owning a shuffle
+partition and (b) re-shuffling the same fact table for every join.
+These helpers encode the standard cures:
+
+* :func:`salted_aggregate` — two-phase aggregation with an explicit salt
+  for EXTREME key skew.  NOTE: for algebraic aggregates Spark's map-side
+  partial aggregation already absorbs most skew; salting matters when
+  the per-key state is large (collect_list/distinct-style) or the
+  downstream is a join.  The monoid discipline is what makes the
+  two-phase split legal (same argument as src/monoid.rs:13-21).
+* :func:`write_bucketed` / co-located joins — persist both sides
+  bucketed by the join key so subsequent joins are exchange-free
+  (verified by plan assertion in tests).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_aggregate(df: DataFrame, key_cols: list[str], agg_exprs: dict[str, str],
+                     n_salts: int = 16) -> DataFrame:
+    """Two-phase skew-safe aggregation.
+
+    Phase 1 groups on (key, salt) — the hot key's rows spread over
+    ``n_salts`` reducers; phase 2 merges the partials on key alone.
+    ``agg_exprs``: {column: op} with op in {sum, count, min, max} —
+    ops whose partials merge by the same op (count merges by sum)."""
+    merge_op = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    salted = df.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    phase1 = salted.groupBy(*key_cols, "__salt").agg(*[
+        getattr(F, op)(c).alias(f"__p_{c}") for c, op in agg_exprs.items()
+    ])
+    return phase1.groupBy(*key_cols).agg(*[
+        getattr(F, merge_op[op])(f"__p_{c}").alias(f"{c}_{op}")
+        for c, op in agg_exprs.items()
+    ])
+
+
+def write_bucketed(df: DataFrame, table_name: str, key: str,
+                   n_buckets: int = 8) -> None:
+    """Persist as a bucketed managed table: later equi-joins/aggs on
+    ``key`` between tables bucketed the same way need no exchange."""
+    (df.write.mode("overwrite")
+     .bucketBy(n_buckets, key).sortBy(key)
+     .format("parquet").saveAsTable(table_name))
+
+
+def bucketed_join(spark: SparkSession, left_table: str, right_table: str,
+                  key: str) -> DataFrame:
+    """Join two same-bucketed tables — plan shows zero Exchange on the
+    join path (see tests/test_skew.py)."""
+    return spark.table(left_table).join(spark.table(right_table), key)

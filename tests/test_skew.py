@@ -1,0 +1,46 @@
+"""Skew/layout helpers: salted agg correctness, bucketed exchange-free join."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.operators import skew
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_matches_plain(spark):
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    plain = {r["l_returnflag"]: (round(r["s"], 2), r["c"]) for r in
+             li.groupBy("l_returnflag")
+             .agg(F.sum("l_quantity").alias("s"), F.count("l_quantity").alias("c"))
+             .collect()}
+    salted = {r["l_returnflag"]: (round(r["l_quantity_sum"], 2), r["l_quantity_count"]) for r in
+              skew.salted_aggregate(li, ["l_returnflag"],
+                                    {"l_quantity": "sum"}, n_salts=8)
+              .join(
+                  skew.salted_aggregate(li, ["l_returnflag"],
+                                        {"l_quantity": "count"}, n_salts=8),
+                  "l_returnflag")
+              .collect()}
+    assert salted == plain
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force the issue
+    try:
+        o = spark.read.parquet(f"{SF}/orders.parquet")
+        c = spark.read.parquet(f"{SF}/customer.parquet") \
+            .withColumnRenamed("c_custkey", "o_custkey")
+        skew.write_bucketed(o, "b_orders", "o_custkey", 4)
+        skew.write_bucketed(c, "b_customer", "o_custkey", 4)
+        j = skew.bucketed_join(spark, "b_orders", "b_customer", "o_custkey")
+        plan = j._sc._jvm.PythonSQLUtils.explainString(
+            j._jdf.queryExecution(), "simple")
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan      # co-located: no shuffle at all
+        # and it still returns the right rows
+        assert j.count() == o.join(c, "o_custkey").count()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_customer")
