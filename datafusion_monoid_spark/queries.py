@@ -1084,5 +1084,79 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
                        F.sum("toks_n").cast("bigint").alias("total_tokens"))
 
 
+# ---------------------------------------------------------------------------
+# Scalar function library coverage: exact percentiles, string/date/math
+# smoke, JSON extraction
+# ---------------------------------------------------------------------------
+
+@register("percentile_prices", """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.25), 2) AS p25,
+       round(quantile_cont(o_totalprice, 0.50), 2) AS p50,
+       round(quantile_cont(o_totalprice, 0.75), 2) AS p75,
+       round(quantile_cont(o_totalprice, 0.95), 2) AS p95
+FROM orders GROUP BY o_orderpriority
+""")
+def percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT percentiles (linear interpolation — matches quantile_cont).
+    At 100 TB switch to percentile_approx and drop the oracle: exact
+    percentile needs a per-group sort."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(*[
+        F.round(F.percentile("o_totalprice", F.lit(q)), 2).alias(f"p{int(q*100)}")
+        for q in (0.25, 0.50, 0.75, 0.95)
+    ])
+
+
+@register("scalar_functions_smoke", """
+SELECT o_orderkey,
+       upper(substr(o_orderpriority, 1, 1)) AS pri_code,
+       length(o_orderstatus) AS status_len,
+       CAST(year(o_orderdate) AS INTEGER) AS yr,
+       CAST(month(o_orderdate) AS INTEGER) AS mo,
+       round(abs(o_totalprice - 100000.0), 2) AS dist_100k,
+       round(ln(greatest(o_totalprice, 1.0)), 4) AS log_price,
+       CASE WHEN o_totalprice > 200000 THEN 'high'
+            WHEN o_totalprice > 50000 THEN 'mid' ELSE 'low' END AS tier,
+       concat(o_orderstatus, '-', substr(o_orderpriority, 1, 1)) AS tag
+FROM orders WHERE o_orderkey % 10 = 0
+""")
+def scalar_functions_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar library breadth in one oracle-checked pass: string
+    (upper/substr/length/concat), date (year/month), math (abs/ln/
+    greatest/round), conditional (CASE)."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 10 == 0)
+    return o.select(
+        "o_orderkey",
+        F.upper(F.substring("o_orderpriority", 1, 1)).alias("pri_code"),
+        F.length("o_orderstatus").cast("bigint").alias("status_len"),
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mo"),
+        F.round(F.abs(F.col("o_totalprice") - 100000.0), 2).alias("dist_100k"),
+        F.round(F.log(F.greatest(F.col("o_totalprice"), F.lit(1.0))), 4).alias("log_price"),
+        F.when(F.col("o_totalprice") > 200000, "high")
+         .when(F.col("o_totalprice") > 50000, "mid").otherwise("low").alias("tier"),
+        F.concat("o_orderstatus", F.lit("-"),
+                 F.substring("o_orderpriority", 1, 1)).alias("tag"),
+    )
+
+
+@register("events_json_extract", """
+SELECT event_type,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total,
+       count(*) FILTER (json_extract_string(props, '$.k') IS NOT NULL) AS k_present
+FROM events GROUP BY event_type
+""")
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured column processing: JSON path extraction + typed
+    aggregation over the events props payload."""
+    e = _events(spark, sf_dir)  # events needs the nanos-ts reader
+    k = F.get_json_object("props", "$.k")
+    return e.groupBy("event_type").agg(
+        F.sum(k.cast("bigint")).cast("bigint").alias("k_total"),
+        F.count(k).alias("k_present"),
+    )
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
