@@ -1158,5 +1158,95 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Count-Min Sketch (a sketch that IS a monoid), window breadth,
+# correlated subquery
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import sketch as sk
+
+
+def _cms_oracle_sql(depth: int = 4, width: int = 256) -> str:
+    hashes = ", ".join(
+        f"{sk.cms_hash_sql('t', i, width)} AS h{i}" for i in range(depth))
+    unn_h = "[" + ", ".join(f"h{i}" for i in range(depth)) + "]"
+    unn_d = "[" + ", ".join(str(i) for i in range(depth)) + "]"
+    return f"""
+WITH tok AS (
+  SELECT unnest({_TOKS}) AS t FROM documents
+),
+hashed AS (SELECT {hashes} FROM tok),
+ex AS (SELECT unnest({unn_h}) AS bucket, unnest({unn_d}) AS depth FROM hashed)
+SELECT CAST(depth AS INTEGER) AS depth, CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM ex GROUP BY depth, bucket
+"""
+
+
+@register("cms_token_sketch", _cms_oracle_sql())
+def cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min Sketch of the document token stream — a sketch whose
+    merge IS the element-wise monoid sum (partial-agg/streaming safe by
+    the same algebra as the array_reduce core).  The sketch matrix is
+    deterministic, so DuckDB verifies it cell-for-cell; estimation
+    guarantees are pinned in tests/test_sketch.py."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
+    return sk.cms_build(toks, "tok", depth=4, width=256) \
+             .withColumn("depth", F.col("depth").cast("int"))
+
+
+@register("window_functions_smoke", """
+SELECT o_orderkey,
+       CAST(rank()       OVER w AS INTEGER) AS rnk,
+       CAST(dense_rank() OVER w AS INTEGER) AS drnk,
+       CAST(ntile(4)     OVER w AS INTEGER) AS quartile,
+       round(o_totalprice - lag(o_totalprice, 1, 0.0) OVER w, 2) AS delta_prev,
+       round(lead(o_totalprice, 1, 0.0) OVER w - o_totalprice, 2) AS delta_next,
+       round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+                                     ORDER BY o_totalprice, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running
+FROM orders
+WHERE o_orderkey % 20 = 0
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+""")
+def window_functions_smoke(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window breadth in one oracle-checked pass: rank, dense_rank,
+    ntile, lag/lead with defaults, running sum."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") % 20 == 0)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.col("o_totalprice") - F.lag("o_totalprice", 1, 0.0).over(w), 2)
+         .alias("delta_prev"),
+        F.round(F.lead("o_totalprice", 1, 0.0).over(w) - F.col("o_totalprice"), 2)
+         .alias("delta_next"),
+        F.round(F.sum("o_totalprice").over(wrun), 2).alias("running"),
+    )
+
+
+@register("q17_small_quantity_revenue", """
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem l1
+WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                    WHERE l2.l_partkey = l1.l_partkey)
+""")
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery — expressed as a
+    window average so Catalyst computes it in one pass instead of a
+    rejoin (the decorrelated plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    return (
+        li.withColumn("__avg_q", F.avg("l_quantity").over(w))
+        .where(F.col("l_quantity") < 0.5 * F.col("__avg_q"))
+        .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+    )
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
