@@ -1196,6 +1196,54 @@ def cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
              .withColumn("depth", F.col("depth").cast("int"))
 
 
+def _cms_hh_oracle_sql(depth: int = 4, width: int = 256, k: int = 25) -> str:
+    hashes = ", ".join(
+        f"{sk.cms_hash_sql('t', i, width)} AS h{i}" for i in range(depth))
+    unn_h = "[" + ", ".join(f"h{i}" for i in range(depth)) + "]"
+    unn_d = "[" + ", ".join(str(i) for i in range(depth)) + "]"
+    probe_h = ", ".join(
+        f"{sk.cms_hash_sql('tok', i, width)} AS h{i}" for i in range(depth))
+    return f"""
+WITH tokstream AS (SELECT unnest({_TOKS}) AS t FROM documents),
+hashed AS (SELECT {hashes} FROM tokstream),
+ex AS (SELECT unnest({unn_h}) AS bucket, unnest({unn_d}) AS depth FROM hashed),
+cms AS (SELECT depth, bucket, count(*) AS cnt FROM ex GROUP BY depth, bucket),
+keys AS (SELECT DISTINCT t AS tok FROM tokstream),
+probes AS (
+  SELECT tok, unnest([{", ".join(f"h{i}" for i in range(depth))}]) AS bucket,
+         unnest({unn_d}) AS depth
+  FROM (SELECT tok, {probe_h} FROM keys)
+),
+est AS (
+  SELECT tok, min(coalesce(cms.cnt, 0)) AS estimate
+  FROM probes LEFT JOIN cms USING (depth, bucket) GROUP BY tok
+),
+ranked AS (
+  SELECT tok, estimate,
+         row_number() OVER (ORDER BY estimate DESC, tok) AS rk
+  FROM est
+)
+SELECT tok, CAST(estimate AS BIGINT) AS estimate, CAST(rk AS INTEGER) AS rk
+FROM ranked WHERE rk <= {k}
+"""
+
+
+@register("cms_heavy_hitters", _cms_hh_oracle_sql())
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters from the CMS: estimate every distinct token against
+    the sketch, take the top-25 — the compose-sketch-then-query pattern
+    (at 100 TB the distinct-key probe side would itself be sampled or
+    maintained as a candidate list)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
+    cms = sk.cms_build(toks, "tok", depth=4, width=256)
+    est = sk.cms_estimate(cms, toks.distinct(), "tok", depth=4, width=256)
+    w = Window.orderBy(F.col("estimate").desc(), F.col("tok"))
+    return (est.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 25)
+            .select("tok", F.col("estimate").cast("bigint").alias("estimate"), "rk"))
+
+
 @register("window_functions_smoke", """
 SELECT o_orderkey,
        CAST(rank()       OVER w AS INTEGER) AS rnk,

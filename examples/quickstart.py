@@ -1,0 +1,84 @@
+"""Quickstart: what a user of the reference engine runs after switching.
+
+    python examples/quickstart.py [sf_dir]
+
+Walks the engine surface end to end: the reference's own SQL entry
+point, the three array_reduce forms, and one operator from each pipeline
+family.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark import (
+    array_reduce,
+    array_reduce_exploded,
+    get_spark,
+    register_all,
+)
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+
+
+def main() -> None:
+    spark = get_spark("quickstart")
+    register_all(spark)
+
+    # 1. The reference's verbatim entry point (src/monoid.rs:568-571)
+    spark.createDataFrame([([1, 2, 3],), ([4, 5, 6],)], "arrays array<int>") \
+        .createOrReplaceTempView("test")
+    print("reference query:")
+    spark.sql("SELECT array_reduce_sum(arrays) AS result FROM test").show()
+
+    # 2. Expression form on real data: per-returnflag vector sums
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    vecs = li.select("l_returnflag",
+                     F.array("l_quantity", "l_extendedprice").alias("v"))
+    print("expression form (grouped):")
+    vecs.groupBy("l_returnflag") \
+        .agg(array_reduce("v", "sum", "double").alias("result")) \
+        .orderBy("l_returnflag").show(truncate=False)
+
+    # 3. The 100 TB form: posexplode two-phase
+    print("posexplode form (same result):")
+    array_reduce_exploded(vecs, ["l_returnflag"], "v", "sum", "double") \
+        .orderBy("l_returnflag").show(truncate=False)
+
+    # 4. One operator per pipeline family
+    from datafusion_monoid_spark.operators import dedup, sketch, similarity, text
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    print("minhash near-dup candidates:")
+    dedup.lsh_candidate_pairs(
+        dedup.minhash_signatures(docs, "doc_id", "text"), "doc_id") \
+        .select("id_a", "id_b",
+                F.round(dedup.estimated_jaccard("sig_a", "sig_b"), 3)
+                .alias("est_jacc")) \
+        .orderBy(F.col("est_jacc").desc()).show(5)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    print("cosine top-3 for 3 query vectors:")
+    similarity.brute_force_topk(emb, emb.where(F.col("vec_id") < 3), k=3).show()
+
+    pred, score = text.lang_id("text")
+    print("language id:")
+    docs.select("doc_id", pred.alias("lang"), F.round(score, 3).alias("score")) \
+        .show(5)
+
+    toks = docs.select(F.explode(dedup.tokens("text")).alias("tok"))
+    print("count-min sketch heavy hitters:")
+    cms = sketch.cms_build(toks, "tok")
+    sketch.cms_estimate(cms, toks.distinct(), "tok") \
+        .orderBy(F.col("estimate").desc()).show(5)
+
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
