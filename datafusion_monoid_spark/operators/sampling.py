@@ -1,0 +1,63 @@
+"""Deterministic sampling, splitting, and sequence packing for
+training-data pipelines.
+
+Reproducibility is the requirement at 100 TB: a sample or split must be
+(a) stable across reruns/partitionings, (b) leakage-free (a key lands on
+exactly one side, forever), (c) cheap (no shuffle for the decision).
+All three come from hashing the key, not from RNG state — the same
+md5-derived hash family as the dedup/sketch operators, so any engine
+reproduces the exact membership.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.operators.dedup import md5_long
+
+#: hash buckets for split/sample decisions (per-mille resolution)
+SPLIT_MOD = 1000
+
+
+def hash_bucket(key: Column | str) -> Column:
+    """Stable per-mille bucket of a key: md5_64(key) mod 1000."""
+    c = F.col(key) if isinstance(key, str) else key
+    return md5_long(c.cast("string")) % SPLIT_MOD
+
+
+def hash_sample(df: DataFrame, key_col: str, fraction: float) -> DataFrame:
+    """Deterministic Bernoulli-style sample: keeps keys whose bucket
+    falls below fraction*1000.  Pure filter — pushes down, no shuffle,
+    identical membership on every run and engine."""
+    return df.where(hash_bucket(key_col) < int(fraction * SPLIT_MOD))
+
+
+def train_test_split(df: DataFrame, key_col: str, test_fraction: float = 0.1
+                     ) -> tuple[DataFrame, DataFrame]:
+    """Leakage-free split: every key is always on the same side."""
+    cut = int(test_fraction * SPLIT_MOD)
+    b = hash_bucket(key_col)
+    return df.where(b >= cut), df.where(b < cut)
+
+
+def pack_sequences(df: DataFrame, id_col: str, len_col: str,
+                   max_tokens: int = 512, n_shards: int = 64) -> DataFrame:
+    """Assign documents to training-sequence bins of ~max_tokens.
+
+    Documents hash into ``n_shards`` independent shards (so the window
+    sort parallelizes — a single global window would serialize at 100
+    TB); within a shard, a deterministic running token cumsum in id
+    order gives bin = floor((cumsum - len) / max_tokens).  Bins can
+    overflow by less than one document (the standard cheap packer; a
+    bin-capacity-exact packer needs stateful iteration).  Over-long
+    documents occupy their own bin(s).  Output bin key: (shard, bin_id).
+    """
+    shard = (md5_long(F.col(id_col).cast("string")) % n_shards).alias("shard")
+    w = Window.partitionBy("shard").orderBy(id_col) \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = F.sum(len_col).over(w)
+    return df.select(id_col, len_col, shard).select(
+        id_col, len_col, "shard",
+        F.floor((cum - F.col(len_col)) / max_tokens).cast("bigint").alias("bin_id"),
+    )

@@ -1296,5 +1296,82 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Deterministic sampling / splits / sequence packing
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import sampling as smp
+
+_BUCKET = ("(" + dd.md5_long_sql("CAST(doc_id AS VARCHAR)") + f" % {smp.SPLIT_MOD})")
+
+
+@register("sample_token_stats", f"""
+WITH s AS (SELECT doc_id, text FROM documents WHERE {_BUCKET} < 100),
+t AS (SELECT doc_id, len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+             AS n_toks
+      FROM s)
+SELECT count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM t
+""")
+def sample_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token budget of a deterministic 10% hash-sample — identical
+    membership on every run, partitioning, and engine."""
+    docs = _t(spark, sf_dir, "documents")
+    s = smp.hash_sample(docs, "doc_id", 0.1)
+    c = tx.token_counts("text")
+    return (s.select(c["ws_tokens"].alias("n_toks"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("total_tokens")))
+
+
+@register("train_test_split_sizes", f"""
+SELECT CASE WHEN {_BUCKET} < 100 THEN 'test' ELSE 'train' END AS side,
+       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY side
+""")
+def train_test_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-free deterministic 90/10 split — the same key lands on
+    the same side forever."""
+    docs = _t(spark, sf_dir, "documents")
+    train, test = smp.train_test_split(docs, "doc_id", 0.1)
+    return (
+        train.withColumn("side", F.lit("train"))
+        .unionByName(test.withColumn("side", F.lit("test")))
+        .groupBy("side")
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.sum("n_chars").cast("bigint").alias("total_chars"))
+    )
+
+
+@register("pack_sequences_stats", f"""
+WITH sized AS (
+  SELECT doc_id,
+         len(list_filter(string_split({_NORM}, ' '), x -> x != '')) AS n_toks,
+         (({dd.md5_long_sql("CAST(doc_id AS VARCHAR)")}) % 8) AS shard
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_toks, shard,
+         CAST(floor((sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS UNBOUNDED PRECEDING) - n_toks)
+                    / 512) AS BIGINT) AS bin_id
+  FROM sized
+)
+SELECT CAST(shard AS BIGINT) AS shard, bin_id,
+       count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS bin_tokens
+FROM packed GROUP BY shard, bin_id
+""")
+def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: shard-parallel deterministic first-fit
+    into ~512-token bins; per-bin document and token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", tx.token_counts("text")["ws_tokens"].alias("n_toks"))
+    packed = smp.pack_sequences(sized, "doc_id", "n_toks",
+                                max_tokens=512, n_shards=8)
+    return (packed.groupBy(F.col("shard").cast("bigint").alias("shard"), "bin_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("bin_tokens")))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
