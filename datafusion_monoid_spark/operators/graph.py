@@ -1,0 +1,68 @@
+"""Connected components — near-dup pairs -> dedup clusters.
+
+Pairwise similarity output (MinHash/SimHash/cosine) is not yet a dedup
+decision: transitively connected docs form ONE cluster with one kept
+representative.  That is connected components over the candidate-pair
+graph.
+
+Implementation: iterative minimum-label propagation with POINTER
+JUMPING — each round every vertex takes the min label in its
+neighborhood, then labels compress through themselves
+(label := label(label)), which halves chain lengths and gives
+O(log diameter) convergence instead of O(diameter).  Each round is hash
+joins + a groupBy min (all partial-agg safe: min is the monoid), with a
+driver-side convergence check on a count.  Checkpointing truncates the
+lineage each round (iterative-plan hygiene).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
+                         max_iter: int = 20) -> DataFrame:
+    """(node, component) for every node in ``edges``; component = min
+    node id reachable.  Deterministic."""
+    bidir = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .unionByName(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .cache()
+    )
+    labels = (
+        bidir.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # min label over self + neighbors
+        nbr = (
+            bidir.join(labels.withColumnRenamed("node", "v"), "v")
+            .select(F.col("u").alias("node"), "label")
+        )
+        merged = (
+            labels.unionByName(nbr)
+            .groupBy("node").agg(F.min("label").alias("label"))
+        )
+        # pointer jumping: label := label(label)  (labels form a forest
+        # pointing at smaller ids, so the lookup always resolves)
+        parent = merged.select(F.col("node").alias("p_node"),
+                               F.col("label").alias("p_label"))
+        new_labels = (
+            merged.join(parent, merged.label == parent.p_node, "left")
+            .select("node",
+                    F.coalesce("p_label", "label").alias("label"))
+        ).localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .where(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    bidir.unpersist()
+    return labels.select("node", F.col("label").alias("component"))

@@ -1297,6 +1297,49 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dedup clusters: connected components over the near-dup pair graph
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators.graph import connected_components
+
+
+@register("dedup_clusters", f"""
+{_minhash_candidates_cte()},
+strong AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+                        i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM} >= 0.5
+),
+bidir AS (SELECT id_a AS u, id_b AS v FROM strong
+          UNION SELECT id_b, id_a FROM strong),
+nodes AS (SELECT DISTINCT u AS node FROM bidir),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, v FROM bidir
+    UNION
+    SELECT r.src, b.v FROM r JOIN bidir b ON r.dst = b.u
+  ) SELECT * FROM r
+)
+SELECT n.node AS doc_id,
+       least(n.node, min(coalesce(r.dst, n.node))) AS component
+FROM nodes n LEFT JOIN reach r ON r.src = n.node
+GROUP BY n.node
+""")
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup PAIRS -> dedup CLUSTERS: connected components (pointer-
+    jumping min-label propagation) over strong MinHash candidates
+    (signature agreement >= 0.5).  component = min doc_id = the kept
+    representative.  Oracle: recursive-CTE transitive closure."""
+    docs = _t(spark, sf_dir, "documents")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id")
+    strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
+                 .select("id_a", "id_b")
+    cc = connected_components(strong)
+    return cc.select(F.col("node").alias("doc_id"), "component")
+
+
+# ---------------------------------------------------------------------------
 # Deterministic sampling / splits / sequence packing
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,30 @@
+"""Connected components: fixtures incl. chains, cycles, singleton edges."""
+
+import pytest
+
+from datafusion_monoid_spark.operators.graph import connected_components
+
+
+def _cc(spark, edges):
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    return {r["node"]: r["component"] for r in connected_components(df).collect()}
+
+
+def test_chain_merges_transitively(spark):
+    # 1-2, 2-3, 3-4: one cluster labeled by min id
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1}
+
+
+def test_disjoint_clusters_and_cycle(spark):
+    got = _cc(spark, [(5, 6), (6, 7), (7, 5), (10, 11), (20, 21)])
+    assert got[5] == got[6] == got[7] == 5
+    assert got[10] == got[11] == 10
+    assert got[20] == got[21] == 20
+
+
+def test_long_chain_converges(spark):
+    n = 30
+    got = _cc(spark, [(i, i + 1) for i in range(n)])
+    assert set(got.values()) == {0}
+    assert len(got) == n + 1
