@@ -14,14 +14,22 @@ Semantics decisions (documented deviations, see SURVEY.md §2.1 / §7):
 
 * **Saturating integer arithmetic** (reference ``src/monoid.rs:85-138``):
   Spark ints wrap (ANSI off), so integer sum/product are computed in a
-  wider type and clamped to the element type's range.  For the aggregate
-  (posexplode) form the fold is "exact-in-wide-type, clamp once", which is
-  deterministic; the reference's per-pair saturation is order-dependent
-  for mixed-sign overflow and therefore nondeterministic under
-  partitioning — our choice matches every asserted reference output.
-  (For products over integers exact-then-clamp == pairwise-saturate:
-  multiplying by any integer of magnitude >= 2 never shrinks magnitude,
-  multiplying by 0 yields 0 in both schemes, and clamping preserves sign.)
+  wider type and clamped to the element type's range.  **Integer SUM is
+  exact-then-clamp in ALL THREE forms** (the expression form folds in
+  DECIMAL(38,0) via ``wide_combine`` and clamps once in ``finish``; the
+  NumPy form folds exact Python ints and clamps once in ``np_finish``;
+  the posexplode form sums in DECIMAL(38,0)) — deterministic and
+  consistent, unlike the reference's per-pair saturation which is
+  order-dependent for mixed-sign overflow.  **Integer PRODUCT** uses
+  per-pair saturation in the expression/NumPy forms (the accumulator must
+  stay bounded; an exact wide fold can exceed DECIMAL(38,0) after just
+  three int64 factors) and sign/zero/log-magnitude decomposition in the
+  posexplode form.  Known cross-form divergence, by construction: once a
+  product overflows, a later factor of magnitude <= 1 distinguishes the
+  schemes (per-pair: ``sat(2^62 * 2) * -1 = -(2^63-1)``; exact-then-
+  clamp: ``clamp(-2^63) = -2^63``).  All forms agree whenever no
+  intermediate product leaves the element range — which covers every
+  asserted reference output.
 * **Unsigned types**: Spark has none.  ``uint8/16/32`` map to the next
   wider signed type; ``uint64`` maps to ``DECIMAL(20,0)`` clamped to
   ``[0, 2^64-1]``.
@@ -127,6 +135,17 @@ class Monoid:
     #: case for our four ops).
     agg: Callable[[Column], Column] = field(repr=False)
     np_combine: Callable[[np.ndarray, np.ndarray], np.ndarray] = field(repr=False)
+    #: expression-form wide fold (exact-then-clamp): when ``acc_cast`` is
+    #: set, the ``F.aggregate`` fold accumulates in that type using
+    #: ``wide_combine`` (no per-pair clamp) and ``finish`` maps each final
+    #: accumulator element back to the carrier type (clamp + cast).
+    acc_cast: str | None = None
+    wide_combine: Callable[[Column, Column], Column] | None = field(
+        default=None, repr=False)
+    finish: Callable[[Column], Column] | None = field(default=None, repr=False)
+    #: NumPy-form one-shot finalizer (clamp once after an exact fold)
+    np_finish: Callable[[np.ndarray], np.ndarray] | None = field(
+        default=None, repr=False)
 
     @property
     def name(self) -> str:
@@ -143,6 +162,13 @@ class Monoid:
         return F.lit(v).cast(self.spark_type)
 
 
+def _make_finish(lo: int, hi: int, carrier: str) -> Callable[[Column], Column]:
+    """One-arg clamp+cast closure safe for use as an HOF lambda."""
+    def finish(c: Column) -> Column:
+        return _clamp(c, lo, hi).cast(carrier)
+    return finish
+
+
 def _np_clamp(arr: np.ndarray, elem: str) -> np.ndarray:
     lo, hi = INT_BOUNDS[elem]
     return np.clip(arr, lo, hi)
@@ -152,25 +178,39 @@ def _build(op: str, elem: str) -> Monoid:
     is_f = _is_float(elem)
     carrier = ELEMENT_TYPES[elem].simpleString()
     lo_hi = INT_BOUNDS.get(elem)
+    acc_cast = None
+    wide_combine = None
+    finish = None
+    np_finish = None
 
     if op == "sum":
         identity: float | int = 0.0 if is_f else 0
         if is_f:
             combine = lambda a, b: a + b
-            agg = lambda c: F.sum(c)
+            # F.sum over FLOAT accumulates and returns DOUBLE; cast back so
+            # every form returns the element type.  Residual (documented)
+            # deviation: f64 accumulation then one rounding to f32, vs the
+            # expression/NumPy forms' per-step f32/f64 accumulation.
+            agg = lambda c: F.sum(c).cast(carrier)
             np_combine = lambda a, b: a + b
         else:
-            combine = _sat_int_binop(lambda a, b: a + b, elem)
             lo, hi = lo_hi
-            # exact sum in decimal(38,0) (partial-agg capable), clamp once
+            # exact-then-clamp in every form (deterministic; see module doc);
+            # `combine` stays per-pair-saturating for standalone zip_with use
+            combine = _sat_int_binop(lambda a, b: a + b, elem)
+            acc_cast = _WIDE_DECIMAL
+            wide_combine = lambda a, b: a + b
+            # NOTE: used as an F.transform lambda — exactly ONE formal
+            # param, no defaults (HOF arity sniffing binds extras)
+            finish = _make_finish(lo, hi, carrier)
             agg = lambda c: _clamp(F.sum(c.cast(_WIDE_DECIMAL)), lo, hi).cast(carrier)
-            np_combine = lambda a, b: _np_clamp(
-                a.astype(object) + b.astype(object), elem)
+            np_combine = lambda a, b: a.astype(object) + b.astype(object)
+            np_finish = lambda a: _np_clamp(a, elem)
     elif op == "product":
         identity = 1.0 if is_f else 1
         if is_f:
             combine = lambda a, b: a * b
-            agg = lambda c: F.product(c)
+            agg = lambda c: F.product(c).cast(carrier)
             np_combine = lambda a, b: a * b
         else:
             combine = _sat_int_binop(lambda a, b: a * b, elem)
@@ -196,7 +236,8 @@ def _build(op: str, elem: str) -> Monoid:
         raise ValueError(f"unknown op {op!r}")
 
     return Monoid(op=op, elem=elem, identity=identity, combine=combine,
-                  agg=agg, np_combine=np_combine)
+                  agg=agg, np_combine=np_combine, acc_cast=acc_cast,
+                  wide_combine=wide_combine, finish=finish, np_finish=np_finish)
 
 
 OPS = ("sum", "product", "max", "min")
@@ -227,9 +268,14 @@ for _op in ("sum", "product"):
         op=_op, elem="uint64", identity=0 if _op == "sum" else 1,
         combine=_u64_combine,
         agg=_u64_agg if _op == "sum" else None,  # type: ignore[arg-type]
-        np_combine=(lambda a, b: np.clip(a.astype(object) + b.astype(object), _lo, _hi))
+        np_combine=(lambda a, b: a.astype(object) + b.astype(object))
         if _op == "sum"
         else (lambda a, b: np.clip(a.astype(object) * b.astype(object), _lo, _hi)),
+        acc_cast=_WIDE_DECIMAL if _op == "sum" else None,
+        wide_combine=(lambda a, b: a + b) if _op == "sum" else None,
+        finish=(lambda c: _clamp(c, _lo, _hi).cast("decimal(20,0)"))
+        if _op == "sum" else None,
+        np_finish=(lambda a: _np_clamp(a, "uint64")) if _op == "sum" else None,
     )
 
 

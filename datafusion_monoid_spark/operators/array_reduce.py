@@ -42,6 +42,8 @@ fold produce the same result.
 
 from __future__ import annotations
 
+import math
+from decimal import Decimal
 from typing import Iterable, Sequence
 
 import numpy as np
@@ -86,11 +88,18 @@ def array_reduce(col: Column | str, monoid: Monoid | str,
     c = F.col(col) if isinstance(col, str) else col
     arr_t = T.ArrayType(m.spark_type, True)
 
+    # exact-then-clamp monoids (integer sum) fold in a wide accumulator
+    # type and clamp ONCE at the end — deterministic under any fold order
+    wide = m.acc_cast is not None
+    fold_t = f"array<{m.acc_cast}>" if wide else arr_t
+    comb = m.wide_combine if wide else m.combine
+
     # collect only non-null, non-empty arrays (collect_list drops nulls)
-    valid = F.when(F.size(c) > 0, c.cast(arr_t))
+    valid = F.when(F.size(c) > 0,
+                   c.cast(arr_t).cast(fold_t) if wide else c.cast(arr_t))
     collected = F.collect_list(valid)
 
-    ident = m.identity_lit()
+    ident = m.identity_lit().cast(m.acc_cast) if wide else m.identity_lit()
 
     def merge(acc: Column, x: Column) -> Column:
         # min-length truncation: slice both sides to the shorter length
@@ -101,13 +110,15 @@ def array_reduce(col: Column | str, monoid: Monoid | str,
                 F.zip_with(
                     F.slice(acc, 1, n),
                     F.slice(x, 1, n),
-                    lambda a, b: m.combine(a, F.coalesce(b, ident)),
+                    lambda a, b: comb(a, F.coalesce(b, ident)),
                 )
             )
         )
 
     # seed NULL => empty input folds to NULL (src/monoid.rs:387-393)
-    return F.aggregate(collected, F.lit(None).cast(arr_t), merge)
+    folded = F.aggregate(collected, F.lit(None).cast(fold_t), merge)
+    # transform(NULL) is NULL, so the empty-input contract survives finish
+    return F.transform(folded, m.finish) if wide else folded
 
 
 # ---------------------------------------------------------------------------
@@ -126,20 +137,26 @@ def _int_product_agg(m: Monoid, e: Column) -> Column:
     expression and pandas forms are exact there.
     """
     lo, hi = INT_BOUNDS[m.elem]
+    carrier = m.spark_type.simpleString()
+    # bounds as STRING literals cast to decimal: F.lit() on a python int
+    # beyond int64 (uint64's 2^64-1) raises NumberFormatException JVM-side
+    lo_d = F.lit(str(lo)).cast("decimal(38,0)")
+    hi_d = F.lit(str(hi)).cast("decimal(38,0)")
+    # overflow threshold is the carrier's magnitude: log2(hi+1) (63 for
+    # int64, 64 for uint64, 7 for int8) minus a guard band
+    overflow_bits = math.log2(hi + 1) - 0.001
     d = e.cast("double")
     any_zero = F.max((e == 0).cast("int"))
     neg_parity = F.sum(F.when(e < 0, 1).otherwise(0)) % 2
     log_mag = F.sum(F.when(e != 0, F.log2(F.abs(d))).otherwise(F.lit(0.0)))
     prod_d = F.product(d)
-    saturated = F.when(neg_parity == 1, F.lit(lo)).otherwise(F.lit(hi))
+    saturated = F.when(neg_parity == 1, lo_d).otherwise(hi_d)
     in_range = F.least(
-        F.greatest(F.round(prod_d).cast("decimal(38,0)"),
-                   F.lit(lo).cast("decimal(38,0)")),
-        F.lit(hi).cast("decimal(38,0)"),
-    ).cast(m.spark_type.simpleString())
+        F.greatest(F.round(prod_d).cast("decimal(38,0)"), lo_d), hi_d
+    ).cast(carrier)
     return (
-        F.when(any_zero == 1, F.lit(0).cast(m.spark_type.simpleString()))
-        .when(log_mag > F.lit(62.999), saturated.cast(m.spark_type.simpleString()))
+        F.when(any_zero == 1, F.lit(0).cast(carrier))
+        .when(log_mag > F.lit(overflow_bits), saturated.cast(carrier))
         .otherwise(in_range)
     )
 
@@ -221,6 +238,11 @@ def _np_fold(arrays: Iterable, m: Monoid):
         if m.elem in ("float", "double"):
             v = v.astype(np.float64)
         acc = v if acc is None else m.np_combine(acc, v)
+    if m.np_finish is not None:
+        acc = m.np_finish(np.asarray(acc, dtype=object))
+    if isinstance(m.spark_type, T.DecimalType):
+        # Arrow needs decimal.Decimal objects for a DecimalType column
+        return [None if x is None else Decimal(int(x)) for x in acc]
     return [x for x in acc]
 
 
@@ -272,18 +294,20 @@ def make_pandas_udaf(monoid: Monoid):
     return udaf
 
 
-def register_all(spark: SparkSession, elems: Sequence[str] = ("int",),
+def register_all(spark: SparkSession, default_elem: str = "int",
                  suffix_types: Sequence[str] = ()) -> None:
     """Register the UDAF family into the session SQL registry.
 
-    ``array_reduce_{sum,product,max,min}`` default to Int32 like the
-    reference's backward-compat factories (``src/monoid.rs:472-489``);
-    type-suffixed names (``array_reduce_sum_double``) mirror the generic
-    factories (``src/monoid.rs:491-526``).
+    ``array_reduce_{sum,product,max,min}`` bind to ONE element type
+    (Int32 by default) like the reference's backward-compat factories
+    (``src/monoid.rs:472-489``); type-suffixed names
+    (``array_reduce_sum_double``) mirror the generic factories
+    (``src/monoid.rs:491-526``).  A single ``default_elem`` (rather than a
+    list) keeps the unsuffixed registration unambiguous.
     """
     for op in ("sum", "product", "max", "min"):
-        for elem in elems:
-            spark.udf.register(f"array_reduce_{op}", make_pandas_udaf(get_monoid(op, elem)))
+        spark.udf.register(
+            f"array_reduce_{op}", make_pandas_udaf(get_monoid(op, default_elem)))
         for elem in suffix_types:
             spark.udf.register(
                 f"array_reduce_{op}_{elem}", make_pandas_udaf(get_monoid(op, elem)))
