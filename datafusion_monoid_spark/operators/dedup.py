@@ -11,8 +11,10 @@ survive 100 TB:
                           partial-agg shuffle) -> banded bucket join;
                           never an all-pairs product
 * SimHash + pigeonhole  — 64-bit simhash; Hamming<=7 candidates via
-                          8-bit chunk equality buckets (pigeonhole over
-                          8 chunks guarantees complete recall at k<=7),
+                          16-bit chunk buckets + Hamming-1 multiprobe
+                          (pigeonhole over 4 chunks: some chunk differs
+                          in <= floor(7/4)=1 bits => complete recall at
+                          k<=7 with 2^16 buckets per chunk index),
                           exact Hamming filter after
 * n-gram Jaccard        — exact verification primitive, used on
                           LSH/sampled candidates, not all pairs
@@ -240,22 +242,47 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 def simhash_hamming_pairs(sh: DataFrame, id_col: str,
-                          max_hamming: int = 7) -> DataFrame:
-    """Candidate pairs via 8-bit-chunk equality buckets, then exact
-    Hamming (bit_count of xor) filter.
+                          max_hamming: int = 7,
+                          max_bucket: int | None = None) -> DataFrame:
+    """Candidate pairs via 16-bit-chunk buckets + Hamming-1 multiprobe,
+    then exact Hamming (bit_count of xor) filter.
 
-    Pigeonhole: 64 bits in 8 chunks — any pair with Hamming <= 7 differs
-    in at most 7 chunks, so at least one chunk matches exactly =>
-    **complete recall** for max_hamming <= 7.  Raising max_hamming above
-    7 silently drops recall; add chunks instead."""
+    Pigeonhole over 4 chunks of 16 bits: a pair with Hamming <= 7 has
+    SOME chunk differing in at most floor(7/4) = 1 bit, so probing every
+    single-bit flip of each probe-side chunk (17 keys/chunk; build side
+    keeps the 4 exact chunks) gives **complete recall** for
+    max_hamming <= 7 — same output as plain 8-bit pigeonhole chunks, but
+    with 2^16 buckets per chunk index instead of 2^8: per-bucket
+    population (and the quadratic within-bucket self-join that killed
+    the 8-bit scheme at corpus scale) drops ~256x for ~8.5x more probe
+    rows.  Raising max_hamming above 7 silently drops recall; widen the
+    probe radius or add chunks instead.
+
+    ``max_bucket`` (optional): drop buckets larger than this on BOTH
+    sides — a hot-bucket guard for adversarial/boilerplate corpora.
+    Pairs found ONLY through a dropped bucket are lost (documented
+    recall trade); at 100 TB set it to a small multiple of the expected
+    bucket occupancy."""
     chunks = F.array(*[
-        F.shiftright(half, 8 * k).bitwiseAND(F.lit(255))
+        F.shiftright(half, 16 * k).bitwiseAND(F.lit(0xFFFF))
         for half in (F.col("sim_hi"), F.col("sim_lo"))
-        for k in range(4)
+        for k in range(2)
     ])
-    b = sh.select(id_col, "sim_hi", "sim_lo",
-                  F.posexplode(chunks).alias("chunk_idx", "chunk"))
-    l, r = b.alias("l"), b.alias("r")
+    build = sh.select(id_col, "sim_hi", "sim_lo",
+                      F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    if max_bucket is not None:
+        sizes = build.groupBy("chunk_idx", "chunk").count()
+        keep = sizes.where(F.col("count") <= max_bucket) \
+                    .select("chunk_idx", "chunk")
+        build = build.join(F.broadcast(keep), ["chunk_idx", "chunk"])
+    probe = build.select(
+        id_col, "sim_hi", "sim_lo", "chunk_idx",
+        F.explode(F.array(
+            F.col("chunk"),
+            *[F.col("chunk").bitwiseXOR(F.lit(1 << bit)) for bit in range(16)]
+        )).alias("chunk"),
+    )
+    l, r = probe.alias("l"), build.alias("r")
     ham = (
         F.bit_count(F.col("l.sim_hi").bitwiseXOR(F.col("r.sim_hi")))
         + F.bit_count(F.col("l.sim_lo").bitwiseXOR(F.col("r.sim_lo")))

@@ -11,8 +11,10 @@ neighborhood, then labels compress through themselves
 (label := label(label)), which halves chain lengths and gives
 O(log diameter) convergence instead of O(diameter).  Each round is hash
 joins + a groupBy min (all partial-agg safe: min is the monoid), with a
-driver-side convergence check on a count.  Checkpointing truncates the
-lineage each round (iterative-plan hygiene).
+driver-side convergence check on a sum(label) monoid fingerprint (labels
+are monotonically non-increasing, so an unchanged sum IS the fixed
+point — one cheap aggregate instead of a join+count per round).
+Checkpointing truncates the lineage each round (iterative-plan hygiene).
 """
 
 from __future__ import annotations
@@ -36,6 +38,11 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    # convergence via a MONOID FINGERPRINT: labels only ever decrease
+    # under min-propagation, so sum(label) strictly decreases until the
+    # fixed point — equal sums round-over-round <=> no label changed.
+    # One partial-agg job per round instead of a join + count.
+    prev_fp: int | None = None
     for _ in range(max_iter):
         # min label over self + neighbors
         nbr = (
@@ -55,14 +62,11 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
             .select("node",
                     F.coalesce("p_label", "label").alias("label"))
         ).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .where(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        fp = new_labels.agg(
+            F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
         labels = new_labels
-        if changed == 0:
+        if fp == prev_fp:
             break
+        prev_fp = fp
     bidir.unpersist()
     return labels.select("node", F.col("label").alias("component"))

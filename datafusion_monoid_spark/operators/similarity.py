@@ -19,6 +19,7 @@ Three tiers, all partial-aggregation-shaped for 100 TB:
 
 from __future__ import annotations
 
+import hashlib
 from typing import Iterator
 
 import numpy as np
@@ -27,7 +28,6 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datafusion_monoid_spark.functions.vector import cosine_similarity
-from datafusion_monoid_spark.operators.dedup import md5_long
 
 
 def _ranked_topk(pairs: DataFrame, k: int) -> DataFrame:
@@ -64,6 +64,9 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     Per-partition local top-k (bounded output: |queries| x k rows per
     partition) then a global window — the same partial/final discipline
     as the monoid core."""
+    # the ONE driver-side collect in the operator library: the query SET
+    # (small by contract — it becomes a broadcast matrix every executor
+    # holds in RAM); the corpus side streams through mapInPandas unbounded
     qrows = queries.select(id_col, vec_col).collect()
     qids = np.array([r[0] for r in qrows])
     qmat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -96,28 +99,47 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------
 
-def _plane_weight(plane: int, dim_col) -> F.Column:
-    """Deterministic pseudo-random weight in [-1, 1) from md5(plane:dim)."""
-    key = F.concat_ws(":", F.lit(plane), dim_col.cast("string"))
-    return (md5_long(key) % 2001 - F.lit(1000)) / F.lit(1000.0)
+DEFAULT_DIM = 64  # the testdata embeddings dimension
+
+
+def plane_weights(n_planes: int, dim: int = DEFAULT_DIM,
+                  seed: str = "") -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane weights in [-1, 1).
+
+    ``w[p][i] = (md5("{seed}{p}:{i}")[:15 hex] % 2001 - 1000) / 1000`` —
+    pure Python constants, computed ONCE at plan-build time and inlined
+    as literals (no per-row hashing on the cluster), and reproducible in
+    any engine so DuckDB oracles can rebuild the identical planes."""
+    out = []
+    for p in range(n_planes):
+        out.append([
+            (int(hashlib.md5(f"{seed}{p}:{i}".encode()).hexdigest()[:15], 16)
+             % 2001 - 1000) / 1000.0
+            for i in range(dim)
+        ])
+    return out
+
+
+def _projection(v: F.Column, weights: list[float]) -> F.Column:
+    """Sequential-fold dot of a vector column with literal plane weights
+    (order-stable so oracles can replay the identical fold)."""
+    w_arr = F.array(*[F.lit(w) for w in weights])
+    return F.aggregate(
+        F.zip_with(v, w_arr, lambda x, w: x * w),
+        F.lit(0.0), lambda acc, t: acc + t)
 
 
 def lsh_signatures(df: DataFrame, n_planes: int = 8,
-                   id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dim: int = DEFAULT_DIM, seed: str = "") -> DataFrame:
     """(id, vec, bucket BIGINT): sign bits of projections onto n_planes
-    deterministic hyperplanes."""
+    deterministic hyperplanes (literal weights, see :func:`plane_weights`)."""
     v = F.col(vec_col).cast("array<double>")
-    bits = []
-    for p in range(n_planes):
-        proj = F.aggregate(
-            F.zip_with(
-                v,
-                F.transform(F.sequence(F.lit(0), F.size(v) - 1),
-                            lambda i, _p=p: _plane_weight(_p, i)),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0), lambda acc, t: acc + t)
-        bits.append(F.when(proj >= 0, F.lit(1 << p)).otherwise(0))
+    ws = plane_weights(n_planes, dim, seed)
+    bits = [
+        F.when(_projection(v, ws[p]) >= 0, F.lit(1 << p)).otherwise(0)
+        for p in range(n_planes)
+    ]
     bucket = bits[0]
     for b in bits[1:]:
         bucket = bucket + b
@@ -125,21 +147,84 @@ def lsh_signatures(df: DataFrame, n_planes: int = 8,
                      bucket.cast("bigint").alias("bucket"))
 
 
+def lsh_band_buckets(df: DataFrame, n_tables: int = 8,
+                     planes_per_table: int = 4,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     dim: int = DEFAULT_DIM) -> DataFrame:
+    """(vec_id, vec, table_idx, bucket): banded hyperplane LSH.
+
+    ``n_tables`` independent hash tables of ``planes_per_table`` sign
+    bits each — a pair is a candidate when it collides in ANY table
+    (the OR-construction): P(candidate) = 1 - (1 - p^r)^b for
+    per-plane agreement p, so near-dup recall stays high while each
+    table's bucket count (2^r per table) keeps the self-join
+    subquadratic.  The near-dup analogue of MinHash banding."""
+    v = F.col(vec_col).cast("array<double>")
+    buckets = []
+    for t in range(n_tables):
+        ws = plane_weights(planes_per_table, dim, seed=f"t{t}|")
+        bits = [
+            F.when(_projection(v, ws[p]) >= 0, F.lit(1 << p)).otherwise(0)
+            for p in range(planes_per_table)
+        ]
+        bucket = bits[0]
+        for b in bits[1:]:
+            bucket = bucket + b
+        buckets.append(bucket.cast("bigint"))
+    return df.select(
+        F.col(id_col).alias("vec_id"), v.alias("vec"),
+        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"))
+
+
+def lsh_candidate_pairs(df: DataFrame, n_tables: int = 8,
+                        planes_per_table: int = 4,
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        dim: int = DEFAULT_DIM) -> DataFrame:
+    """(id_a, id_b, vec_a, vec_b): distinct candidate pairs colliding in
+    at least one LSH table — an equi-join on (table_idx, bucket), never
+    an all-pairs product."""
+    b = lsh_band_buckets(df, n_tables, planes_per_table, id_col, vec_col, dim)
+    slim = b.select("vec_id", "table_idx", "bucket")
+    l, r = slim.alias("l"), slim.alias("r")
+    pairs = (
+        l.join(r, (F.col("l.table_idx") == F.col("r.table_idx"))
+               & (F.col("l.bucket") == F.col("r.bucket"))
+               & (F.col("l.vec_id") < F.col("r.vec_id")))
+        .select(F.col("l.vec_id").alias("id_a"), F.col("r.vec_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs = b.select("vec_id", "vec").dropDuplicates(["vec_id"])
+    va = vecs.select(F.col("vec_id").alias("id_a"), F.col("vec").alias("vec_a"))
+    vb = vecs.select(F.col("vec_id").alias("id_b"), F.col("vec").alias("vec_b"))
+    return pairs.join(va, "id_a").join(vb, "id_b")
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
-                    n_planes: int = 8, multiprobe: bool = True,
-                    id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """ANN top-k: candidates share an LSH bucket (plus Hamming-1 probes
-    from the query side), exact cosine re-rank within candidates."""
-    csig = lsh_signatures(corpus, n_planes, id_col, vec_col) \
+                    n_tables: int = 8, planes_per_table: int = 4,
+                    multiprobe: bool = True,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dim: int = DEFAULT_DIM) -> DataFrame:
+    """ANN top-k via banded hyperplane LSH (OR over ``n_tables`` tables
+    of ``planes_per_table`` sign bits), Hamming-1 multiprobe on the query
+    side, exact cosine re-rank on candidates only.
+
+    Collision probability for per-plane agreement p is
+    ``1 - (1 - (p^r + r*p^(r-1)*(1-p)))^b`` with multiprobe — high
+    recall without ever forming the full cross product."""
+    csig = lsh_band_buckets(corpus, n_tables, planes_per_table,
+                            id_col, vec_col, dim) \
         .withColumnRenamed("vec_id", "cand_id").withColumnRenamed("vec", "cvec")
-    qsig = lsh_signatures(queries, n_planes, id_col, vec_col) \
+    qsig = lsh_band_buckets(queries, n_tables, planes_per_table,
+                            id_col, vec_col, dim) \
         .withColumnRenamed("vec_id", "query_id").withColumnRenamed("vec", "qvec")
     if multiprobe:
         probes = F.array(F.col("bucket"), *[
-            F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(n_planes)])
-        qsig = qsig.select("query_id", "qvec", F.explode(probes).alias("bucket"))
+            F.col("bucket").bitwiseXOR(F.lit(1 << p))
+            for p in range(planes_per_table)])
+        qsig = qsig.select("query_id", "qvec", "table_idx",
+                           F.explode(probes).alias("bucket"))
     pairs = (
-        F.broadcast(qsig).join(csig, "bucket")
+        F.broadcast(qsig).join(csig, ["table_idx", "bucket"])
         .where(F.col("query_id") != F.col("cand_id"))
         .select("query_id", "cand_id",
                 cosine_similarity(F.col("qvec"), F.col("cvec")).alias("sim"))
@@ -168,9 +253,15 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 32,
     d = v.crossJoin(cent).select(
         "cand_id", "cvec", "cent_id",
         cosine_similarity(F.col("cvec"), F.col("cent")).alias("csim"))
-    w = Window.partitionBy("cand_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
-    return d.withColumn("rn", F.row_number().over(w)).where("rn = 1") \
-            .select("cand_id", "cvec", "cent_id")
+    # argmax via max_by over (csim, -cent_id): partial-aggregation-capable,
+    # no window shuffle+sort; ties break to the LOWEST cent_id.  cvec is
+    # constant within the group, so any_value carries it through.
+    return d.groupBy("cand_id").agg(
+        F.any_value(F.col("cvec")).alias("cvec"),
+        F.max_by(F.col("cent_id"),
+                 F.struct(F.col("csim"), (-F.col("cent_id")).alias("neg")))
+         .alias("cent_id"),
+    ).select("cand_id", "cvec", "cent_id")
 
 
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,

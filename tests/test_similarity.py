@@ -42,8 +42,8 @@ def test_topk_shape(brute):
 
 
 @pytest.mark.parametrize("ann,kwargs,floor", [
-    (sim.lsh_bucket_topk, {}, 0.15),
-    (sim.ivf_topk, {}, 0.15),
+    (sim.lsh_bucket_topk, {}, 0.7),
+    (sim.ivf_topk, {}, 0.7),
 ])
 def test_ann_recall_measured(spark, emb, brute, ann, kwargs, floor):
     """ANN tiers must hit a measured recall floor vs brute force on
