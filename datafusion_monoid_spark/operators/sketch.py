@@ -70,3 +70,75 @@ def cms_estimate(sketch: DataFrame, keys: DataFrame, key_col: str,
         .groupBy(key_col)
         .agg(F.min("cnt").alias("estimate"))
     )
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog-style distinct sketch — also a monoid (element-wise MAX)
+# ---------------------------------------------------------------------------
+
+HLL_M = 256            # registers (2^8); std error ~ 1.04/sqrt(m) = 6.5%
+HLL_IDX_BITS = 8
+HLL_W_BITS = 52        # md5_long gives 60 bits; 8 go to the register index
+#: alpha_m * m^2 * 2^53, inlined as ONE Python double literal on both the
+#: Spark and DuckDB side so the final division is bit-identical
+HLL_NUMER = 0.7213 / (1 + 1.079 / HLL_M) * HLL_M * HLL_M * 2.0 ** 53
+
+
+def _hll_idx_rho(key: Column) -> tuple[Column, Column]:
+    """(register index, rank) from the deterministic md5 hash.
+
+    rank = trailing zeros of the 52 remaining hash bits + 1 (same
+    geometric distribution as classic HLL's leading-zero rank), computed
+    as ``log2(w & -w)`` — exact in doubles because ``w & -w`` is a power
+    of two.  All-integer bit ops (no float division on the 60-bit hash,
+    which would round above 2^53)."""
+    h = md5_long(key)
+    idx = h.bitwiseAND(F.lit(HLL_M - 1)).cast("int")
+    w = F.shiftright(h, HLL_IDX_BITS)
+    rho = F.when(w == 0, F.lit(HLL_W_BITS + 1)) \
+           .otherwise(F.log2(w.bitwiseAND(-w)).cast("int") + F.lit(1))
+    return idx, rho
+
+
+def hll_idx_rho_sql(expr: str) -> tuple[str, str]:
+    """DuckDB twins of :func:`_hll_idx_rho`."""
+    h = md5_long_sql(expr)
+    idx = f"CAST(({h} & {HLL_M - 1}) AS INTEGER)"
+    w = f"({h} >> {HLL_IDX_BITS})"
+    rho = (f"CASE WHEN {w} = 0 THEN {HLL_W_BITS + 1} "
+           f"ELSE CAST(log2({w} & (-{w})) AS INTEGER) + 1 END")
+    return idx, rho
+
+
+def hll_build(df: DataFrame, key_col: str) -> DataFrame:
+    """(idx, rho): the register table — groupBy idx, MAX rank.
+
+    MAX is the monoid: registers built on any partitioning of the data
+    (or any stream prefix) merge by element-wise max, so the build is
+    partial-aggregation and streaming safe by construction.  Duplicates
+    need no pre-distinct (max absorbs them)."""
+    idx, rho = _hll_idx_rho(F.col(key_col))
+    return (df.select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("rho")))
+
+
+def hll_estimate(registers: DataFrame) -> DataFrame:
+    """One row ``(nonzero_regs, hll_estimate)`` from a register table.
+
+    The harmonic sum is computed EXACTLY in integers: sum of
+    ``2^(53 - rho)`` over present registers plus ``2^53`` per empty
+    register (every term <= 2^53, 256 terms => < 2^62, fits BIGINT), so
+    the only float op is one literal/int division — bit-identical in any
+    IEEE engine, which is what lets DuckDB oracle the estimate.  No
+    small-range ln() correction (cross-engine libm last-ulp risk);
+    ``nonzero_regs`` is emitted so callers can apply one driver-side."""
+    s = registers.agg(
+        F.count(F.lit(1)).alias("nreg"),
+        F.sum(F.pow(F.lit(2.0), F.lit(HLL_W_BITS + 1) - F.col("rho"))
+              .cast("bigint")).alias("s_present"))
+    s_int = (F.col("s_present")
+             + (F.lit(HLL_M) - F.col("nreg")) * F.lit(2 ** (HLL_W_BITS + 1)))
+    return s.select(
+        F.col("nreg").cast("bigint").alias("nonzero_regs"),
+        F.floor(F.lit(HLL_NUMER) / s_int.cast("double"))
+         .cast("bigint").alias("hll_estimate"))

@@ -1481,6 +1481,64 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("tok", F.col("estimate").cast("bigint").alias("estimate"), "rk"))
 
 
+def _hll_regs_oracle_sql() -> str:
+    idx, rho = sk.hll_idx_rho_sql("t")
+    return f"""
+WITH tokstream AS (SELECT unnest({_TOKS}) AS t FROM documents)
+SELECT {idx} AS idx, CAST(max({rho}) AS INTEGER) AS rho
+FROM tokstream GROUP BY 1
+"""
+
+
+@register("hll_registers", _hll_regs_oracle_sql())
+def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog register table over the document token stream.
+
+    The sketch is a MAX-monoid (like the CMS is a SUM-monoid): registers
+    built per-partition merge by element-wise max, so the build is one
+    partial-agg shuffle of at most 256 rows per partition regardless of
+    corpus size.  Deterministic md5 ranks => DuckDB verifies the
+    registers cell-for-cell."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
+    return sk.hll_build(toks, "tok")
+
+
+def _hll_est_oracle_sql() -> str:
+    idx, rho = sk.hll_idx_rho_sql("t")
+    w_bits1 = sk.HLL_W_BITS + 1
+    return f"""
+WITH tokstream AS (SELECT unnest({_TOKS}) AS t FROM documents),
+regs AS (SELECT {idx} AS idx, max({rho}) AS rho FROM tokstream GROUP BY 1),
+s AS (
+  SELECT count(*) AS nreg,
+         CAST(sum(CAST(pow(2, {w_bits1} - rho) AS BIGINT)) AS BIGINT) AS s_present
+  FROM regs
+)
+SELECT CAST(nreg AS BIGINT) AS nonzero_regs,
+       CAST(floor({sk.HLL_NUMER!r} /
+            CAST(s_present + ({sk.HLL_M} - nreg) * {2 ** w_bits1} AS DOUBLE))
+            AS BIGINT) AS hll_estimate,
+       (SELECT CAST(count(DISTINCT t) AS BIGINT) FROM tokstream) AS exact_distinct
+FROM s
+"""
+
+
+@register("hll_distinct_tokens", _hll_est_oracle_sql())
+def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality estimate from the HLL registers, next
+    to the exact count.  The harmonic sum is exact integer math and the
+    single float division uses one shared literal numerator, so even the
+    ESTIMATE hash-matches across engines (accuracy bound ~6.5% for
+    m=256 is pinned in tests/test_sketch.py)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
+    est = sk.hll_estimate(sk.hll_build(toks, "tok"))
+    exact = toks.agg(F.count_distinct("tok").cast("bigint")
+                     .alias("exact_distinct"))
+    return est.crossJoin(exact)
+
+
 @register("window_functions_smoke", """
 SELECT o_orderkey,
        CAST(rank()       OVER w AS INTEGER) AS rnk,

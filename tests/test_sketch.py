@@ -47,3 +47,68 @@ def test_cms_merge_is_elementwise_sum(spark, tokens_df):
         for k, v in d.items():
             merged[k] = merged.get(k, 0) + v
     assert merged == full
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog
+# ---------------------------------------------------------------------------
+
+
+def test_hll_accuracy_at_scale(spark):
+    """Relative error within ~3 standard errors (1.04/sqrt(256) = 6.5%)
+    on a 10k-distinct synthetic set — the regime HLL is built for."""
+    n = 10_000
+    df = spark.range(n).select(F.concat(F.lit("key-"), F.col("id")).alias("k"))
+    est = sk.hll_estimate(sk.hll_build(df, "k")).collect()[0]["hll_estimate"]
+    assert abs(est - n) / n < 0.20
+
+
+def test_hll_duplicates_do_not_move_registers(spark):
+    """max absorbs duplicates: the multiset and its distinct projection
+    build identical registers."""
+    base = spark.range(500).select(
+        F.concat(F.lit("t"), (F.col("id") % 97)).alias("k"))
+    dup = {(r["idx"], r["rho"]) for r in sk.hll_build(base, "k").collect()}
+    uni = {(r["idx"], r["rho"])
+           for r in sk.hll_build(base.distinct(), "k").collect()}
+    assert dup == uni
+
+
+def test_hll_merge_is_elementwise_max(spark):
+    """HLL(A union B) == element-wise max of HLL(A), HLL(B) — the MAX
+    monoid that makes the sketch partial-agg/streaming safe."""
+    from datafusion_monoid_spark.operators.dedup import md5_long
+    df = spark.range(3_000).select(
+        F.concat(F.lit("u"), F.col("id")).alias("k"))
+    a = df.where(md5_long("k") % 2 == 0)
+    b = df.where(md5_long("k") % 2 == 1)
+    full = {r["idx"]: r["rho"] for r in sk.hll_build(df, "k").collect()}
+    ra = {r["idx"]: r["rho"] for r in sk.hll_build(a, "k").collect()}
+    rb = {r["idx"]: r["rho"] for r in sk.hll_build(b, "k").collect()}
+    merged = {i: max(ra.get(i, 0), rb.get(i, 0)) for i in set(ra) | set(rb)}
+    assert merged == full
+
+
+def test_hll_matches_python_spec(spark):
+    """Registers and estimate agree with a pure-Python fold of the same
+    md5 rank function (cross-implementation pin, like the monoid core)."""
+    import hashlib
+    n = 800
+    keys = [f"spec-{i}" for i in range(n)]
+    regs: dict[int, int] = {}
+    for k in keys:
+        h = int(hashlib.md5(k.encode()).hexdigest()[:15], 16)
+        idx = h & (sk.HLL_M - 1)
+        w = h >> sk.HLL_IDX_BITS
+        rho = sk.HLL_W_BITS + 1 if w == 0 else (w & -w).bit_length()
+        regs[idx] = max(regs.get(idx, 0), rho)
+    s_int = (sum(2 ** (sk.HLL_W_BITS + 1 - r) for r in regs.values())
+             + (sk.HLL_M - len(regs)) * 2 ** (sk.HLL_W_BITS + 1))
+    want_est = int(sk.HLL_NUMER / float(s_int))
+
+    df = spark.createDataFrame([(k,) for k in keys], "k string")
+    got_regs = {r["idx"]: r["rho"] for r in sk.hll_build(df, "k").collect()}
+    assert got_regs == regs
+    row = sk.hll_estimate(sk.hll_build(df, "k")).collect()[0]
+    assert row["hll_estimate"] == want_est
+    assert row["nonzero_regs"] == len(regs)
