@@ -1100,6 +1100,90 @@ def q4_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("q5_local_supplier_volume", """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= '1996-01-01' AND o_orderdate < '1997-01-01'
+GROUP BY n_name
+""")
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-way join with a same-nation constraint between
+    customer and supplier.  The date filter prunes orders before the big
+    fact shuffle; supplier/nation/region broadcast (no sort-merge on any
+    dimension); only orders><lineitem><customer shuffle on their keys."""
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_orderkey", "o_custkey"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    r = F.broadcast(_t(spark, sf_dir, "region")
+                    .where(F.col("r_name") == "ASIA"))
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, (F.col("s_suppkey") == F.col("l_suppkey"))
+              & (F.col("s_nationkey") == F.col("c_nationkey")))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice")
+                           * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register("q10_returned_items", """
+SELECT c_custkey, c_name, n_name,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue_cents DESC, c_custkey LIMIT 20
+""")
+def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue ranking.  Revenue is
+    summed in EXACT integer cents (per-item round, then integer sum) so
+    the top-20 ORDER is deterministic cross-engine — a float-sum
+    ordering can swap adjacent ranks on a last-ulp difference.  Top-k
+    via orderBy+limit => TakeOrderedAndProject."""
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1996-04-01"))
+         .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey",
+                  F.round(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount")) * 100)
+                   .cast("bigint").alias("cents")))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_nationkey")
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    return (
+        o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(n, F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+        .orderBy(F.col("revenue_cents").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
 @register("anti_join_silent_customers", """
 SELECT c_mktsegment, count(*) AS n
 FROM customer

@@ -74,6 +74,57 @@ def run_stream_to_memory(agg: DataFrame, query_name: str = "monoid_stream",
     return q
 
 
+def foreach_batch_upsert(target_dir: str, key_cols: list[str]):
+    """``foreachBatch`` handler: upsert each micro-batch into a parquet
+    target by key — the canonical sink pattern for stores without native
+    streaming support (JDBC, plain parquet, ...).
+
+    Update-mode streaming aggregation emits the CURRENT value per
+    changed key each epoch (the engine's state already did the monoid
+    merge), so the sink is anti-join + union (replace-by-key), written
+    to a temp dir and atomically swapped — the read side never sees a
+    half-written table, and re-running an epoch (failure replay)
+    converges to the same state (idempotent upsert).  At cluster scale
+    the swap becomes a Delta/Iceberg MERGE; the handler shape is
+    identical."""
+    import os
+    import shutil
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        spark = batch_df.sparkSession
+        batch_df = batch_df.localCheckpoint(eager=True)
+        if os.path.exists(target_dir):
+            cur = spark.read.parquet(target_dir)
+            merged = (cur.join(batch_df.select(*key_cols).distinct(),
+                               key_cols, "left_anti")
+                      .unionByName(batch_df))
+        else:
+            merged = batch_df
+        tmp = f"{target_dir}.__epoch{epoch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    return handle
+
+
+def run_stream_foreach_batch(agg: DataFrame, target_dir: str,
+                             key_cols: list[str],
+                             checkpoint_dir: str | None = None,
+                             query_name: str = "monoid_stream_fb"):
+    """Drive a streaming aggregation into a parquet target via
+    :func:`foreach_batch_upsert`; returns the query after it drains."""
+    w = (agg.writeStream.outputMode("update")
+         .queryName(query_name)
+         .foreachBatch(foreach_batch_upsert(target_dir, key_cols)))
+    if checkpoint_dir:
+        w = w.option("checkpointLocation", checkpoint_dir)
+    q = w.start()
+    q.processAllAvailable()
+    return q
+
+
 def streaming_session_windows(events: DataFrame, gap: str = "30 minutes",
                               watermark: str = "2 hours") -> DataFrame:
     """Per-user session windows (gap-based), the streaming twin of the

@@ -139,3 +139,52 @@ def test_stream_is_incremental(spark, events_dir, tmp_path):
         q.stop()
     # pos 2 sums the per-event literal 1.0 -> total events x 2 files
     assert rows[0]["s"] == 2000.0
+
+
+def test_foreach_batch_upsert_matches_batch(spark, tmp_path):
+    """foreachBatch parquet upsert sink: multiple micro-batches
+    (maxFilesPerTrigger=1 over two input files) upsert into the target;
+    the final table equals the batch computation over all input."""
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        EVENTS_SCHEMA,
+        run_stream_foreach_batch,
+    )
+
+    d = tmp_path / "events_multi"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "part-1.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (spark.readStream.schema(EVENTS_SCHEMA)
+           .option("maxFilesPerTrigger", 1).parquet(str(d)))
+    stream = raw.withColumn(
+        "event_time",
+        F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+    agg = streaming_monoid_reduce(stream, "sum", window="1 hour")
+
+    target = str(tmp_path / "fb_target")
+    q = run_stream_foreach_batch(agg, target,
+                                 ["window_start", "event_type", "pos"],
+                                 str(tmp_path / "fb_ckpt"))
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    q.stop()
+    assert n_batches >= 2            # genuinely incremental, not one epoch
+
+    got = {(r["window_start"], r["event_type"], r["pos"]): round(r["val"], 6)
+           for r in spark.read.parquet(target).collect()}
+
+    batch = (
+        spark.read.parquet(str(d))
+        .withColumn("event_time",
+                    F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+        .select("event_time", "event_type",
+                F.posexplode(F.array("value", F.col("value") * F.col("value"),
+                                     F.lit(1.0))).alias("pos", "elem"))
+        .groupBy(F.window("event_time", "1 hour"), "event_type", "pos")
+        .agg(F.sum("elem").alias("val"))
+        .select(F.col("window").start.alias("ws"), "event_type", "pos", "val")
+    )
+    want = {(r["ws"], r["event_type"], r["pos"]): round(r["val"], 6)
+            for r in batch.collect()}
+    assert got == want
