@@ -142,3 +142,43 @@ def hll_estimate(registers: DataFrame) -> DataFrame:
         F.col("nreg").cast("bigint").alias("nonzero_regs"),
         F.floor(F.lit(HLL_NUMER) / s_int.cast("double"))
          .cast("bigint").alias("hll_estimate"))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter — the set-union monoid
+# ---------------------------------------------------------------------------
+
+BLOOM_K = 4          # hash functions
+BLOOM_M = 1024       # bits
+
+
+def bloom_build(df: DataFrame, key_col: str, k: int = BLOOM_K,
+                m_bits: int = BLOOM_M) -> DataFrame:
+    """(bit): the set bits of a Bloom filter over the key multiset.
+
+    The sketch is the SET-UNION monoid (bit-OR): filters built on any
+    partitioning of the data merge by unioning their bit sets — the
+    ``distinct`` IS the merge, one partial-agg shuffle bounded by
+    ``m_bits`` rows regardless of input size.  Same deterministic md5
+    hash family as the CMS, so any engine rebuilds the identical bits."""
+    rows = df.select(F.col(key_col).alias("__k"))
+    return (rows.select(F.explode(F.array(*[
+        _cms_hash(F.col("__k"), i, m_bits) for i in range(k)
+    ])).alias("bit")).distinct())
+
+
+def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str,
+                k: int = BLOOM_K, m_bits: int = BLOOM_M) -> DataFrame:
+    """(key, maybe_present): classic membership — present iff ALL k bits
+    are set.  No false negatives; false positives at the documented
+    ~(1 - e^{-kn/m})^k rate, deterministically (same keys => same
+    answer), which is what lets an oracle replay the probe."""
+    probes = keys.select(
+        F.col(key_col),
+        F.explode(F.array(*[
+            _cms_hash(F.col(key_col), i, m_bits) for i in range(k)
+        ])).alias("bit"))
+    hits = bloom.withColumn("__hit", F.lit(1))
+    return (probes.join(hits, "bit", "left")
+            .groupBy(key_col)
+            .agg((F.count("__hit") == k).alias("maybe_present")))

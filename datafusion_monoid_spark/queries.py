@@ -439,9 +439,16 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates.  (An all-pairs form at sf0.1 costs ~170 s; this costs
     ~3 s for identical high-similarity output.)"""
     docs = _t(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", dd.word_shingles("text").alias("shg"))
     _, cand_full = _minhash_shared(spark, sf_dir)
     cand = cand_full.select("id_a", "id_b")
+    # shingle ONLY the docs that appear in some candidate pair (semi-join
+    # prune): candidates are a vanishing fraction of the corpus at scale,
+    # so the expensive shingle stage must not touch the rest
+    cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    sh = (docs.join(cand_ids, "doc_id", "left_semi")
+          .select("doc_id", dd.word_shingles("text").alias("shg")))
     # round BEFORE thresholding so a pair at the boundary quantizes the
     # same way in Spark and the DuckDB oracle (last-ulp robustness)
     j = F.round(dd.jaccard(F.col("a.shg"), F.col("b.shg")), 3)
@@ -1621,6 +1628,59 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = toks.agg(F.count_distinct("tok").cast("bigint")
                      .alias("exact_distinct"))
     return est.crossJoin(exact)
+
+
+def _bloom_cte() -> str:
+    k, m = sk.BLOOM_K, sk.BLOOM_M
+    hashes = "[" + ", ".join(sk.cms_hash_sql("t", i, m) for i in range(k)) + "]"
+    return f"""
+WITH tokstream AS (SELECT unnest({_TOKS}) AS t FROM documents),
+keys AS (SELECT DISTINCT t FROM tokstream),
+bloom AS (SELECT DISTINCT unnest({hashes}) AS bit FROM keys)"""
+
+
+@register("bloom_token_bits", f"{_bloom_cte()} SELECT bit FROM bloom")
+def bloom_token_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter bit set over the distinct document tokens — the
+    SET-UNION monoid sketch (merge = bit union), at most BLOOM_M rows
+    out of any corpus size.  DuckDB rebuilds the identical bits."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens("text")).alias("tok")).distinct()
+    return sk.bloom_build(toks, "tok")
+
+
+def _bloom_probe_oracle_sql() -> str:
+    k, m = sk.BLOOM_K, sk.BLOOM_M
+    probe_hashes = "[" + ", ".join(
+        sk.cms_hash_sql("probe_key", i, m) for i in range(k)) + "]"
+    return f"""{_bloom_cte()},
+probes AS (
+  SELECT t AS probe_key FROM keys
+  UNION ALL
+  SELECT concat(t, '-absent') FROM keys
+),
+pb AS (SELECT probe_key, unnest({probe_hashes}) AS bit FROM probes),
+hit AS (
+  SELECT probe_key, count(bloom.bit) AS nhit
+  FROM pb LEFT JOIN bloom USING (bit) GROUP BY probe_key
+)
+SELECT probe_key, nhit = {k} AS maybe_present FROM hit
+"""
+
+
+@register("bloom_token_membership", _bloom_probe_oracle_sql())
+def bloom_token_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Membership probes against the token Bloom filter: every real
+    token (always present — no false negatives) plus a '-absent' twin
+    per token (false positives only at the documented rate, and
+    deterministically — same keys, same bits, same answer in DuckDB)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(dd.tokens("text")).alias("tok")).distinct()
+    bloom = sk.bloom_build(toks, "tok")
+    probes = (toks.select(F.col("tok").alias("probe_key"))
+              .unionByName(toks.select(
+                  F.concat(F.col("tok"), F.lit("-absent")).alias("probe_key"))))
+    return sk.bloom_probe(bloom, probes, "probe_key")
 
 
 @register("window_functions_smoke", """

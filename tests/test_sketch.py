@@ -112,3 +112,34 @@ def test_hll_matches_python_spec(spark):
     row = sk.hll_estimate(sk.hll_build(df, "k")).collect()[0]
     assert row["hll_estimate"] == want_est
     assert row["nonzero_regs"] == len(regs)
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_bounded_fpr(spark):
+    """Every inserted key probes true; absent keys false-positive at
+    roughly (1 - e^{-kn/m})^k (n=200, k=4, m=1024 => ~8.6%; measured
+    ~12% — the affine md5 family trades a little independence for
+    cross-engine reproducibility), asserted with slack."""
+    present = spark.range(200).select(
+        F.concat(F.lit("in-"), F.col("id")).alias("k"))
+    absent = spark.range(2_000).select(
+        F.concat(F.lit("out-"), F.col("id")).alias("k"))
+    bloom = sk.bloom_build(present, "k")
+    got_in = sk.bloom_probe(bloom, present, "k").collect()
+    assert all(r["maybe_present"] for r in got_in)
+    fp = sum(r["maybe_present"]
+             for r in sk.bloom_probe(bloom, absent, "k").collect())
+    assert fp / 2_000 < 0.16
+
+
+def test_bloom_merge_is_bit_union(spark):
+    """bloom(A union B) == bits(A) | bits(B) — the set-union monoid."""
+    a = spark.range(100).select(F.concat(F.lit("a"), F.col("id")).alias("k"))
+    b = spark.range(100).select(F.concat(F.lit("b"), F.col("id")).alias("k"))
+    both = a.unionByName(b)
+    bits = lambda df: {r["bit"] for r in sk.bloom_build(df, "k").collect()}
+    assert bits(both) == bits(a) | bits(b)
