@@ -45,3 +45,24 @@ def test_partitioned_write_prunes(spark, sample, tmp_path):
 def test_lake_formats_gate(spark, sample, tmp_path):
     with pytest.raises(NotImplementedError, match="delta"):
         write_table(sample, str(tmp_path / "d"), "delta")
+
+
+def test_partitioned_write_prunes_partitions(spark, tmp_path):
+    """Hive-style partitioned layout: a filter on the partition column
+    must prune at PLANNING time (PartitionFilters in the scan, only the
+    matching directory read) — the difference between scanning 100 TB
+    and scanning one partition."""
+    from datafusion_monoid_spark.sources.io import read_table, write_table
+
+    orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet") \
+        .withColumn("status", F.col("o_orderstatus"))
+    path = str(tmp_path / "orders_by_status")
+    write_table(orders, path, partition_by=["status"])
+
+    back = read_table(spark, path).where(F.col("status") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(status" in plan
+
+    # pruned read returns exactly the partition's rows
+    want = orders.where(F.col("o_orderstatus") == "F").count()
+    assert back.count() == want
