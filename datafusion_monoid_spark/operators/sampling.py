@@ -61,3 +61,43 @@ def pack_sequences(df: DataFrame, id_col: str, len_col: str,
         id_col, len_col, "shard",
         F.floor((cum - F.col(len_col)) / max_tokens).cast("bigint").alias("bin_id"),
     )
+
+
+def stratified_hash_sample(df: DataFrame, key_col: str, stratum_col: str,
+                           fractions: dict[str, float],
+                           default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (corpus mixing): each stratum
+    keeps its own fraction, decided by the SAME stable hash — still a
+    pure filter (pushdown, no shuffle, no RNG state), so the mix is
+    reproducible row-for-row on any engine and any partitioning.
+
+    This is the up/down-weighting primitive of training-corpus curation
+    (e.g. keep 100% of high-quality strata, 10% of boilerplate)."""
+    cut = F.lit(int(default_fraction * SPLIT_MOD))
+    for stratum, frac in sorted(fractions.items()):
+        cut = F.when(F.col(stratum_col) == stratum,
+                     F.lit(int(frac * SPLIT_MOD))).otherwise(cut)
+    return df.where(hash_bucket(key_col) < cut)
+
+
+def chunk_documents(df: DataFrame, id_col: str, toks_col: str,
+                    chunk_tokens: int = 64, overlap: int = 8) -> DataFrame:
+    """Split token arrays into overlapping training windows:
+    (id, chunk_idx, chunk) with stride ``chunk_tokens - overlap``.
+
+    One generator expression per row (posexplode of slice starts) — no
+    shuffle at all; chunking is embarrassingly parallel and stays in the
+    scan stage.  Tail chunks are shorter (slice clamps); empty docs
+    yield no chunks."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    step = chunk_tokens - overlap
+    toks = F.col(toks_col)
+    starts = F.sequence(F.lit(0), F.size(toks) - 1, F.lit(step))
+    return (
+        df.where(F.size(toks) > 0)
+        .select(id_col, toks_col,
+                F.posexplode(starts).alias("chunk_idx", "start"))
+        .select(id_col, "chunk_idx",
+                F.slice(toks, F.col("start") + 1, chunk_tokens).alias("chunk"))
+    )

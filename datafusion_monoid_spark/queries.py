@@ -1853,5 +1853,79 @@ def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_toks").cast("bigint").alias("bin_tokens")))
 
 
+_STRATA_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.1}
+
+
+def _stratified_oracle_sql() -> str:
+    langs = sorted(tx.LANG_MARKERS)
+    score_exprs = {
+        lang: ("len(list_filter(toks, t -> list_contains("
+               + "[" + ", ".join(f"'{m}'" for m in tx.LANG_MARKERS[lang]) + "], t)))::DOUBLE"
+               + " / greatest(len(toks), 1)")
+        for lang in langs
+    }
+    scores_sel = ", ".join(f"{score_exprs[l]} AS s_{l}" for l in langs)
+    pred = f"'{langs[0]}'"
+    best = f"s_{langs[0]}"
+    for lang in langs[1:]:
+        pred = f"CASE WHEN s_{lang} > {best} THEN '{lang}' ELSE {pred} END"
+        best = f"CASE WHEN s_{lang} > {best} THEN s_{lang} ELSE {best} END"
+    cuts = " ".join(
+        f"WHEN '{s}' THEN {int(f * smp.SPLIT_MOD)}"
+        for s, f in sorted(_STRATA_FRACTIONS.items()))
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, {scores_sel} FROM t),
+p AS (SELECT doc_id, {pred} AS lang FROM s)
+SELECT lang, count(*) AS n_sampled
+FROM p WHERE {_BUCKET} < (CASE lang {cuts} ELSE 0 END)
+GROUP BY lang
+"""
+
+
+@register("stratified_sample_mix", _stratified_oracle_sql())
+def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: per-language sampling rates (keep all English,
+    half de/es/fr, 10% zh) decided by the SAME stable hash as the plain
+    sample — a pure filter, no shuffle, reproducible row-for-row in any
+    engine.  The up/down-weighting primitive of training-corpus
+    curation."""
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", dd.tokens("text"))
+    pred, _ = tx.lang_id("text", toks=F.col("__toks"))
+    with_lang = docs.select("doc_id", pred.alias("lang"))
+    sampled = smp.stratified_hash_sample(
+        with_lang, "doc_id", "lang", _STRATA_FRACTIONS)
+    return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register("doc_chunk_windows", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+starts AS (
+  SELECT doc_id, toks, unnest(range(0, len(toks), 56)) AS s
+  FROM t WHERE len(toks) > 0
+),
+ch AS (
+  SELECT doc_id, CAST(s / 56 AS INTEGER) AS chunk_idx,
+         list_slice(toks, s + 1, s + 64) AS chunk
+  FROM starts
+)
+SELECT doc_id, chunk_idx, CAST(len(chunk) AS INTEGER) AS chunk_len,
+       md5(array_to_string(chunk, ' ')) AS chunk_md5
+FROM ch
+""")
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping training windows (64 tokens, stride 56): one
+    generator expression per document, no shuffle — chunking rides the
+    scan stage.  Chunk content is pinned cross-engine by md5 of the
+    joined tokens."""
+    docs = _t(spark, sf_dir, "documents").withColumn("__toks", dd.tokens("text"))
+    ch = smp.chunk_documents(docs, "doc_id", "__toks",
+                             chunk_tokens=64, overlap=8)
+    return ch.select(
+        "doc_id", F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size("chunk").cast("int").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

@@ -52,3 +52,46 @@ def test_pack_sequences_fills_bins(docs):
                      packed.groupBy("shard").agg(F.max("bin_id").alias("m")).collect()}
     nonfinal = [r for r in bins if r["bin_id"] < per_shard_max[r["shard"]]]
     assert nonfinal and all(r["tot"] >= 256 for r in nonfinal)
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    """Each stratum honors its own rate with the shared stable hash:
+    stratum 'a' (100%) keeps everything, 'b' (~30%) keeps roughly 30%,
+    unknown strata fall to the default (0%) — and membership never
+    changes across reruns or repartitionings."""
+    df = spark.range(3_000).select(
+        F.col("id").alias("k"),
+        F.element_at(F.array(F.lit("a"), F.lit("b"), F.lit("c")),
+                     (F.col("id") % 3 + 1).cast("int")).alias("stratum"))
+    got = sp.stratified_hash_sample(df, "k", "stratum",
+                                     {"a": 1.0, "b": 0.3})
+    by = {r["stratum"]: r["n"] for r in
+          got.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert by["a"] == 1_000
+    assert 200 <= by.get("b", 0) <= 400
+    assert "c" not in by
+    again = sp.stratified_hash_sample(df.repartition(13), "k", "stratum",
+                                       {"a": 1.0, "b": 0.3})
+    assert ({r["k"] for r in got.collect()}
+            == {r["k"] for r in again.collect()})
+
+
+def test_chunk_documents_covers_and_overlaps(spark):
+    """Every token appears in some chunk; consecutive chunks share
+    exactly `overlap` tokens; chunks reassemble to the document."""
+    df = spark.createDataFrame(
+        [(1, [f"t{i}" for i in range(150)]),
+         (2, [f"u{i}" for i in range(7)]),       # shorter than one chunk
+         (3, [])],                                # empty: no chunks
+        "doc_id int, toks array<string>")
+    ch = {(r["doc_id"], r["chunk_idx"]): r["chunk"] for r in
+          sp.chunk_documents(df, "doc_id", "toks",
+                              chunk_tokens=64, overlap=8).collect()}
+    assert {k[0] for k in ch} == {1, 2}
+    d1 = [ch[(1, i)] for i in range(sorted(k[1] for k in ch if k[0] == 1)[-1] + 1)]
+    # stride 56: chunk i starts at 56*i; consecutive chunks overlap by 8
+    assert d1[0] == [f"t{i}" for i in range(64)]
+    assert d1[1][:8] == d1[0][-8:]
+    covered = [t for i, c in enumerate(d1) for t in (c if i == 0 else c[8:])]
+    assert covered == [f"t{i}" for i in range(150)]
+    assert ch[(2, 0)] == [f"u{i}" for i in range(7)]
