@@ -142,6 +142,43 @@ def streaming_session_windows(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def streaming_dedup(events: DataFrame, key_cols: list[str] | None = None,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Exactly-once event stream: drop re-deliveries by key with bounded
+    state — the watermark lets the engine EVICT keys older than the
+    lateness bound, so dedup state stays O(window), not O(stream).
+    An unbounded ``dropDuplicates`` would grow state forever at 100 TB/day;
+    this is the at-least-once -> exactly-once repair step in front of
+    any downstream aggregation."""
+    return (events.withWatermark("event_time", watermark)
+            .dropDuplicatesWithinWatermark(key_cols or ["event_id"]))
+
+
+def streaming_interval_join(purchases: DataFrame, clicks: DataFrame,
+                            key: str = "user_id",
+                            within: str = "1 hour",
+                            watermark: str = "2 hours") -> DataFrame:
+    """Stream-stream inner join: purchase matched to the same user's
+    clicks in the preceding ``within`` interval.  BOTH sides carry
+    watermarks and the join predicate carries the time bound — that pair
+    is what lets the engine drop buffered rows once they can no longer
+    match (bounded join state; an unconstrained stream-stream join
+    buffers forever)."""
+    p = purchases.withWatermark("event_time", watermark).alias("p")
+    c = clicks.withWatermark("event_time", watermark).alias("c")
+    return (
+        p.join(c, F.expr(f"""
+            p.{key} = c.{key} AND
+            c.event_time BETWEEN p.event_time - INTERVAL {within}
+                             AND p.event_time"""))
+        .select(F.col(f"p.{key}").alias(key),
+                F.col("p.event_id").alias("purchase_id"),
+                F.col("c.event_id").alias("click_id"),
+                F.col("p.event_time").alias("purchase_time"),
+                F.col("c.event_time").alias("click_time"))
+    )
+
+
 def stateful_monoid_accumulator(events: DataFrame, n_dims: int = 3):
     """Custom stateful operator via ``applyInPandasWithState``: per
     event_type, the state IS a monoid accumulator vector

@@ -188,3 +188,75 @@ def test_foreach_batch_upsert_matches_batch(spark, tmp_path):
     want = {(r["ws"], r["event_type"], r["pos"]): round(r["val"], 6)
             for r in batch.collect()}
     assert got == want
+
+
+def test_streaming_dedup_drops_redelivery(spark, tmp_path):
+    """The same events file delivered twice (at-least-once) dedups back
+    to exactly the distinct event_ids, with watermark-bounded state."""
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        read_events_stream,
+        streaming_dedup,
+    )
+
+    d = tmp_path / "events_dup"
+    d.mkdir()
+    shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
+    shutil.copy(f"{SF}/events.parquet", d / "part-1.parquet")
+
+    stream = streaming_dedup(read_events_stream(spark, str(d)))
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName("dedup_stream")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .start())
+    q.processAllAvailable()
+    try:
+        got = spark.sql(
+            "SELECT count(*) AS n, count(DISTINCT event_id) AS d "
+            "FROM dedup_stream").collect()[0]
+    finally:
+        q.stop()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    want = (spark.read.parquet(str(d))
+            .select("event_id").distinct().count())
+    assert got["n"] == got["d"] == want
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
+    """Purchase><click interval join streamed == the identical batch
+    join (state-bounded by watermark + time-bound predicate)."""
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        read_events_stream,
+        streaming_interval_join,
+    )
+
+    stream = read_events_stream(spark, events_dir)
+    p = stream.where(F.col("event_type") == "purchase")
+    c = stream.where(F.col("event_type") == "click")
+    j = streaming_interval_join(p, c, within="24 hours",
+                                watermark="48 hours")
+    q = (j.writeStream.outputMode("append")
+         .format("memory").queryName("ssj_stream")
+         .option("checkpointLocation", str(tmp_path / "ck2"))
+         .start())
+    q.processAllAvailable()
+    try:
+        got = {(r["purchase_id"], r["click_id"]) for r in
+               spark.sql("SELECT * FROM ssj_stream").collect()}
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = (spark.read.parquet(events_dir)
+          .withColumn("event_time",
+                      F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))))
+    bp = ev.where(F.col("event_type") == "purchase").alias("p")
+    bc = ev.where(F.col("event_type") == "click").alias("c")
+    want = {(r["pid"], r["cid"]) for r in
+            bp.join(bc, F.expr("""
+                p.user_id = c.user_id AND
+                c.event_time BETWEEN p.event_time - INTERVAL 24 hours
+                                 AND p.event_time"""))
+            .select(F.col("p.event_id").alias("pid"),
+                    F.col("c.event_id").alias("cid")).collect()}
+    assert got == want
+    assert len(got) > 50
