@@ -340,6 +340,52 @@ def events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("events_moving_avg", """
+WITH daily AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS epoch_day,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS mv
+  FROM events GROUP BY event_type, epoch_day
+),
+win AS (
+  SELECT event_type, epoch_day,
+         CAST(sum(mv) OVER w AS BIGINT) AS win_sum,
+         CAST(count(*) OVER w AS BIGINT) AS n_days
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY epoch_day
+               RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+)
+SELECT event_type, epoch_day, n_days,
+       round((CAST(win_sum AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000.0, 3)
+           AS avg_daily_value
+FROM win
+""")
+def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day moving average of daily event value per type — a RANGE
+    window frame (value-based, skips missing days correctly where a
+    ROWS frame would not).  Daily totals are exact integer milli-units
+    so the windowed sum is exact and the single avg division is
+    bit-identical cross-engine."""
+    e = _events(spark, sf_dir)
+    daily = (
+        e.groupBy("event_type",
+                  F.floor(F.col("sec") / 86400).cast("bigint").alias("epoch_day"))
+        .agg(F.sum(F.round(F.col("value") * 1000).cast("bigint")).alias("mv"))
+    )
+    w = (Window.partitionBy("event_type").orderBy("epoch_day")
+         .rangeBetween(-6, Window.currentRow))
+    return (
+        daily.select(
+            "event_type", "epoch_day",
+            F.sum("mv").over(w).cast("bigint").alias("win_sum"),
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"))
+        .select("event_type", "epoch_day", "n_days",
+                F.round((F.col("win_sum").cast("double")
+                         / F.col("n_days").cast("double")) / 1000.0, 3)
+                 .alias("avg_daily_value"))
+    )
+
+
 @register("events_sessionize", """
 WITH flagged AS (
   SELECT user_id, ts, event_id,

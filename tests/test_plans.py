@@ -71,3 +71,19 @@ def test_cms_heavy_hitters_take_ordered(spark, catalog):
     unpartitioned global window over every distinct token."""
     p = _explain(catalog["cms_heavy_hitters"][0](spark, SF), "simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_q5_broadcasts_dimensions_no_cartesian(spark, catalog):
+    """The 6-way Q5 join must broadcast every dimension side (supplier/
+    nation/region) — no sort-merge on a dimension, no nested loop."""
+    p = _explain(catalog["q5_local_supplier_volume"][0](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q10_take_ordered(spark, catalog):
+    """Q10's top-20 must plan as TakeOrderedAndProject (per-partition
+    top-k + driver merge), never a global sort."""
+    p = _explain(catalog["q10_returned_items"][0](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p
