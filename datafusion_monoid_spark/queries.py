@@ -108,6 +108,33 @@ def monoid_product_double(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _explode_result(red, ["l_orderkey"])
 
 
+@register("monoid_embedding_sum", """
+WITH q AS (
+  SELECT vec_id % 8 AS grp,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS arr
+  FROM embeddings
+),
+ex AS (SELECT grp, unnest(arr) AS elem, unnest(range(0, len(arr))) AS pos FROM q)
+SELECT CAST(grp AS BIGINT) AS grp, CAST(pos AS INTEGER) AS pos,
+       CAST(sum(elem) AS BIGINT) AS val
+FROM ex GROUP BY grp, pos
+""")
+def monoid_embedding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monoid core over the PIPELINE's data: element-wise sum of
+    64-dim embeddings per group (a centroid numerator) through the
+    scalable posexplode form.  Elements are quantized to exact integer
+    micro-units first, so the distributed sum is order-independent and
+    hash-matches any engine — the float-centroid variant would differ in
+    the last ulp by partitioning."""
+    e = _t(spark, sf_dir, "embeddings").select(
+        (F.col("vec_id") % 8).cast("bigint").alias("grp"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000000).cast("bigint")).alias("arr"))
+    red = array_reduce_exploded(e, ["grp"], "arr", "sum", "bigint")
+    return _explode_result(red, ["grp"], round_to=None, cast="bigint")
+
+
 @register("monoid_sum_ragged_int", """
 WITH arrs AS (
   SELECT l_orderkey,
