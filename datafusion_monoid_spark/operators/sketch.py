@@ -182,3 +182,17 @@ def bloom_probe(bloom: DataFrame, keys: DataFrame, key_col: str,
     return (probes.join(hits, "bit", "left")
             .groupBy(key_col)
             .agg((F.count("__hit") == k).alias("maybe_present")))
+
+
+def hll_corrected(nonzero_regs: int, raw_estimate: int) -> float:
+    """Driver-side small-range correction (linear counting): the raw
+    harmonic estimator overshoots when most registers are empty; for
+    E <= 2.5m with empty registers, ``m * ln(m / zeros)`` is the
+    standard replacement.  Kept OUT of the oracle-checked query (libm
+    ``ln`` differs across engines in the last ulp); apply to the one
+    collected row."""
+    import math
+    zeros = HLL_M - nonzero_regs
+    if raw_estimate <= 2.5 * HLL_M and zeros > 0:
+        return HLL_M * math.log(HLL_M / zeros)
+    return float(raw_estimate)

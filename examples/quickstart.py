@@ -77,6 +77,29 @@ def main() -> None:
     sketch.cms_estimate(cms, toks.distinct(), "tok") \
         .orderBy(F.col("estimate").desc()).show(5)
 
+    print("distinct tokens: HyperLogLog estimate vs exact:")
+    row = sketch.hll_estimate(sketch.hll_build(toks, "tok")) \
+        .crossJoin(toks.agg(F.count_distinct("tok").alias("exact"))) \
+        .collect()[0]
+    corrected = sketch.hll_corrected(row["nonzero_regs"], row["hll_estimate"])
+    print(f"  raw={row['hll_estimate']}  small-range-corrected="
+          f"{corrected:.0f}  exact={row['exact']}")
+
+    # 5. Training-corpus curation: mix strata, chunk into windows
+    from datafusion_monoid_spark.operators import sampling
+
+    with_lang = docs.select("doc_id", pred.alias("lang"), "text")
+    mixed = sampling.stratified_hash_sample(
+        with_lang, "doc_id", "lang", {"en": 1.0, "de": 0.5}, 0.1)
+    print("stratified corpus mix (keep all en, half de, 10% rest):")
+    mixed.groupBy("lang").count().orderBy("lang").show()
+
+    chunks = sampling.chunk_documents(
+        mixed.withColumn("toks", dedup.tokens("text")), "doc_id", "toks",
+        chunk_tokens=64, overlap=8)
+    print("training windows (64 tokens, stride 56):")
+    chunks.select("doc_id", "chunk_idx", F.size("chunk").alias("len")).show(5)
+
     spark.stop()
 
 

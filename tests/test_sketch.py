@@ -143,3 +143,11 @@ def test_bloom_merge_is_bit_union(spark):
     both = a.unionByName(b)
     bits = lambda df: {r["bit"] for r in sk.bloom_build(df, "k").collect()}
     assert bits(both) == bits(a) | bits(b)
+
+
+def test_hll_small_range_correction():
+    """Linear counting replaces the raw estimator when most registers
+    are empty; corrected value tracks true tiny cardinalities."""
+    import math
+    assert abs(sk.hll_corrected(31, 199) - 256 * math.log(256 / 225)) < 1e-9
+    assert sk.hll_corrected(250, 900_000) == 900_000.0
