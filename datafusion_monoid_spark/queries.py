@@ -383,16 +383,19 @@ win AS (
                RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
 )
 SELECT event_type, epoch_day, n_days,
-       round((CAST(win_sum AS DOUBLE) / CAST(n_days AS DOUBLE)) / 1000.0, 3)
-           AS avg_daily_value
+       CAST(floor((CAST(win_sum AS DOUBLE) * 1000.0) / CAST(n_days AS DOUBLE))
+            AS BIGINT) AS avg_daily_micro
 FROM win
 """)
 def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """7-day moving average of daily event value per type — a RANGE
     window frame (value-based, skips missing days correctly where a
     ROWS frame would not).  Daily totals are exact integer milli-units
-    so the windowed sum is exact and the single avg division is
-    bit-identical cross-engine."""
+    so the windowed sum is exact; the average is emitted in micro-units
+    via ``floor`` of one bit-identical double division — ``round`` would
+    flip at a ``.xxx5`` tie (Spark HALF_UP vs DuckDB's tie rule; one
+    such tie exists at sf0.1), while ``floor`` of the same double has no
+    tie ambiguity."""
     e = _events(spark, sf_dir)
     daily = (
         e.groupBy("event_type",
@@ -407,9 +410,9 @@ def events_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("mv").over(w).cast("bigint").alias("win_sum"),
             F.count(F.lit(1)).over(w).cast("bigint").alias("n_days"))
         .select("event_type", "epoch_day", "n_days",
-                F.round((F.col("win_sum").cast("double")
-                         / F.col("n_days").cast("double")) / 1000.0, 3)
-                 .alias("avg_daily_value"))
+                F.floor((F.col("win_sum").cast("double") * 1000.0)
+                        / F.col("n_days").cast("double"))
+                 .cast("bigint").alias("avg_daily_micro"))
     )
 
 
