@@ -2003,5 +2003,350 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(F.concat_ws(" ", F.col("chunk"))).alias("chunk_md5"))
 
 
+# ---------------------------------------------------------------------------
+# Corpus curation: decontamination, repetition filters, TF-IDF, vocabulary
+# coverage (operators/curation.py).  All decision ratios are exact integer
+# micro-units — engine-reproducible by construction.
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import curation as cu
+
+_SH4 = dd.shingles_sql("text", 4)
+_GH = dd.md5_long_sql("g")
+
+
+@register("decontam_ngram_overlap", f"""
+WITH ev AS (SELECT DISTINCT {_GH} AS gram_hash
+            FROM (SELECT unnest({_SH4}) AS g FROM documents
+                  WHERE doc_id % 97 = 0)),
+trg AS (SELECT doc_id, {_GH} AS gram_hash
+        FROM (SELECT doc_id, unnest({_SH4}) AS g FROM documents
+              WHERE doc_id % 97 <> 0)),
+hit AS (SELECT DISTINCT doc_id FROM trg JOIN ev USING (gram_hash)),
+tr AS (SELECT doc_id, source FROM documents WHERE doc_id % 97 <> 0)
+SELECT tr.source, count(*) AS n_train,
+       CAST(sum(CASE WHEN hit.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_contaminated
+FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+GROUP BY tr.source
+""")
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: training docs sharing any word
+    4-gram with the held-out eval slice (doc_id % 97 == 0), reported
+    per source.  The eval n-gram hash set broadcasts (benchmarks are
+    MB-scale; the corpus is TB-scale), so the training side is a
+    map-only scan + broadcast semi-join — zero corpus shuffle at
+    100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    hit = cu.contaminated_ids(cu.ngram_hashes(tr, "doc_id", "text", 4),
+                              cu.ngram_hashes(ev, "doc_id", "text", 4),
+                              "doc_id")
+    flagged = (tr.join(hit, "doc_id", "left_semi")
+               .groupBy("source").agg(F.count(F.lit(1)).alias("__n_hit")))
+    base = tr.groupBy("source").agg(F.count(F.lit(1)).alias("n_train"))
+    return (base.join(flagged, "source", "left")
+            .select("source", F.col("n_train").cast("bigint").alias("n_train"),
+                    F.coalesce(F.col("__n_hit"), F.lit(0)).cast("bigint")
+                     .alias("n_contaminated")))
+
+
+@register("quality_repetition_filters", f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+uc AS (SELECT doc_id, term, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       GROUP BY doc_id, term),
+us AS (SELECT doc_id, max(c) AS tok_top, sum(c) AS tok_n,
+              count(*) AS tok_distinct
+       FROM uc GROUP BY doc_id),
+bc AS (SELECT doc_id, term, count(*) AS c
+       FROM (SELECT doc_id, unnest(
+               list_transform(range(0, greatest(len(toks) - 1, 0)),
+                              i -> array_to_string(toks[i + 1 : i + 2], ' ')))
+               AS term
+             FROM t)
+       GROUP BY doc_id, term),
+bs AS (SELECT doc_id, max(c) AS bg_top, sum(c) AS bg_n FROM bc GROUP BY doc_id),
+f AS (SELECT t.doc_id, t.source,
+             (coalesce(tok_top, 0) * 1000000)
+               // greatest(coalesce(tok_n, 0), 1) AS top_token_micro,
+             (coalesce(tok_distinct, 0) * 1000000)
+               // greatest(coalesce(tok_n, 0), 1) AS distinct_micro,
+             (coalesce(bg_top, 0) * 1000000)
+               // greatest(coalesce(bg_n, 0), 1) AS top_bigram_micro
+      FROM t LEFT JOIN us ON t.doc_id = us.doc_id
+             LEFT JOIN bs ON t.doc_id = bs.doc_id)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN top_token_micro >= {cu.TOP_TOKEN_FLAG_MICRO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_token,
+       CAST(sum(CASE WHEN top_bigram_micro >= {cu.TOP_BIGRAM_FLAG_MICRO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_top_bigram,
+       CAST(sum(CASE WHEN distinct_micro <= {cu.LOW_DIVERSITY_FLAG_MICRO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_low_diversity,
+       CAST(sum(top_token_micro) AS BIGINT) AS sum_top_token_micro
+FROM f GROUP BY source
+""")
+def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition/diversity filters: per-source counts of
+    documents whose top token exceeds 12%, top bigram exceeds 6%, or
+    distinct-token ratio falls below 50%.  All ratios are exact
+    integer micro-units (integer division), so the flag decisions are
+    bit-identical in any engine — a float ratio would flake the gate
+    on documents sitting exactly at a threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = cu.repetition_features(docs, "doc_id", "text",
+                                   keep_cols=("source",))
+    flag = lambda c: F.sum(c.cast("int")).cast("bigint")
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        flag(F.col("top_token_micro") >= cu.TOP_TOKEN_FLAG_MICRO)
+            .alias("n_flag_top_token"),
+        flag(F.col("top_bigram_micro") >= cu.TOP_BIGRAM_FLAG_MICRO)
+            .alias("n_flag_top_bigram"),
+        flag(F.col("distinct_micro") <= cu.LOW_DIVERSITY_FLAG_MICRO)
+            .alias("n_flag_low_diversity"),
+        F.sum("top_token_micro").cast("bigint").alias("sum_top_token_micro"),
+    )
+
+
+@register("tfidf_top_terms", f"""
+WITH t AS (SELECT source, unnest({_TOKS}) AS token FROM documents),
+tf AS (SELECT source, token, count(*) AS tf FROM t GROUP BY source, token),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+sc AS (SELECT source, token, CAST(tf AS BIGINT) AS tf,
+              CAST(df AS BIGINT) AS df,
+              CAST(tf * ((20 * 1000000) // df) AS BIGINT) AS score
+       FROM tf JOIN dfq USING (token)),
+r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY score DESC, token) AS INTEGER) AS rk
+      FROM sc)
+SELECT source, token, tf, df, score, rk FROM r WHERE rk <= 5
+""")
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per source by TF-IDF with an
+    exact-rational idf (``N/df`` in micro-units instead of ``log`` —
+    same ranking direction, but ``ln`` is not identically rounded
+    across libm implementations, which would flake hash-compares on
+    rank ties).  N=20 sources is a property of the synthetic corpus,
+    pinned on both sides.  Window is PARTITIONED by source — per-group
+    top-k, never a global sort."""
+    docs = _t(spark, sf_dir, "documents")
+    sc = cu.tfidf_terms(docs, "source", "text", n_groups=20)
+    w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("token"))
+    return (sc.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= 5)
+            .select(F.col("grp").alias("source"), "token", "tf", "df",
+                    "score", "rk"))
+
+
+@register("vocab_topk_coverage", f"""
+WITH t AS (SELECT unnest({_TOKS}) AS token FROM documents),
+c AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM c),
+top AS (SELECT token, cnt FROM c ORDER BY cnt DESC, token LIMIT 50),
+w AS (SELECT token, CAST(cnt AS BIGINT) AS cnt,
+             CAST(row_number() OVER (ORDER BY cnt DESC, token)
+                  AS INTEGER) AS rk,
+             CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM top)
+SELECT rk, token, cnt,
+       CAST((cum * 1000000) // (SELECT total FROM tot) AS BIGINT)
+         AS cum_cover_micro
+FROM w
+""")
+def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 vocabulary with cumulative corpus coverage: the top-k is
+    TakeOrderedAndProject (per-partition heads + merge), and the
+    cumulative window only ever sees the 50 surviving rows."""
+    docs = _t(spark, sf_dir, "documents")
+    return cu.vocab_coverage(docs, "text", k=50)
+
+
+# ---------------------------------------------------------------------------
+# TPC-H breadth: Q6 / Q14 / Q18 / Q19 shapes over the available columns.
+# ---------------------------------------------------------------------------
+
+@register("q6_forecast_revenue", """
+SELECT CAST(sum(CAST(round(l_extendedprice * l_discount * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+""")
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure filter + ungrouped agg — the pushdown
+    showcase.  All three predicates reach the parquet scan
+    (PushedFilters), the projection prunes to 4 columns, and the agg
+    is a 1-row partial+final reduce: at 100 TB this is I/O-bound scan
+    speed, nothing else.  Revenue in exact integer cents."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return li.agg(
+        F.sum(F.round(F.col("l_extendedprice") * F.col("l_discount") * 100)
+              .cast("bigint")).cast("bigint").alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@register("q14_promo_revenue", """
+WITH j AS (
+  SELECT CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         p_type
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= '1996-03-01' AND l_shipdate < '1996-04-01'
+)
+SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) AS BIGINT)
+         AS promo_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((sum(CASE WHEN p_type = 'PROMO' THEN cents ELSE 0 END) * 1000000)
+            // sum(cents) AS BIGINT) AS promo_micro
+FROM j
+""")
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo-revenue share for one month.  The part
+    dimension broadcasts (lineitem never shuffles); the share is exact
+    integer micro-units of exact cent sums — a float percentage would
+    depend on engine-specific division rounding."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-03-01")
+                 & (F.col("l_shipdate") < "1996-04-01"))
+          .select("l_partkey",
+                  F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * 100).cast("bigint").alias("cents")))
+    p = F.broadcast(_t(spark, sf_dir, "part").select("p_partkey", "p_type"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey"))
+    promo = F.sum(F.when(F.col("p_type") == "PROMO", F.col("cents"))
+                  .otherwise(F.lit(0)))
+    total = F.sum("cents")
+    return j.agg(
+        promo.cast("bigint").alias("promo_cents"),
+        total.cast("bigint").alias("total_cents"),
+        cu.micro_ratio(promo, total).alias("promo_micro"))
+
+
+@register("q18_large_volume_customer", """
+WITH big AS (SELECT l_orderkey, CAST(sum(l_quantity) AS BIGINT) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING sum(l_quantity) > 300)
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS totalprice_cents,
+       total_qty
+FROM big
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY totalprice_cents DESC, o_orderkey LIMIT 20
+""")
+def q18_large_volume_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: large-volume orders (sum qty > 300).  The
+    HAVING survivor set is tiny (~0.8% of orders), so it broadcasts
+    into orders and the joined result broadcasts into customer — the
+    big fact shuffles once (for its own groupBy), the dimensions never
+    sort-merge.  Quantities are integral-valued doubles: the sum is
+    exact, so the BIGINT cast and the >300 cut are deterministic.
+    Top-20 via orderBy+limit => TakeOrderedAndProject."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("__q"))
+           .where(F.col("__q") > 300)
+           .select("l_orderkey", F.col("__q").cast("bigint").alias("total_qty")))
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        o.join(F.broadcast(big), F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                F.round(F.col("o_totalprice") * 100).cast("bigint")
+                 .alias("totalprice_cents"),
+                "total_qty")
+        .orderBy(F.col("totalprice_cents").desc(), F.col("o_orderkey"))
+        .limit(20))
+
+
+@register("q19_disjunctive_revenue", """
+SELECT CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       count(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#9'  AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+""")
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides (adapted to
+    the available columns — the synthetic lineitem has no
+    shipmode/shipinstruct).  Catalyst pushes the single-side residuals
+    (brand/size disjunction to the part scan, quantity range to the
+    lineitem scan) and evaluates the cross-side disjunction post-join;
+    part broadcasts."""
+    def leg(brand: str, size_hi: int, q_lo: int, q_hi: int):
+        return ((F.col("p_brand") == brand)
+                & F.col("p_size").between(1, size_hi)
+                & F.col("l_quantity").between(q_lo, q_hi))
+
+    li = _t(spark, sf_dir, "lineitem")
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .select("p_partkey", "p_brand", "p_size"))
+    j = li.join(p, F.col("l_partkey") == F.col("p_partkey")).where(
+        leg("Brand#3", 5, 1, 11) | leg("Brand#9", 10, 10, 20)
+        | leg("Brand#20", 15, 20, 30))
+    return j.agg(
+        F.sum(F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 100).cast("bigint")).cast("bigint")
+         .alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_items"))
+
+
+@register("embedding_quantize_int8", """
+WITH v AS (SELECT vec_id, unnest(embedding::DOUBLE[]) AS x,
+                  unnest(range(0, len(embedding))) AS pos
+           FROM embeddings),
+st AS (SELECT pos, min(x) AS mn, max(x) AS mx FROM v GROUP BY pos),
+q AS (SELECT v.pos,
+             CASE WHEN mx = mn THEN 0
+                  ELSE CAST(floor((x - mn) * 255.0 / (mx - mn)) AS BIGINT)
+             END AS qv
+      FROM v JOIN st ON v.pos = st.pos)
+SELECT CAST(pos AS INTEGER) AS pos,
+       CAST(min(qv) AS BIGINT) AS qmin, CAST(max(qv) AS BIGINT) AS qmax,
+       CAST(sum(qv) AS BIGINT) AS sum_q, count(*) AS n
+FROM q GROUP BY pos
+""")
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 affine quantization of the embedding table —
+    the storage/ANN-recall trade every vector pipeline makes.  Two
+    passes: per-dim min/max (64-row result, broadcast back), then
+    quantize + per-dim stats.  The quantized code is
+    ``floor((x-mn)*255/(mx-mn))``: identical IEEE-754 expression tree
+    on both engines, and floor (not round) avoids half-tie semantics
+    differences.  Both aggregations are partial-agg friendly; nothing
+    ever materializes per-vector state."""
+    v = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
+                 .alias("pos", "x")))
+    st = v.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    q = (v.join(F.broadcast(st), "pos")
+         .select("pos",
+                 F.when(F.col("mx") == F.col("mn"), F.lit(0).cast("bigint"))
+                  .otherwise(F.floor((F.col("x") - F.col("mn")) * 255.0
+                                     / (F.col("mx") - F.col("mn"))))
+                  .alias("qv")))
+    return (q.groupBy(F.col("pos").cast("int").alias("pos"))
+            .agg(F.min("qv").cast("bigint").alias("qmin"),
+                 F.max("qv").cast("bigint").alias("qmax"),
+                 F.sum("qv").cast("bigint").alias("sum_q"),
+                 F.count(F.lit(1)).alias("n")))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
