@@ -1,0 +1,87 @@
+"""Entity resolution / record linkage: fuzzy matching at scale via
+deletion-neighborhood blocking (the SymSpell family).
+
+The naive fuzzy join is all-pairs Levenshtein — O(n^2), dead at any
+scale.  Positional blocking (split the string, join on equal
+segments) pigeonholes correctly but inherits the key distribution:
+a low-entropy segment (think a shared prefix) becomes one giant
+bucket and the within-bucket join is quadratic again — exactly the
+hot-band failure mode of LSH.
+
+Deletion neighborhoods sidestep both: every string generates its
+len+1 one-character-deletion variants; two strings within edit
+distance 1 ALWAYS share at least one variant (delete the edited
+position from both sides), so joining on the md5 of the variant is a
+complete candidate generator for k=1.  The variant keys carry the
+whole string's entropy — no hot buckets — and the blow-up is a
+linear x(len+1) explode, not a product.  Exact Levenshtein then
+verifies candidates only.  (For k=2, generate depth-2 deletions —
+same shape, x(len^2) rows; the verify step is unchanged.)
+
+No reference analogue; same discipline as operators/dedup.py: hash
+keys engine-reproducible (md5-derived), candidate generation bucketed
+never all-pairs, exact verification on candidates only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.operators.dedup import md5_long
+
+
+def deletion_variants(s: Column) -> Column:
+    """Array of the string itself plus every one-character-deletion
+    variant: position i removed for i in 0..len-1.  Including the
+    undeleted string makes the variant join cover pure insertions
+    (shorter string's own form == longer string's deletion)."""
+    return F.concat(
+        F.array(s),
+        F.transform(
+            F.sequence(F.lit(1), F.length(s)),
+            lambda i: F.concat(s.substr(F.lit(1), i - 1),
+                               s.substr(i + 1, F.length(s))),
+        ),
+    )
+
+
+DELETION_VARIANTS_SQL = (
+    "list_concat([{s}], list_transform(range(1, len({s}) + 1), "
+    "i -> substr({s}, 1, i - 1) || substr({s}, i + 1, len({s}))))"
+)
+
+
+def variant_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, vkey BIGINT): one row per deletion variant, hashed — the
+    8-byte join key that shuffles instead of the strings."""
+    return (df.select(F.col(id_col),
+                      F.explode(deletion_variants(F.col(text_col))).alias("__v"))
+            .select(id_col, md5_long("__v").alias("vkey")))
+
+
+def fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
+                max_dist: int = 1) -> DataFrame:
+    """(id_a, id_b, dist) for distinct pairs within ``max_dist`` edits
+    (id_a < id_b).  Candidates via the deletion-variant bucket join;
+    exact ``levenshtein`` verification on candidates only.  Both sides
+    of the candidate join are the same slim (id, vkey) relation —
+    one co-partitioned shuffle, group sizes bounded by variant-key
+    multiplicity (<= alphabet size per position), never all-pairs."""
+    vk = variant_keys(df, id_col, text_col)
+    a = vk.alias("a")
+    b = vk.alias("b")
+    cand = (a.join(b, (F.col("a.vkey") == F.col("b.vkey"))
+                   & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"))
+            .distinct())
+    txt = df.select(F.col(id_col), F.col(text_col).alias("__t"))
+    return (cand
+            .join(txt.select(F.col(id_col).alias("id_a"),
+                             F.col("__t").alias("__ta")), "id_a")
+            .join(txt.select(F.col(id_col).alias("id_b"),
+                             F.col("__t").alias("__tb")), "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("__ta", "__tb").cast("int").alias("dist"))
+            .where((F.col("dist") <= max_dist) & (F.col("dist") > 0)))

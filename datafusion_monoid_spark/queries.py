@@ -2348,5 +2348,102 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).alias("n")))
 
 
+# ---------------------------------------------------------------------------
+# Data layout (Z-order zone maps) and entity resolution (deletion-
+# neighborhood fuzzy matching) — operators/layout.py, operators/linkage.py.
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import layout as ly
+from datafusion_monoid_spark.operators import linkage as lk
+
+_ZX = "(o_custkey % 1024)"
+_ZY = "(date_diff('day', DATE '1995-01-01', o_orderdate) % 1024)"
+
+
+@register("zorder_layout_stats", f"""
+WITH coded AS (
+  SELECT {ly.morton_code_sql(_ZX, _ZY)} AS z,
+         {_ZX} AS x, {_ZY} AS y
+  FROM orders
+)
+SELECT CAST(z >> 12 AS BIGINT) AS bucket, count(*) AS n_rows,
+       CAST(min(x) AS BIGINT) AS x_min, CAST(max(x) AS BIGINT) AS x_max,
+       CAST(min(y) AS BIGINT) AS y_min, CAST(max(y) AS BIGINT) AS y_max
+FROM coded GROUP BY bucket
+""")
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order layout quality: Morton-interleave (customer, order-day)
+    and report per-bucket zone maps (min/max of BOTH dimensions per
+    code-range bucket).  Tight ranges on both axes are what lets a
+    100 TB scan skip files on either predicate — the write-side twin
+    is ``layout.zorder_repartition`` + parquet.  The Morton code is
+    pure shift/mask integer math, bit-identical in any engine."""
+    o = _t(spark, sf_dir, "orders")
+    x = (F.col("o_custkey") % 1024).cast("bigint")
+    y = (F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")) % 1024) \
+        .cast("bigint")
+    coded = o.select(ly.morton_code(x, y).alias("z"),
+                     x.alias("x"), y.alias("y"))
+    return ly.zone_map_stats(coded, F.col("z"), F.col("x"), F.col("y"),
+                             bucket_shift=12)
+
+
+_VAR_SQL = lk.DELETION_VARIANTS_SQL.format(s="c_name")
+
+
+@register("fuzzy_customer_matches", f"""
+WITH v AS (SELECT c_custkey, unnest({_VAR_SQL}) AS var FROM customer),
+k AS (SELECT c_custkey, {dd.md5_long_sql("var")} AS vkey FROM v),
+cand AS (SELECT DISTINCT a.c_custkey AS id_a, b.c_custkey AS id_b
+         FROM k a JOIN k b ON a.vkey = b.vkey AND a.c_custkey < b.c_custkey),
+p AS (SELECT id_a, id_b, levenshtein(ca.c_name, cb.c_name) AS dist
+      FROM cand
+      JOIN customer ca ON ca.c_custkey = id_a
+      JOIN customer cb ON cb.c_custkey = id_b),
+ok AS (SELECT id_a, id_b FROM p WHERE dist = 1),
+u AS (SELECT id_a AS c_custkey FROM ok
+      UNION ALL SELECT id_b FROM ok)
+SELECT c_custkey, count(*) AS n_neighbors FROM u GROUP BY c_custkey
+""")
+def fuzzy_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: customers whose names are one edit apart,
+    as per-customer neighbor counts.  Candidates come from the
+    deletion-neighborhood bucket join (complete for k=1, high-entropy
+    keys => no hot blocks, linear x(len+1) blow-up); exact Levenshtein
+    verifies candidates only.  The naive version of this query is an
+    all-pairs O(n^2) cross join."""
+    c = _t(spark, sf_dir, "customer")
+    pairs = lk.fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+    both = (pairs.select(F.col("id_a").alias("c_custkey"))
+            .unionAll(pairs.select(F.col("id_b").alias("c_custkey"))))
+    return both.groupBy("c_custkey").agg(
+        F.count(F.lit(1)).alias("n_neighbors"))
+
+
+@register("per_group_sample", f"""
+WITH r AS (
+  SELECT source, doc_id,
+         CAST(row_number() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+         AS INTEGER) AS rk
+  FROM documents
+)
+SELECT source, doc_id, rk FROM r WHERE rk <= 3
+""")
+def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-group sample: 3 docs per source, picked by
+    stable hash order — the reproducible 'show me examples from every
+    slice' primitive (eyeballing corpus slices, per-domain eval
+    subsets).  The window is PARTITIONED by source: per-group top-k,
+    no global sort, same members on every run and engine."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
+    return (docs.select("source", "doc_id",
+                        F.row_number().over(w).cast("int").alias("rk"))
+            .where(F.col("rk") <= 3))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
