@@ -95,37 +95,50 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str,
     * ``top_bigram_micro``  — most-frequent-BIGRAM fraction (catches
       phrase-level boilerplate loops that unigrams miss)
 
-    Shape: explode to (doc, term) -> count -> per-doc max/sum.  Both
+    Single-pass shape: ONE tokenization, unigrams and bigrams tagged
+    into one (doc, kind, term) explode, then count -> conditional
+    per-doc aggregation.  Two shuffles total, no joins (a
+    per-term-kind branch-and-join plan tokenizes the corpus once per
+    branch and re-shuffles per join — measured 5x slower).  Both
     aggregations are partial-agg friendly; group sizes are bounded by
     document length, so there is no skew beyond the longest document.
-    """
+    A per-doc sentinel row keeps empty documents in the output."""
     toks = tokens(text_col)
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2))),
-    ).otherwise(F.array().cast("array<string>"))
+    tagged = F.concat(
+        # sentinel: guarantees one group per document even at 0 tokens
+        F.array(F.struct(F.lit("d").alias("kind"), F.lit("").alias("term"))),
+        F.transform(toks, lambda t: F.struct(F.lit("u").alias("kind"),
+                                             t.alias("term"))),
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
+                        lambda i: F.struct(
+                            F.lit("b").alias("kind"),
+                            F.concat_ws(" ", F.slice(toks, i + 1, 2))
+                             .alias("term"))),
+        ).otherwise(F.array().cast("array<struct<kind:string,term:string>>")),
+    )
+    terms = (df.select(F.col(id_col), *keep_cols,
+                       F.explode(tagged).alias("__kt"))
+             .select(id_col, *keep_cols, F.col("__kt.kind").alias("__kind"),
+                     F.col("__kt.term").alias("__term")))
+    counts = (terms.groupBy(id_col, *keep_cols, "__kind", "__term")
+              .agg(F.count(F.lit(1)).alias("__c")))
 
-    base = df.select(F.col(id_col), *keep_cols, toks.alias("__t"),
-                     bigrams.alias("__b"))
+    def agg_kind(kind: str, expr):
+        return expr(F.when(F.col("__kind") == kind, F.col("__c")))
 
-    def top_counts(term_col: str, out_prefix: str) -> DataFrame:
-        tc = (base.select(id_col, F.explode(term_col).alias("__term"))
-              .groupBy(id_col, "__term").agg(F.count(F.lit(1)).alias("__c")))
-        return tc.groupBy(id_col).agg(
-            F.max("__c").alias(f"{out_prefix}_top"),
-            F.sum("__c").alias(f"{out_prefix}_n"),
-            F.count(F.lit(1)).alias(f"{out_prefix}_distinct"),
-        )
-
-    uni = top_counts("__t", "tok")
-    bi = top_counts("__b", "bg")
-    out = (base.select(id_col, *keep_cols)
-           .join(uni, id_col, "left")
-           .join(bi, id_col, "left"))
+    stats = counts.groupBy(id_col, *keep_cols).agg(
+        agg_kind("u", F.max).alias("tok_top"),
+        agg_kind("u", F.sum).alias("tok_n"),
+        F.sum(F.when(F.col("__kind") == "u", 1).otherwise(0))
+         .alias("tok_distinct"),
+        agg_kind("b", F.max).alias("bg_top"),
+        agg_kind("b", F.sum).alias("bg_n"),
+    )
     safe_n = F.greatest(F.coalesce(F.col("tok_n"), F.lit(0)), F.lit(1))
     safe_bn = F.greatest(F.coalesce(F.col("bg_n"), F.lit(0)), F.lit(1))
-    return out.select(
+    return stats.select(
         id_col, *keep_cols,
         F.coalesce(F.col("tok_n"), F.lit(0)).cast("bigint").alias("n_tokens"),
         micro_ratio(F.coalesce(F.col("tok_top"), F.lit(0)), safe_n)

@@ -44,6 +44,23 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, repartitioned up to full parallelism when
+    the scan yields fewer splits than cores.
+
+    Parquet parallelizes by ROW GROUP: the MB-scale test corpus is one
+    row group, so every tokenize-heavy expression stage would otherwise
+    run on a single core (measured 2-5x slowdowns).  The guard makes
+    this a no-op at production scale — a TB corpus has orders of
+    magnitude more row groups than cores, so the shuffle never fires;
+    here it moves a few MB once."""
+    d = _t(spark, sf_dir, "documents")
+    par = spark.sparkContext.defaultParallelism
+    if d.rdd.getNumPartitions() < par:
+        d = d.repartition(par)
+    return d
+
+
 def _explode_result(df: DataFrame, groups: list[str], round_to: int | None = 2,
                     cast: str | None = None) -> DataFrame:
     """(groups, result array) -> (groups, pos, val) scalar rows."""
@@ -466,7 +483,7 @@ FROM documents GROUP BY source
 """)
 def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: one shuffle on the normalized-content hash."""
-    d = dd.exact_dedup_keys(_t(spark, sf_dir, "documents"), "text")
+    d = dd.exact_dedup_keys(_docs(spark, sf_dir), "text")
     return d.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("dup_key").alias("n_unique"),
@@ -484,7 +501,7 @@ _MINHASH_SHARED: dict[tuple[str, str], tuple[DataFrame, DataFrame]] = {}
 def _minhash_shared(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _MINHASH_SHARED:
-        docs = _t(spark, sf_dir, "documents")
+        docs = _docs(spark, sf_dir)
         sigs = dd.minhash_signatures(docs, "doc_id", "text").persist()
         cand = dd.lsh_candidate_pairs(sigs, "doc_id").persist()
         _MINHASH_SHARED[key] = (sigs, cand)
@@ -514,7 +531,7 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded buckets), the expensive exact measure touches only
     candidates.  (An all-pairs form at sf0.1 costs ~170 s; this costs
     ~3 s for identical high-similarity output.)"""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     _, cand_full = _minhash_shared(spark, sf_dir)
     cand = cand_full.select("id_a", "id_b")
     # shingle ONLY the docs that appear in some candidate pair (semi-join
@@ -651,7 +668,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale) then exact Hamming via bit_count(xor).  The oracle keeps the
     simpler 8-bit-chunk candidate SQL — both schemes are recall-complete
     at Hamming <= 7, so outputs are provably identical."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sh = dd.simhash(docs, "doc_id", "text")
     return dd.simhash_hamming_pairs(sh, "doc_id", max_hamming=7)
 
@@ -912,7 +929,7 @@ SELECT doc_id, {pred} AS pred_lang, round({best}, 4) AS score FROM s
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-stopword language ID with a deterministic argmax chain.
     Tokens materialize once (a 5x win — no CSE across lambdas)."""
-    d = _t(spark, sf_dir, "documents").withColumn("__toks", dd.tokens("text"))
+    d = _docs(spark, sf_dir).withColumn("__toks", dd.tokens("text"))
     pred, score = tx.lang_id("text", toks=F.col("__toks"))
     return d.select("doc_id", pred.alias("pred_lang"), F.round(score, 4).alias("score"))
 
@@ -945,7 +962,7 @@ FROM f
 """)
 def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cheap quality pre-filter: length/stopword/punctuation signals."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     f = tx.quality_features("text")
     return d.select(
         "doc_id", f["n_chars"].alias("n_chars"), f["n_tokens"].alias("n_tokens"),
@@ -963,7 +980,7 @@ FROM t
 """)
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget estimation: whitespace + BPE-ish segmentation."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     c = tx.token_counts("text")
     return d.select("doc_id", c["ws_tokens"].alias("ws_tokens"),
                     c["bpe_tokens"].alias("bpe_tokens"))
@@ -980,7 +997,7 @@ FROM t
 """)
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-sensitive rolling-hash document fingerprint."""
-    d = _t(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     return d.select("doc_id", tx.fingerprint("text").alias("fp"))
 
 
@@ -999,7 +1016,7 @@ FROM documents
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Metadata-only pass over the media column — no byte decoding, the
     pruning/partitioning tier of the multimodal pipeline."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     media = mm.attach_fake_media(docs)
     return media.select(
         "doc_id",
@@ -1028,7 +1045,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic md5 math, so DuckDB reproduces it from the hex digest
     (high nibble of byte i = hex char 2i+1): a full hash-match oracle,
     not a rows-only check."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = mm.decode_features(mm.attach_fake_media(docs))
     return feats.select("doc_id", F.posexplode("features").alias("pos", "val")) \
                 .withColumn("val", F.round(F.col("val").cast("double"), 4))
@@ -1466,7 +1483,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     token budget, in one declarative plan (Catalyst fuses the stages; at
     scale the dedup groupBy is the only shuffle)."""
     from datafusion_monoid_spark.operators import dedup as ddp
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = ddp.tokens("text")
     en = tx.LANG_MARKERS["en"]
     filtered = (
@@ -1590,7 +1607,7 @@ def cms_token_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same algebra as the array_reduce core).  The sketch matrix is
     deterministic, so DuckDB verifies it cell-for-cell; estimation
     guarantees are pinned in tests/test_sketch.py."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
     return sk.cms_build(toks, "tok", depth=4, width=256) \
              .withColumn("depth", F.col("depth").cast("int"))
@@ -1634,7 +1651,7 @@ def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sketch, take the top-25 — the compose-sketch-then-query pattern
     (at 100 TB the distinct-key probe side would itself be sampled or
     maintained as a candidate list)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
     cms = sk.cms_build(toks, "tok", depth=4, width=256)
     est = sk.cms_estimate(cms, toks.distinct(), "tok", depth=4, width=256)
@@ -1666,7 +1683,7 @@ def hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle of at most 256 rows per partition regardless of
     corpus size.  Deterministic md5 ranks => DuckDB verifies the
     registers cell-for-cell."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
     return sk.hll_build(toks, "tok")
 
@@ -1698,7 +1715,7 @@ def hll_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     single float division uses one shared literal numerator, so even the
     ESTIMATE hash-matches across engines (accuracy bound ~6.5% for
     m=256 is pinned in tests/test_sketch.py)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok"))
     est = sk.hll_estimate(sk.hll_build(toks, "tok"))
     exact = toks.agg(F.count_distinct("tok").cast("bigint")
@@ -1720,7 +1737,7 @@ def bloom_token_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom filter bit set over the distinct document tokens — the
     SET-UNION monoid sketch (merge = bit union), at most BLOOM_M rows
     out of any corpus size.  DuckDB rebuilds the identical bits."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok")).distinct()
     return sk.bloom_build(toks, "tok")
 
@@ -1750,7 +1767,7 @@ def bloom_token_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     token (always present — no false negatives) plus a '-absent' twin
     per token (false positives only at the documented rate, and
     deterministically — same keys, same bits, same answer in DuckDB)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     toks = docs.select(F.explode(dd.tokens("text")).alias("tok")).distinct()
     bloom = sk.bloom_build(toks, "tok")
     probes = (toks.select(F.col("tok").alias("probe_key"))
@@ -1872,7 +1889,7 @@ FROM t
 def sample_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token budget of a deterministic 10% hash-sample — identical
     membership on every run, partitioning, and engine."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     s = smp.hash_sample(docs, "doc_id", 0.1)
     c = tx.token_counts("text")
     return (s.select(c["ws_tokens"].alias("n_toks"))
@@ -1888,7 +1905,7 @@ FROM documents GROUP BY side
 def train_test_split_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leakage-free deterministic 90/10 split — the same key lands on
     the same side forever."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     train, test = smp.train_test_split(docs, "doc_id", 0.1)
     return (
         train.withColumn("side", F.lit("train"))
@@ -1920,7 +1937,7 @@ FROM packed GROUP BY shard, bin_id
 def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Training-sequence packing: shard-parallel deterministic first-fit
     into ~512-token bins; per-bin document and token counts."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sized = docs.select("doc_id", tx.token_counts("text")["ws_tokens"].alias("n_toks"))
     packed = smp.pack_sequences(sized, "doc_id", "n_toks",
                                 max_tokens=512, n_shards=8)
@@ -1966,7 +1983,7 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample — a pure filter, no shuffle, reproducible row-for-row in any
     engine.  The up/down-weighting primitive of training-corpus
     curation."""
-    docs = _t(spark, sf_dir, "documents").withColumn("__toks", dd.tokens("text"))
+    docs = _docs(spark, sf_dir).withColumn("__toks", dd.tokens("text"))
     pred, _ = tx.lang_id("text", toks=F.col("__toks"))
     with_lang = docs.select("doc_id", pred.alias("lang"))
     sampled = smp.stratified_hash_sample(
@@ -1994,7 +2011,7 @@ def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     generator expression per document, no shuffle — chunking rides the
     scan stage.  Chunk content is pinned cross-engine by md5 of the
     joined tokens."""
-    docs = _t(spark, sf_dir, "documents").withColumn("__toks", dd.tokens("text"))
+    docs = _docs(spark, sf_dir).withColumn("__toks", dd.tokens("text"))
     ch = smp.chunk_documents(docs, "doc_id", "__toks",
                              chunk_tokens=64, overlap=8)
     return ch.select(
@@ -2037,7 +2054,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     MB-scale; the corpus is TB-scale), so the training side is a
     map-only scan + broadcast semi-join — zero corpus shuffle at
     100 TB."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     ev = docs.where(F.col("doc_id") % 97 == 0)
     tr = docs.where(F.col("doc_id") % 97 != 0)
     hit = cu.contaminated_ids(cu.ngram_hashes(tr, "doc_id", "text", 4),
@@ -2094,7 +2111,7 @@ def quality_repetition_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer micro-units (integer division), so the flag decisions are
     bit-identical in any engine — a float ratio would flake the gate
     on documents sitting exactly at a threshold."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     feats = cu.repetition_features(docs, "doc_id", "text",
                                    keep_cols=("source",))
     flag = lambda c: F.sum(c.cast("int")).cast("bigint")
@@ -2131,7 +2148,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank ties).  N=20 sources is a property of the synthetic corpus,
     pinned on both sides.  Window is PARTITIONED by source — per-group
     top-k, never a global sort."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     sc = cu.tfidf_terms(docs, "source", "text", n_groups=20)
     w = Window.partitionBy("grp").orderBy(F.desc("score"), F.asc("token"))
     return (sc.withColumn("rk", F.row_number().over(w).cast("int"))
@@ -2160,7 +2177,7 @@ def vocab_topk_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-50 vocabulary with cumulative corpus coverage: the top-k is
     TakeOrderedAndProject (per-partition heads + merge), and the
     cumulative window only ever sees the 50 surviving rows."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     return cu.vocab_coverage(docs, "text", k=50)
 
 
@@ -2437,7 +2454,7 @@ def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice' primitive (eyeballing corpus slices, per-domain eval
     subsets).  The window is PARTITIONED by source: per-group top-k,
     no global sort, same members on every run and engine."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _docs(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.col("doc_id"))
     return (docs.select("source", "doc_id",
