@@ -196,3 +196,68 @@ def hll_corrected(nonzero_regs: int, raw_estimate: int) -> float:
     if raw_estimate <= 2.5 * HLL_M and zeros > 0:
         return HLL_M * math.log(HLL_M / zeros)
     return float(raw_estimate)
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin histogram quantiles — the deterministic mergeable quantile
+# sketch.  (t-digest/KLL give tighter error for the same space but their
+# merge is order-sensitive, so two engines — or two partitionings — can
+# disagree in the last centroid; a fixed-bin histogram is a pure count
+# vector, i.e. the same monoid as CMS: identity = zeros, merge = +.)
+# ---------------------------------------------------------------------------
+
+def hist_build(df: DataFrame, val_col: str, lo: float, hi: float,
+               bins: int) -> DataFrame:
+    """(bin, cnt): fixed-width histogram of ``val_col`` over [lo, hi).
+
+    Bin index is ``floor((v - lo) * bins / (hi - lo))`` clamped into
+    [0, bins-1] — one identical IEEE-754 expression tree per engine,
+    floor not round (no half-tie semantics).  One hash shuffle of at
+    most ``bins`` groups; partial-agg (map-side combine) does almost
+    all the work, so the reduce side is O(bins) regardless of row
+    count — the 100 TB quantile plan."""
+    v = F.col(val_col).cast("double")
+    b = F.floor((v - F.lit(lo)) * bins / F.lit(hi - lo))
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("bigint")
+    return (df.where(v.isNotNull())
+            .groupBy(b.alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_bin_sql(expr: str, lo: float, hi: float, bins: int) -> str:
+    """DuckDB twin of the bin expression in :func:`hist_build`."""
+    return (f"least(greatest(CAST(floor((({expr}) - {lo!r}) * {bins} "
+            f"/ {hi - lo!r}) AS BIGINT), 0), {bins - 1})")
+
+
+def hist_quantiles(hist: DataFrame, q_micros: list[int], lo: float,
+                   hi: float, bins: int) -> DataFrame:
+    """(q_micro, bin, upper_edge) — the first bin whose cumulative
+    count reaches ``q`` of the total, for each quantile (q in exact
+    integer micro-units; the target rank is ``(total * q) div 1e6`` —
+    no float comparison anywhere).
+
+    The cumulative window runs over at most ``bins`` rows (the sketch,
+    not the data), so the unpartitioned window is O(bins) — already
+    reduced, never a data-scale sort."""
+    from pyspark.sql import Window
+
+    w = (Window.orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = (hist
+           .crossJoin(F.broadcast(
+               hist.agg(F.sum("cnt").cast("bigint").alias("__total"))))
+           .select("bin", F.sum("cnt").over(w).cast("bigint").alias("cum"),
+                   "__total"))
+    qs = F.explode(F.array(*[F.lit(q).cast("bigint")
+                             for q in q_micros])).alias("q_micro")
+    ranked = cum.select("bin", "cum", "__total", qs)
+    rank = ((F.col("__total") * F.col("q_micro")
+             - (F.col("__total") * F.col("q_micro")) % 1_000_000)
+            / 1_000_000).cast("bigint")
+    return (ranked.where(F.col("cum") >= F.greatest(rank, F.lit(1)))
+            .groupBy("q_micro").agg(F.min("bin").alias("bin"))
+            .select("q_micro", "bin",
+                    F.round(F.lit(lo) + (F.col("bin") + 1)
+                            * F.lit((hi - lo)) / F.lit(bins), 2)
+                     .alias("upper_edge")))

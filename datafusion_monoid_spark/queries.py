@@ -2462,5 +2462,71 @@ def per_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rk") <= 3))
 
 
+from datafusion_monoid_spark.operators import sketch as sk
+
+_HQ_LO, _HQ_HI, _HQ_BINS = 0.0, 500000.0, 1024
+_HQ_QS = [500000, 900000, 990000, 999000]
+
+
+@register("hist_quantile_prices", f"""
+WITH h AS (SELECT {sk.hist_bin_sql("o_totalprice", _HQ_LO, _HQ_HI, _HQ_BINS)}
+                    AS bin, count(*) AS cnt
+           FROM orders WHERE o_totalprice IS NOT NULL GROUP BY bin),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+c AS (SELECT bin, CAST(sum(cnt) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING)
+                       AS BIGINT) AS cum FROM h),
+q AS (SELECT unnest({_HQ_QS}) AS q_micro),
+r AS (SELECT q_micro, bin FROM c, q, tot
+      WHERE cum >= greatest((total * q_micro) // 1000000, 1))
+SELECT CAST(q_micro AS BIGINT) AS q_micro, CAST(min(bin) AS BIGINT) AS bin,
+       round({_HQ_LO!r} + (min(bin) + 1) * {_HQ_HI - _HQ_LO!r} / {_HQ_BINS}, 2)
+         AS upper_edge
+FROM r GROUP BY q_micro
+""")
+def hist_quantile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """p50/p90/p99/p99.9 of order totals via a 1024-bin fixed-width
+    histogram — the MERGEABLE quantile sketch: the bin-count vector is
+    a monoid (zeros + elementwise add), so per-partition histograms
+    partial-aggregate map-side and the reduce sees O(bins) rows no
+    matter the data size.  t-digest gives tighter error but its merge
+    is order-sensitive — unacceptable for a cross-engine (or
+    cross-partitioning) deterministic gate.  Target ranks are exact
+    integer arithmetic; bin edges are identical IEEE-754 trees."""
+    o = _t(spark, sf_dir, "orders")
+    h = sk.hist_build(o, "o_totalprice", _HQ_LO, _HQ_HI, _HQ_BINS)
+    return sk.hist_quantiles(h, _HQ_QS, _HQ_LO, _HQ_HI, _HQ_BINS)
+
+
+@register("bpe_top_merges", f"""
+WITH t AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+p AS (SELECT unnest(list_transform(range(1, len(tok)),
+                                   i -> substr(tok, i, 2))) AS pair
+      FROM t),
+c AS (SELECT pair, count(*) AS cnt FROM p GROUP BY pair),
+top AS (SELECT pair, cnt FROM c ORDER BY cnt DESC, pair LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INTEGER) AS rk,
+       pair, CAST(cnt AS BIGINT) AS cnt
+FROM top
+""")
+def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE iteration: most frequent adjacent character pairs
+    within tokens — the merge-candidate table a tokenizer trainer
+    computes each round.  Generator expressions ride the scan (explode
+    of per-token pair lists), one count shuffle, top-k via
+    TakeOrderedAndProject; the ranking window touches 20 rows."""
+    docs = _docs(spark, sf_dir)
+    tok = docs.select(F.explode(dd.tokens("text")).alias("tok"))
+    pairs = tok.select(F.explode(F.when(
+        F.length("tok") >= 2,
+        F.transform(F.sequence(F.lit(1), F.length("tok") - 1),
+                    lambda i: F.col("tok").substr(i, F.lit(2))),
+    ).otherwise(F.array().cast("array<string>"))).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("pair")).limit(20)
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return top.select(F.row_number().over(w).cast("int").alias("rk"),
+                      "pair", F.col("cnt").cast("bigint").alias("cnt"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

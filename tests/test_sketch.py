@@ -151,3 +151,36 @@ def test_hll_small_range_correction():
     import math
     assert abs(sk.hll_corrected(31, 199) - 256 * math.log(256 / 225)) < 1e-9
     assert sk.hll_corrected(250, 900_000) == 900_000.0
+
+
+def test_hist_build_is_count_monoid(spark):
+    """hist(A union B) == hist(A) + hist(B) per bin — zeros + vector
+    add, the same algebra as the reference's sum monoid."""
+    a = spark.range(0, 500).select((F.col("id") * 1.0).alias("v"))
+    b = spark.range(500, 1000).select((F.col("id") * 1.0).alias("v"))
+    both = a.unionByName(b)
+    h = lambda df: {r["bin"]: r["cnt"]
+                    for r in sk.hist_build(df, "v", 0.0, 1000.0, 16).collect()}
+    ha, hb, hu = h(a), h(b), h(both)
+    keys = set(ha) | set(hb)
+    assert hu == {k: ha.get(k, 0) + hb.get(k, 0) for k in keys}
+    # out-of-range values clamp to the edge bins, never drop
+    edge = spark.createDataFrame([(-5.0,), (2000.0,)], "v double")
+    he = h(edge)
+    assert he == {0: 1, 15: 1}
+
+
+def test_hist_quantiles_track_exact_percentiles(spark):
+    """With 1e4 uniform values and 1024 bins, every histogram quantile
+    upper edge must sit within one bin width of the exact order
+    statistic."""
+    n, bins, hi = 10_000, 1024, 10_000.0
+    df = spark.range(n).select((F.col("id") * 1.0).alias("v"))
+    h = sk.hist_build(df, "v", 0.0, hi, bins)
+    qs = [500000, 900000, 990000]
+    got = {r["q_micro"]: r["upper_edge"]
+           for r in sk.hist_quantiles(h, qs, 0.0, hi, bins).collect()}
+    width = hi / bins
+    for q in qs:
+        exact = q / 1e6 * n
+        assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact)
