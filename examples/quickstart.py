@@ -100,6 +100,38 @@ def main() -> None:
     print("training windows (64 tokens, stride 56):")
     chunks.select("doc_id", "chunk_idx", F.size("chunk").alias("len")).show(5)
 
+    # 6. Decontaminate against a held-out eval slice, filter repetition
+    from datafusion_monoid_spark.operators import curation
+
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    tr = docs.where(F.col("doc_id") % 97 != 0)
+    hits = curation.contaminated_ids(
+        curation.ngram_hashes(tr, "doc_id", "text", 4),
+        curation.ngram_hashes(ev, "doc_id", "text", 4), "doc_id")
+    print(f"decontamination: {hits.count()} train docs share a 4-gram "
+          "with the eval slice")
+
+    feats = curation.repetition_features(docs, "doc_id", "text")
+    spammy = feats.where(
+        F.col("top_token_micro") >= curation.TOP_TOKEN_FLAG_MICRO)
+    print(f"repetition filter: {spammy.count()} docs over the 12% "
+          "top-token threshold")
+
+    # 7. Z-order the orders table for 2-D pruning; fuzzy-match names
+    from datafusion_monoid_spark.operators import layout, linkage
+
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+    x = (F.col("o_custkey") % 1024).cast("bigint")
+    y = (F.datediff("o_orderdate", F.lit("1995-01-01")) % 1024).cast("bigint")
+    clustered = layout.zorder_repartition(orders, x, y, n_files=8)
+    print(f"z-order layout: {clustered.rdd.getNumPartitions()} "
+          "morton-sorted shards ready to write")
+
+    cust = spark.read.parquet(f"{SF_DIR}/customer.parquet")
+    fuzz = linkage.fuzzy_pairs(cust, "c_custkey", "c_name", max_dist=1)
+    print(f"entity resolution: {fuzz.count()} customer-name pairs "
+          "within 1 edit")
+
     spark.stop()
 
 
