@@ -217,11 +217,16 @@ def hist_build(df: DataFrame, val_col: str, lo: float, hi: float,
     all the work, so the reduce side is O(bins) regardless of row
     count — the 100 TB quantile plan."""
     v = F.col(val_col).cast("double")
-    b = F.floor((v - F.lit(lo)) * bins / F.lit(hi - lo))
-    b = F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("bigint")
     return (df.where(v.isNotNull())
-            .groupBy(b.alias("bin"))
+            .groupBy(hist_bin(v, lo, hi, bins).alias("bin"))
             .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_bin(v: Column, lo: float, hi: float, bins: int) -> Column:
+    """The clamped fixed-width bin index (shared by the batch and
+    streaming builders)."""
+    b = F.floor((v.cast("double") - F.lit(lo)) * bins / F.lit(hi - lo))
+    return F.least(F.greatest(b, F.lit(0)), F.lit(bins - 1)).cast("bigint")
 
 
 def hist_bin_sql(expr: str, lo: float, hi: float, bins: int) -> str:

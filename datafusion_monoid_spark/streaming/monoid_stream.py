@@ -219,3 +219,30 @@ def stateful_monoid_accumulator(events: DataFrame, n_dims: int = 3):
         .applyInPandasWithState(update, out_schema, state_schema,
                                 "update", GroupStateTimeout.NoTimeout)
     )
+
+
+def streaming_histogram(events: DataFrame, val_col: str = "value",
+                        lo: float = 0.0, hi: float = 500.0, bins: int = 64,
+                        window: str = "1 hour",
+                        watermark: str = "2 hours") -> DataFrame:
+    """Windowed fixed-bin histogram — the mergeable quantile sketch
+    (operators/sketch.py) in streaming form.
+
+    Bin counts are a count-vector monoid (zeros + elementwise add), so
+    the identical operator is batch-, partial-agg-, and streaming-legal:
+    ONE aggregation pass, one state row per (window, bin) — bounded
+    state regardless of stream volume, which is precisely why the
+    mergeable sketch (and not an order-sensitive t-digest) is the
+    streaming quantile structure.  Consume per-window quantiles by
+    running ``sketch.hist_quantiles`` over a window's rows (batch
+    post-processing of the complete-mode table or a foreachBatch)."""
+    from datafusion_monoid_spark.operators.sketch import hist_bin
+
+    return (
+        events.withWatermark("event_time", watermark)
+        .where(F.col(val_col).isNotNull())
+        .groupBy(F.window("event_time", window),
+                 hist_bin(F.col(val_col), lo, hi, bins).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("window").start.alias("window_start"), "bin", "cnt")
+    )

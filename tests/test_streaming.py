@@ -260,3 +260,49 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
                     F.col("c.event_id").alias("cid")).collect()}
     assert got == want
     assert len(got) > 50
+
+
+def test_streaming_histogram_matches_batch_and_quantiles(spark, events_dir, tmp_path):
+    """The histogram sketch built by the stream equals the batch build
+    per window, and its quantiles match sketch.hist_quantiles on the
+    batch side — the mergeable-sketch streaming contract."""
+    from datafusion_monoid_spark.operators import sketch as sk
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        read_events_stream, streaming_histogram)
+
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_histogram(stream, "value", 0.0, 500.0, 64,
+                              window="1 hour")
+    q = run_stream_to_memory(agg, "hstream", str(tmp_path / "ckpt_h"))
+    try:
+        got = {(r["window_start"], r["bin"]): r["cnt"]
+               for r in spark.sql("SELECT * FROM hstream").collect()}
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (spark.read.parquet(events_dir)
+             .withColumn("event_time",
+                         F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))))
+    want_rows = (batch.where(F.col("value").isNotNull())
+                 .groupBy(F.window("event_time", "1 hour"),
+                          sk.hist_bin(F.col("value"), 0.0, 500.0, 64).alias("bin"))
+                 .agg(F.count(F.lit(1)).alias("cnt"))
+                 .select(F.col("window").start.alias("ws"), "bin", "cnt")
+                 .collect())
+    want = {(r["ws"], r["bin"]): r["cnt"] for r in want_rows}
+    assert got == want and len(got) > 0
+
+    # quantiles of one streamed window == quantiles of the batch sketch
+    ws = max(w for w, _ in got)
+    one = spark.createDataFrame(
+        [(b, c) for (w, b), c in got.items() if w == ws], "bin long, cnt long")
+    stream_q = {r["q_micro"]: r["bin"]
+                for r in sk.hist_quantiles(one, [500000, 900000],
+                                           0.0, 500.0, 64).collect()}
+    batch_hist = spark.createDataFrame(
+        [(b, c) for (w, b), c in want.items() if w == ws], "bin long, cnt long")
+    batch_q = {r["q_micro"]: r["bin"]
+               for r in sk.hist_quantiles(batch_hist, [500000, 900000],
+                                          0.0, 500.0, 64).collect()}
+    assert stream_q == batch_q
