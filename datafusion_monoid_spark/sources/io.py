@@ -42,3 +42,28 @@ def read_table(spark: SparkSession, path: str, fmt: str = "parquet",
     if fmt == "csv":
         r = r.option("header", "true")
     return r.format(fmt).load(path)
+
+
+def compact_parquet(spark: SparkSession, src_dir: str, dst_dir: str,
+                    target_file_mb: int = 128) -> int:
+    """Small-file compaction: rewrite ``src_dir`` into files of roughly
+    ``target_file_mb``.  Returns the output file count.
+
+    The small-files problem is a 100 TB killer in slow motion: a
+    streaming sink or over-parallel writer leaves thousands of KB-scale
+    files, and every later scan pays per-file open/footer/scheduling
+    costs that dwarf the data read.  Sizing from the actual on-disk
+    bytes (not row counts) keeps output files near the row-group sweet
+    spot.  Uses coalesce (no shuffle) — compaction must not pay a full
+    re-partition; use layout.zorder_repartition instead when you want
+    clustering WITH compaction."""
+    import math
+    import os
+
+    total = sum(os.path.getsize(os.path.join(r, f))
+                for r, _, fs in os.walk(src_dir)
+                for f in fs if f.endswith(".parquet"))
+    n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+    spark.read.parquet(src_dir).coalesce(n).write.mode("overwrite") \
+        .parquet(dst_dir)
+    return n
