@@ -52,23 +52,54 @@ DELETION_VARIANTS_SQL = (
 )
 
 
-def variant_keys(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, vkey BIGINT): one row per deletion variant, hashed — the
-    8-byte join key that shuffles instead of the strings."""
+def _deletions_of(u: Column) -> Column:
+    """One-character-deletion variants of a (possibly lambda-bound)
+    string column; empty-safe (Spark's sequence DESCENDS for an empty
+    upper bound, which would fabricate junk variants)."""
+    return F.when(
+        F.length(u) >= 1,
+        F.transform(F.sequence(F.lit(1), F.length(u)),
+                    lambda i: F.concat(u.substr(F.lit(1), i - 1),
+                                       u.substr(i + 1, F.length(u)))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def deletion_neighborhood(s: Column, depth: int = 1) -> Column:
+    """Distinct deletion variants of ``s`` up to ``depth`` removed
+    characters, the string itself included.  The SymSpell pigeonhole
+    generalizes: two strings within edit distance k ALWAYS share a
+    member of their depth-k neighborhoods, so the variant join stays a
+    complete candidate generator for any k — at a x(len^k / k!)
+    generation cost, which is why k<=2 is the practical range (k=1:
+    len+1 variants; k=2: ~len^2/2)."""
+    levels = [F.array(s)]
+    for _ in range(depth):
+        levels.append(F.array_distinct(
+            F.flatten(F.transform(levels[-1], _deletions_of))))
+    return F.array_distinct(F.concat(*levels))
+
+
+def variant_keys(df: DataFrame, id_col: str, text_col: str,
+                 depth: int = 1) -> DataFrame:
+    """(id, vkey BIGINT): one row per deletion-neighborhood variant,
+    hashed — the 8-byte join key that shuffles instead of the
+    strings."""
     return (df.select(F.col(id_col),
-                      F.explode(deletion_variants(F.col(text_col))).alias("__v"))
+                      F.explode(deletion_neighborhood(F.col(text_col), depth))
+                       .alias("__v"))
             .select(id_col, md5_long("__v").alias("vkey")))
 
 
 def fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
                 max_dist: int = 1) -> DataFrame:
     """(id_a, id_b, dist) for distinct pairs within ``max_dist`` edits
-    (id_a < id_b).  Candidates via the deletion-variant bucket join;
-    exact ``levenshtein`` verification on candidates only.  Both sides
-    of the candidate join are the same slim (id, vkey) relation —
-    one co-partitioned shuffle, group sizes bounded by variant-key
-    multiplicity (<= alphabet size per position), never all-pairs."""
-    vk = variant_keys(df, id_col, text_col)
+    (id_a < id_b).  Candidates via the depth-``max_dist``
+    deletion-neighborhood bucket join (complete by the SymSpell
+    pigeonhole); exact ``levenshtein`` verification on candidates only.
+    Both sides of the candidate join are the same slim (id, vkey)
+    relation — one co-partitioned shuffle, group sizes bounded by
+    variant-key multiplicity, never all-pairs."""
+    vk = variant_keys(df, id_col, text_col, depth=max_dist)
     a = vk.alias("a")
     b = vk.alias("b")
     cand = (a.join(b, (F.col("a.vkey") == F.col("b.vkey"))

@@ -2528,5 +2528,144 @@ def bpe_top_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "pair", F.col("cnt").cast("bigint").alias("cnt"))
 
 
+# ---------------------------------------------------------------------------
+# Event analytics: ordered funnels and retention cohorts.
+# ---------------------------------------------------------------------------
+
+_EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC, the events epoch
+_WEEK = 7 * 24 * 3600
+
+
+@register("funnel_view_click_purchase", """
+WITH e AS (SELECT user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+v AS (SELECT user_id, min(sec) AS t1 FROM e
+      WHERE event_type = 'view' GROUP BY user_id),
+c AS (SELECT e.user_id, min(sec) AS t2 FROM e JOIN v USING (user_id)
+      WHERE event_type = 'click' AND sec >= t1 GROUP BY e.user_id),
+p AS (SELECT e.user_id, min(sec) AS t3 FROM e JOIN c USING (user_id)
+      WHERE event_type = 'purchase' AND sec >= t2 GROUP BY e.user_id)
+SELECT (SELECT count(*) FROM v) AS users_viewed,
+       (SELECT count(*) FROM c) AS users_clicked_after_view,
+       (SELECT count(*) FROM p) AS users_purchased_after_click
+""")
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel (view -> click -> purchase): each
+    stage is users whose first qualifying event follows their previous
+    stage's first event.  Three groupBy-user aggregations + two joins,
+    all keyed on user_id — co-partitioned shuffles, no windows over the
+    raw stream, no per-user state beyond one timestamp.  The classic
+    product-analytics query a user of the host engine runs daily."""
+    e = _events(spark, sf_dir).select("user_id", "event_type", "sec")
+    v = (e.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("sec").alias("t1")))
+    c = (e.where(F.col("event_type") == "click")
+         .join(v, "user_id")
+         .where(F.col("sec") >= F.col("t1"))
+         .groupBy("user_id").agg(F.min("sec").alias("t2")))
+    p = (e.where(F.col("event_type") == "purchase")
+         .join(c, "user_id")
+         .where(F.col("sec") >= F.col("t2"))
+         .groupBy("user_id").agg(F.min("sec").alias("t3")))
+    return (v.agg(F.count(F.lit(1)).alias("users_viewed"))
+            .crossJoin(c.agg(F.count(F.lit(1))
+                             .alias("users_clicked_after_view")))
+            .crossJoin(p.agg(F.count(F.lit(1))
+                             .alias("users_purchased_after_click"))))
+
+
+@register("retention_cohorts", f"""
+WITH e AS (SELECT user_id,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+f AS (SELECT user_id, min(sec) AS first_sec FROM e GROUP BY user_id),
+a AS (SELECT DISTINCT e.user_id,
+             (first_sec - {_EPOCH_2024}) // {_WEEK} AS cohort_week,
+             (sec - {_EPOCH_2024}) // {_WEEK} AS active_week
+      FROM e JOIN f USING (user_id))
+SELECT CAST(cohort_week AS BIGINT) AS cohort_week,
+       CAST(active_week AS BIGINT) AS active_week,
+       count(*) AS n_users
+FROM a GROUP BY cohort_week, active_week
+""")
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle: users bucketed by first-seen week,
+    counted in every week they stayed active.  Week indices are exact
+    integer division from a fixed epoch — cross-engine deterministic
+    (date_trunc week ANCHORS differ between engines: Spark weeks start
+    Monday, DuckDB ISO Monday, but the events epoch is a Monday only by
+    luck; a fixed epoch avoids the trap entirely)."""
+    e = _events(spark, sf_dir).select("user_id", "sec")
+    f = e.groupBy("user_id").agg(F.min("sec").alias("first_sec"))
+
+    def wk(c):
+        d = (c - F.lit(_EPOCH_2024)).cast("bigint")
+        return ((d - d % _WEEK) / _WEEK).cast("bigint")
+
+    a = (e.join(f, "user_id")
+         .select("user_id", wk(F.col("first_sec")).alias("cohort_week"),
+                 wk(F.col("sec")).alias("active_week"))
+         .distinct())
+    return a.groupBy("cohort_week", "active_week").agg(
+        F.count(F.lit(1)).alias("n_users"))
+
+
+@register("pipeline_curation_full", f"""
+WITH t AS (SELECT doc_id, source, text, {_TOKS} AS toks FROM documents),
+uc AS (SELECT doc_id, term, count(*) AS c
+       FROM (SELECT doc_id, unnest(toks) AS term FROM t)
+       GROUP BY doc_id, term),
+us AS (SELECT doc_id, max(c) AS top, sum(c) AS n FROM uc GROUP BY doc_id),
+q AS (SELECT us.doc_id FROM us
+      WHERE n >= 10 AND (top * 1000000) // n < {cu.TOP_TOKEN_FLAG_MICRO}),
+tr AS (SELECT t.* FROM t JOIN q USING (doc_id) WHERE doc_id % 97 <> 0),
+evg AS (SELECT DISTINCT {_GH} AS gram_hash
+        FROM (SELECT unnest({_SH4}) AS g FROM documents
+              WHERE doc_id % 97 = 0)),
+trg AS (SELECT doc_id, {_GH} AS gram_hash
+        FROM (SELECT doc_id, unnest({dd.shingles_sql("text", 4)}) AS g
+              FROM tr)),
+hit AS (SELECT DISTINCT doc_id FROM trg JOIN evg USING (gram_hash)),
+clean AS (SELECT tr.* FROM tr LEFT JOIN hit ON tr.doc_id = hit.doc_id
+          WHERE hit.doc_id IS NULL),
+keyed AS (SELECT doc_id, source, md5({_NORM}) AS k,
+                 len(toks) AS n_toks
+          FROM clean),
+rep AS (SELECT k, min(doc_id) AS doc_id FROM keyed GROUP BY k),
+fin AS (SELECT keyed.* FROM keyed
+        JOIN rep ON keyed.k = rep.k AND keyed.doc_id = rep.doc_id)
+SELECT source, count(*) AS n_docs, CAST(sum(n_toks) AS BIGINT) AS total_tokens
+FROM fin GROUP BY source
+""")
+def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation pipeline as ONE declarative plan: repetition
+    quality gate -> eval-slice decontamination -> exact dedup (min-id
+    representative) -> per-source corpus accounting.  Catalyst fuses
+    the stages: the quality and decontamination filters are semi/anti
+    joins on doc_id (co-keyed), the eval n-gram set broadcasts, and the
+    dedup representative pick is one groupBy on the content hash —
+    nothing in the chain materializes an intermediate corpus copy,
+    which is exactly how the stages should compose at 100 TB."""
+    docs = _docs(spark, sf_dir)
+    feats = cu.repetition_features(docs, "doc_id", "text")
+    q = feats.where((F.col("n_tokens") >= 10)
+                    & (F.col("top_token_micro") < cu.TOP_TOKEN_FLAG_MICRO)) \
+             .select("doc_id")
+    tr = (docs.where(F.col("doc_id") % 97 != 0)
+          .join(q, "doc_id", "left_semi"))
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    hit = cu.contaminated_ids(cu.ngram_hashes(tr, "doc_id", "text", 4),
+                              cu.ngram_hashes(ev, "doc_id", "text", 4),
+                              "doc_id")
+    clean = tr.join(hit, "doc_id", "left_anti")
+    keyed = dd.exact_dedup_keys(clean, "text").select(
+        "doc_id", "source", "dup_key",
+        tx.token_counts("text")["ws_tokens"].alias("n_toks"))
+    rep = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
+    fin = keyed.join(rep, ["dup_key", "doc_id"], "left_semi")
+    return fin.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

@@ -87,3 +87,38 @@ def test_deletion_neighborhood_complete_for_random_k1_edits(spark):
              for r in lk.fuzzy_pairs(df, "id", "name", 1).collect()}
     for pair in expect:
         assert pair in found and found[pair] == 1
+
+
+def test_deletion_neighborhood_complete_for_random_k2_edits(spark):
+    """Depth-2 neighborhoods must recover every pair within edit
+    distance 2 (SymSpell pigeonhole at k=2), verified over random
+    double edits; the exact-distance filter keeps dist in {1, 2}."""
+    base = ["".join(RNG.choice("abcde") for _ in range(RNG.randint(2, 10)))
+            for _ in range(80)]
+    rows, expect = [], {}
+    for j, s in enumerate(base):
+        t = _random_edit(_random_edit(s))
+        ia, ib = 2 * j, 2 * j + 1
+        rows += [(ia, s), (ib, t)]
+        expect[(ia, ib)] = (s, t)
+    df = spark.createDataFrame(rows, "id long, name string")
+    found = {(r.id_a, r.id_b): r.dist
+             for r in lk.fuzzy_pairs(df, "id", "name", 2).collect()}
+
+    def lev(a, b):
+        # tiny exact DP spec
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for pair, (s, t) in expect.items():
+        d = lev(s, t)
+        if 1 <= d <= 2:
+            assert pair in found and found[pair] == d, (pair, s, t, d)
+    # nothing beyond the radius sneaks through
+    assert all(1 <= d <= 2 for d in found.values())
