@@ -21,22 +21,27 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
-def salted_aggregate(df: DataFrame, key_cols: list[str], agg_exprs: dict[str, str],
+def salted_aggregate(df: DataFrame, key_cols: list[str],
+                     agg_exprs: dict[str, str | tuple[str, str]],
                      n_salts: int = 16) -> DataFrame:
     """Two-phase skew-safe aggregation.
 
     Phase 1 groups on (key, salt) — the hot key's rows spread over
     ``n_salts`` reducers; phase 2 merges the partials on key alone.
-    ``agg_exprs``: {column: op} with op in {sum, count, min, max} —
-    ops whose partials merge by the same op (count merges by sum)."""
+    ``agg_exprs``: either ``{column: op}`` (output ``column_op``) or
+    ``{alias: (column, op)}`` for several ops over one column in a
+    single pass, with op in {sum, count, min, max} — ops whose
+    partials merge losslessly (count merges by sum)."""
     merge_op = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
+    specs = [(f"{c}_{v}", c, v) if isinstance(v, str) else (c, v[0], v[1])
+             for c, v in agg_exprs.items()]
     salted = df.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
     phase1 = salted.groupBy(*key_cols, "__salt").agg(*[
-        getattr(F, op)(c).alias(f"__p_{c}") for c, op in agg_exprs.items()
+        getattr(F, op)(col).alias(f"__p_{alias}") for alias, col, op in specs
     ])
     return phase1.groupBy(*key_cols).agg(*[
-        getattr(F, merge_op[op])(f"__p_{c}").alias(f"{c}_{op}")
-        for c, op in agg_exprs.items()
+        getattr(F, merge_op[op])(f"__p_{alias}").alias(alias)
+        for alias, _, op in specs
     ])
 
 

@@ -2667,5 +2667,37 @@ def pipeline_curation_full(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_toks").cast("bigint").alias("total_tokens"))
 
 
+from datafusion_monoid_spark.operators import skew as sw
+
+
+@register("skew_salted_event_stats", """
+SELECT event_type,
+       round(sum(value), 2) AS value_sum,
+       count(value) AS value_count,
+       round(max(value), 2) AS value_max
+FROM events GROUP BY event_type
+""")
+def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase SALTED aggregation over a worst-case key distribution
+    (5 event types, 32 reducers: every key is hot).  Phase 1 spreads
+    each key over 16 salts, phase 2 merges partials — the final values
+    are EXACTLY the plain aggregate (sum/count/max partials merge
+    losslessly; that algebra is the monoid discipline again), which is
+    why a plain GROUP BY is a valid oracle even though the salt
+    assignment is random per run."""
+    e = _events(spark, sf_dir).select("event_type", "value")
+    out = sw.salted_aggregate(
+        e, ["event_type"],
+        {"value_sum": ("value", "sum"),
+         "value_count": ("value", "count"),
+         "value_max": ("value", "max")},
+        n_salts=16)
+    return out.select(
+        "event_type",
+        F.round(F.col("value_sum"), 2).alias("value_sum"),
+        "value_count",
+        F.round(F.col("value_max"), 2).alias("value_max"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

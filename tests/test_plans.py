@@ -87,3 +87,27 @@ def test_q10_take_ordered(spark, catalog):
     top-k + driver merge), never a global sort."""
     p = _explain(catalog["q10_returned_items"][0](spark, SF), "simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_salted_agg_is_two_phase(spark, catalog):
+    p = _explain(catalog["skew_salted_event_stats"][0](spark, SF), "simple")
+    # phase 1 groups on (key, salt), phase 2 on key alone: two distinct
+    # aggregate key sets, salt gone from the final one
+    assert re.search(r"HashAggregate\(keys=\[event_type[^\]]*__salt", p)
+    finals = re.findall(r"HashAggregate\(keys=\[event_type#\d+\]", p)
+    assert finals, p
+
+
+def test_curation_pipeline_broadcasts_eval_and_avoids_cartesian(spark, catalog):
+    p = _explain(catalog["pipeline_curation_full"][0](spark, SF), "simple")
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", p)   # decontam set
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_funnel_joins_are_equi_joins(spark, catalog):
+    p = _explain(catalog["funnel_view_click_purchase"][0](spark, SF), "simple")
+    # stage-to-stage joins are keyed on user_id; the final 1x1x1 stitch
+    # may be a nested-loop on single rows, which is fine
+    assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[user_id", p) \
+        or re.search(r"\(user_id", p)
