@@ -129,10 +129,35 @@ def _projection(v: F.Column, weights: list[float]) -> F.Column:
     ~6x SLOWER end-to-end than the HOF fold at catalog scale — the
     fold's per-element interpretation is cheap next to the codegen
     compile cost of 2048-term expressions."""
-    w_arr = F.array(*[F.lit(w) for w in weights])
+    # one array Literal node (not 64 scalar lits wrapped in array()):
+    # the driver-side analyzer/optimizer cost of the 32-plane tree is
+    # dominated by node count, and plan build runs per query execution
+    w_arr = F.lit(weights)
     return F.aggregate(
         F.zip_with(v, w_arr, lambda x, w: x * w),
         F.lit(0.0), lambda acc, t: acc + t)
+
+
+def _projection_sql(v_sql: str, weights: list[float]) -> str:
+    """SQL-string twin of :func:`_projection` — the identical
+    aggregate/zip_with fold, built as ONE parser call instead of
+    thousands of py4j Column constructions.  Plan build runs on the
+    driver per query execution; for the 32-plane LSH tree the py4j
+    round-trips alone cost ~4 s per run (measured), the parsed string
+    ~0.2 s.  ``repr(w)`` round-trips the exact IEEE double."""
+    arr = "array(" + ", ".join(repr(w) for w in weights) + ")"
+    return (f"aggregate(zip_with({v_sql}, {arr}, (x, w) -> x * w), "
+            f"cast(0.0 as double), (acc, t) -> acc + t)")
+
+
+def _bucket_sql(v_sql: str, ws: list[list[float]]) -> str:
+    """Sign-bit bucket of projections onto ``ws`` planes, as SQL."""
+    bits = [
+        f"(CASE WHEN {_projection_sql(v_sql, w)} >= 0 "
+        f"THEN {1 << p} ELSE 0 END)"
+        for p, w in enumerate(ws)
+    ]
+    return "cast((" + " + ".join(bits) + ") as bigint)"
 
 
 def lsh_signatures(df: DataFrame, n_planes: int = 8,
@@ -140,17 +165,11 @@ def lsh_signatures(df: DataFrame, n_planes: int = 8,
                    dim: int = DEFAULT_DIM, seed: str = "") -> DataFrame:
     """(id, vec, bucket BIGINT): sign bits of projections onto n_planes
     deterministic hyperplanes (literal weights, see :func:`plane_weights`)."""
-    v = F.col(vec_col).cast("array<double>")
+    v_sql = f"cast({vec_col} as array<double>)"
     ws = plane_weights(n_planes, dim, seed)
-    bits = [
-        F.when(_projection(v, ws[p]) >= 0, F.lit(1 << p)).otherwise(0)
-        for p in range(n_planes)
-    ]
-    bucket = bits[0]
-    for b in bits[1:]:
-        bucket = bucket + b
-    return df.select(F.col(id_col).alias("vec_id"), v.alias("vec"),
-                     bucket.cast("bigint").alias("bucket"))
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.expr(v_sql).alias("vec"),
+                     F.expr(_bucket_sql(v_sql, ws)).alias("bucket"))
 
 
 def lsh_band_buckets(df: DataFrame, n_tables: int = 8,
@@ -165,21 +184,15 @@ def lsh_band_buckets(df: DataFrame, n_tables: int = 8,
     per-plane agreement p, so near-dup recall stays high while each
     table's bucket count (2^r per table) keeps the self-join
     subquadratic.  The near-dup analogue of MinHash banding."""
-    v = F.col(vec_col).cast("array<double>")
-    buckets = []
-    for t in range(n_tables):
-        ws = plane_weights(planes_per_table, dim, seed=f"t{t}|")
-        bits = [
-            F.when(_projection(v, ws[p]) >= 0, F.lit(1 << p)).otherwise(0)
-            for p in range(planes_per_table)
-        ]
-        bucket = bits[0]
-        for b in bits[1:]:
-            bucket = bucket + b
-        buckets.append(bucket.cast("bigint"))
+    v_sql = f"cast({vec_col} as array<double>)"
+    tables = [
+        _bucket_sql(v_sql, plane_weights(planes_per_table, dim, seed=f"t{t}|"))
+        for t in range(n_tables)
+    ]
     return df.select(
-        F.col(id_col).alias("vec_id"), v.alias("vec"),
-        F.posexplode(F.array(*buckets)).alias("table_idx", "bucket"))
+        F.col(id_col).alias("vec_id"), F.expr(v_sql).alias("vec"),
+        F.posexplode(F.expr("array(" + ", ".join(tables) + ")"))
+         .alias("table_idx", "bucket"))
 
 
 def lsh_candidate_pairs(df: DataFrame, n_tables: int = 8,

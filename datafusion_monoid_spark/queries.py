@@ -61,6 +61,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d
 
 
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, repartitioned like :func:`_docs` — the
+    per-row hyperplane projections / dot products of the similarity
+    tier are expression-heavy, and the MB-scale test file is a single
+    row group (one core otherwise)."""
+    e = _t(spark, sf_dir, "embeddings")
+    par = spark.sparkContext.defaultParallelism
+    if e.rdd.getNumPartitions() < par:
+        e = e.repartition(par)
+    return e
+
+
 def _explode_result(df: DataFrame, groups: list[str], round_to: int | None = 2,
                     cast: str | None = None) -> DataFrame:
     """(groups, result array) -> (groups, pos, val) scalar rows."""
@@ -144,7 +156,7 @@ def monoid_embedding_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     micro-units first, so the distributed sum is order-independent and
     hash-matches any engine — the float-centroid variant would differ in
     the last ulp by partitioning."""
-    e = _t(spark, sf_dir, "embeddings").select(
+    e = _emb(spark, sf_dir).select(
         (F.col("vec_id") % 8).cast("bigint").alias("grp"),
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: F.round(x * 1000000).cast("bigint")).alias("arr"))
@@ -745,7 +757,7 @@ def dedup_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold so both engines filter identical quantized values.
     The DuckDB oracle replays the identical literal planes."""
     from datafusion_monoid_spark.operators.similarity import lsh_candidate_pairs
-    e = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") % 4 == 0)
+    e = _emb(spark, sf_dir).where(F.col("vec_id") % 4 == 0)
     cand = lsh_candidate_pairs(e, n_tables=8, planes_per_table=4)
     s = F.round(cosine_similarity(F.col("vec_a"), F.col("vec_b")), 3)
     return (
@@ -794,7 +806,7 @@ FROM r WHERE rk <= 5
 """)
 def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 for 20 query vectors — the ANN baseline."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return sim.brute_force_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
@@ -802,7 +814,7 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 def sim_topk_numpy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput tier: NumPy matmul per Arrow batch, local top-k then
     global window — exact, so the brute-force SQL is its oracle."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return sim.brute_force_topk_np(e, e.where(F.col("vec_id") < 20), k=5)
 
 
@@ -840,7 +852,7 @@ def sim_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-1 multiprobe).  Fully deterministic (literal md5-derived
     planes), so DuckDB rebuilds the identical tables as the oracle;
     recall vs brute force is additionally measured in tests."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return sim.lsh_bucket_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
@@ -891,7 +903,7 @@ def sim_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN tier 2: IVF with deterministic centroids (lowest-32 ids),
     nprobe=8/32.  Deterministic end-to-end, so the oracle replays the
     full assign/probe/re-rank pipeline in DuckDB."""
-    e = _t(spark, sf_dir, "embeddings")
+    e = _emb(spark, sf_dir)
     return sim.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5)
 
 
@@ -2348,7 +2360,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both engines, and floor (not round) avoids half-tie semantics
     differences.  Both aggregations are partial-agg friendly; nothing
     ever materializes per-vector state."""
-    v = (_t(spark, sf_dir, "embeddings")
+    v = (_emb(spark, sf_dir)
          .select("vec_id", F.posexplode(F.col("embedding").cast("array<double>"))
                  .alias("pos", "x")))
     st = v.groupBy("pos").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
@@ -2697,6 +2709,31 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_sum"), 2).alias("value_sum"),
         "value_count",
         F.round(F.col("value_max"), 2).alias("value_max"))
+
+
+@register("unpivot_lineitem_measures", """
+SELECT l_returnflag, measure, round(sum(val), 2) AS total
+FROM (
+  SELECT l_returnflag, measure, val
+  FROM lineitem
+  UNPIVOT (val FOR measure IN (l_quantity, l_extendedprice, l_discount))
+)
+GROUP BY l_returnflag, measure
+""")
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT/melt — wide measures to long (measure, value) rows,
+    then a per-(flag, measure) rollup.  ``DataFrame.unpivot`` is a
+    generator expression riding the scan (no shuffle of its own, 3x
+    row blow-up only after column pruning); the one shuffle is the
+    final aggregation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice", "l_discount")
+    melted = li.unpivot(
+        ids=["l_returnflag"],
+        values=["l_quantity", "l_extendedprice", "l_discount"],
+        variableColumnName="measure", valueColumnName="val")
+    return (melted.groupBy("l_returnflag", "measure")
+            .agg(F.round(F.sum("val"), 2).alias("total")))
 
 
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
