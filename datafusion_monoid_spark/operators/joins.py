@@ -84,3 +84,45 @@ def range_join_bucketed(fact: DataFrame, dim: DataFrame, value_col: str,
         .where((F.col(value_col) >= F.col(lo_col)) & (F.col(value_col) < F.col(hi_col)))
         .drop("__bucket")
     )
+
+
+def asof_join_cogrouped(left: DataFrame, right: DataFrame, on: str, by: str,
+                        right_cols: list[str],
+                        tolerance: int | None = None) -> DataFrame:
+    """``pd.merge_asof``-per-key twin of :func:`asof_join`, via the
+    cogrouped ``applyInPandas`` API: both sides hash-partition on the
+    key, each key's two Arrow batches meet in one Python worker.
+
+    Same output as the window form (cross-checked in tests) — the
+    window form is the production path (stays JVM-side); this form is
+    the escape hatch for per-key logic a window cannot express
+    (interpolation, state machines) and pins the cogroup plumbing.
+    Scale shape: one co-partitioned shuffle per side, per-key memory
+    bounded by the key's rows — same contract as any groupBy.
+    """
+    import pandas as pd
+
+    lcols = list(left.columns)
+    out_fields = [f"{c} {left.schema[c].dataType.simpleString()}"
+                  for c in lcols]
+    out_fields.append(f"matched_{on} {right.schema[on].dataType.simpleString()}")
+    out_fields += [f"matched_{c} {right.schema[c].dataType.simpleString()}"
+                   for c in right_cols]
+    schema = ", ".join(out_fields)
+
+    def merge(lpdf: pd.DataFrame, rpdf: pd.DataFrame) -> pd.DataFrame:
+        lpdf = lpdf.sort_values(on, kind="mergesort")
+        rslim = (rpdf[[on] + right_cols].sort_values(on, kind="mergesort")
+                 .rename(columns={c: f"matched_{c}" for c in right_cols})
+                 .rename(columns={on: f"matched_{on}"}))
+        kw = {}
+        if tolerance is not None:
+            kw["tolerance"] = tolerance
+        m = pd.merge_asof(lpdf, rslim, left_on=on,
+                          right_on=f"matched_{on}",
+                          direction="backward", **kw)
+        return m[[c for c in m.columns
+                  if c in lcols or c.startswith("matched_")]]
+
+    return (left.groupBy(by).cogroup(right.groupBy(by))
+            .applyInPandas(merge, schema))

@@ -246,3 +246,28 @@ def streaming_histogram(events: DataFrame, val_col: str = "value",
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("window").start.alias("window_start"), "bin", "cnt")
     )
+
+
+def streaming_contamination_alerts(doc_stream: DataFrame,
+                                   eval_grams: DataFrame,
+                                   id_col: str = "doc_id",
+                                   text_col: str = "text",
+                                   n: int = 4) -> DataFrame:
+    """STREAM-STATIC decontamination: the streaming corpus's n-gram
+    hashes LEFT SEMI join the static benchmark gram set (broadcast —
+    eval suites are MB-scale), and distinct contaminated doc ids
+    stream out for quarantine.
+
+    The stream side is never shuffled for the join (broadcast semi),
+    exactly like the batch operator (operators/curation.py); the only
+    stateful step is the id-level dropDuplicates.  In production add
+    a watermark on an arrival-time column to bound that state; the
+    eval set being STATIC (reloaded per restart) is what keeps this a
+    supported streaming join shape."""
+    from datafusion_monoid_spark.operators.curation import ngram_hashes
+
+    g = ngram_hashes(doc_stream, id_col, text_col, n)
+    hits = g.join(
+        F.broadcast(eval_grams.select("gram_hash").distinct()),
+        "gram_hash", "left_semi")
+    return hits.select(id_col).dropDuplicates([id_col])

@@ -47,3 +47,40 @@ def test_range_join_boundaries(spark):
            jn.range_join_bucketed(fact, dim, "v", "lo", "hi", granularity=10.0).collect()}
     # [lo, hi): lower bound inclusive, upper exclusive; out-of-range rows drop
     assert out == {1: "a", 2: "a", 3: "b", 4: "b"}
+
+
+def test_asof_cogrouped_matches_window_form(sides):
+    """The pandas-cogroup as-of must agree with the JVM window form on
+    the hand-built edges (backward match, equal ts, no-match users)."""
+    left, right = sides
+    win = {r["event_id"]: (r["matched_ns"], r["matched_value"]) for r in
+           jn.asof_join(left, right, on="ns", by="user_id",
+                        right_cols=["value"]).collect()}
+    cog = {r["event_id"]: (r["matched_ns"], r["matched_value"]) for r in
+           jn.asof_join_cogrouped(left, right, on="ns", by="user_id",
+                                  right_cols=["value"]).collect()}
+    assert cog == win and len(cog) == 4
+
+
+def test_asof_cogrouped_matches_window_form_randomized(spark):
+    """500 random events across 20 keys: the two execution forms are
+    row-for-row identical (the cross-form discipline of the monoid
+    core, applied to joins)."""
+    import random
+    rng = random.Random(7)
+    left = spark.createDataFrame(
+        [(i, rng.randrange(20), rng.randrange(1000)) for i in range(500)],
+        "event_id int, user_id int, ns long")
+    right = spark.createDataFrame(
+        [(k, ns, float(ns)) for k in range(15)
+         for ns in rng.sample(range(1000), 30)],
+        "user_id int, ns long, value double")
+    # dedup right on (key, ns) for determinism, as asof_join requires
+    right = right.dropDuplicates(["user_id", "ns"])
+    win = {r["event_id"]: (r["matched_ns"], r["matched_value"]) for r in
+           jn.asof_join(left, right, on="ns", by="user_id",
+                        right_cols=["value"]).collect()}
+    cog = {r["event_id"]: (r["matched_ns"], r["matched_value"]) for r in
+           jn.asof_join_cogrouped(left, right, on="ns", by="user_id",
+                                  right_cols=["value"]).collect()}
+    assert cog == win and len(cog) == 500

@@ -306,3 +306,39 @@ def test_streaming_histogram_matches_batch_and_quantiles(spark, events_dir, tmp_
                for r in sk.hist_quantiles(batch_hist, [500000, 900000],
                                           0.0, 500.0, 64).collect()}
     assert stream_q == batch_q
+
+
+def test_streaming_contamination_matches_batch(spark, tmp_path):
+    """Stream-static semi join: the contaminated-id stream equals the
+    batch decontamination verdict on the same corpus file."""
+    import shutil
+    from datafusion_monoid_spark.operators import curation as cu
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        streaming_contamination_alerts)
+
+    d = tmp_path / "docs_stream"
+    d.mkdir()
+    shutil.copy(f"{SF}/documents.parquet", d / "part-0.parquet")
+
+    batch_docs = spark.read.parquet(str(d))
+    ev = batch_docs.where(F.col("doc_id") % 97 == 0)
+    tr_stream = (spark.readStream
+                 .schema(batch_docs.schema).parquet(str(d))
+                 .where(F.col("doc_id") % 97 != 0))
+    alerts = streaming_contamination_alerts(
+        tr_stream, cu.ngram_hashes(ev, "doc_id", "text", 4))
+    q = (alerts.writeStream.outputMode("append")
+         .format("memory").queryName("contam")
+         .option("checkpointLocation", str(tmp_path / "ckpt_c"))
+         .start())
+    try:
+        q.processAllAvailable()
+        got = {r.doc_id for r in spark.sql("SELECT * FROM contam").collect()}
+    finally:
+        q.stop()
+
+    tr = batch_docs.where(F.col("doc_id") % 97 != 0)
+    want = {r.doc_id for r in cu.contaminated_ids(
+        cu.ngram_hashes(tr, "doc_id", "text", 4),
+        cu.ngram_hashes(ev, "doc_id", "text", 4), "doc_id").collect()}
+    assert got == want and len(want) > 0
