@@ -2736,5 +2736,127 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.round(F.sum("val"), 2).alias("total")))
 
 
+@register("q7_volume_shipping", """
+SELECT supp_nation, cust_nation, ship_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT))
+            AS BIGINT) AS revenue_cents
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+         l_extendedprice, l_discount
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+      OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+    AND l_shipdate >= '1996-01-01' AND l_shipdate < '1998-01-01'
+)
+GROUP BY supp_nation, cust_nation, ship_year
+""")
+def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year.  Both nation joins broadcast; the cross-side nation-pair
+    disjunction evaluates post-join; the fact tables shuffle only on
+    their own keys.  Revenue in exact integer cents."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1998-01-01"))
+          .select("l_orderkey", "l_suppkey",
+                  F.year("l_shipdate").cast("bigint").alias("ship_year"),
+                  F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                          * 100).cast("bigint").alias("cents")))
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("nk1"),
+                              F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk2"),
+                              F.col("n_name").alias("cust_nation")))
+    j = (li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(c, F.col("c_custkey") == F.col("o_custkey"))
+         .join(n1, F.col("nk1") == F.col("s_nationkey"))
+         .join(n2, F.col("nk2") == F.col("c_nationkey"))
+         .where(((F.col("supp_nation") == "NATION_3")
+                 & (F.col("cust_nation") == "NATION_7"))
+                | ((F.col("supp_nation") == "NATION_7")
+                   & (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation", "ship_year")
+            .agg(F.sum("cents").cast("bigint").alias("revenue_cents")))
+
+
+@register("q8_market_share", """
+WITH all_orders AS (
+  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+         CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+           AS cents,
+         n2.n_name AS supp_nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE' AND p_type = 'ECONOMY'
+    AND o_orderdate >= '1996-01-01' AND o_orderdate < '1998-01-01'
+)
+SELECT o_year,
+       CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+            AS BIGINT) AS nation7_cents,
+       CAST(sum(cents) AS BIGINT) AS total_cents,
+       CAST((sum(CASE WHEN supp_nation = 'NATION_7' THEN cents ELSE 0 END)
+             * 1000000) // sum(cents) AS BIGINT) AS share_micro
+FROM all_orders GROUP BY o_year
+""")
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a product segment's
+    revenue in a region, by order year.  Five dimension joins
+    broadcast (part is filtered to one p_type first); the share is
+    exact integer micro-units of exact cent sums."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_orderkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+         .cast("bigint").alias("cents"))
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .where(F.col("p_type") == "ECONOMY")
+                    .select("p_partkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1996-01-01")
+                & (F.col("o_orderdate") < "1998-01-01"))
+         .select("o_orderkey", "o_custkey",
+                 F.year("o_orderdate").cast("bigint").alias("o_year")))
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("nk1"),
+                              "n_regionkey"))
+    r = F.broadcast(_t(spark, sf_dir, "region")
+                    .where(F.col("r_name") == "EUROPE"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("nk2"),
+                              F.col("n_name").alias("supp_nation")))
+    j = (li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(c, F.col("c_custkey") == F.col("o_custkey"))
+         .join(n1, F.col("nk1") == F.col("c_nationkey"))
+         .join(r, F.col("r_regionkey") == F.col("n_regionkey"))
+         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(n2, F.col("nk2") == F.col("s_nationkey")))
+    nation7 = F.sum(F.when(F.col("supp_nation") == "NATION_7",
+                           F.col("cents")).otherwise(F.lit(0)))
+    total = F.sum("cents")
+    return j.groupBy("o_year").agg(
+        nation7.cast("bigint").alias("nation7_cents"),
+        total.cast("bigint").alias("total_cents"),
+        cu.micro_ratio(nation7, total).alias("share_micro"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

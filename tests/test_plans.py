@@ -111,3 +111,10 @@ def test_funnel_joins_are_equi_joins(spark, catalog):
     # may be a nested-loop on single rows, which is fine
     assert re.search(r"(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \[user_id", p) \
         or re.search(r"\(user_id", p)
+
+
+def test_q7_q8_dimensions_broadcast(spark, catalog):
+    for name in ("q7_volume_shipping", "q8_market_share"):
+        p = _explain(catalog[name][0](spark, SF), "simple")
+        assert "SortMergeJoin" not in p, name
+        assert p.count("BroadcastHashJoin") >= 3, name
