@@ -2858,5 +2858,33 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         cu.micro_ratio(nation7, total).alias("share_micro"))
 
 
+@register("boilerplate_spans", f"""
+WITH g AS (SELECT DISTINCT doc_id, g AS gram
+           FROM (SELECT doc_id, unnest({_SH4}) AS g FROM documents)),
+df AS (SELECT gram, count(*) AS n_docs FROM g GROUP BY gram),
+top AS (SELECT gram, n_docs FROM df WHERE n_docs >= 3
+        ORDER BY n_docs DESC, gram LIMIT 20)
+SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, gram) AS INTEGER) AS rk,
+       gram, CAST(n_docs AS BIGINT) AS n_docs
+FROM top
+""")
+def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate detection: word 4-grams recurring across
+    >= 3 distinct documents, ranked by document frequency — the span
+    table a curation pipeline strips (headers, footers, license
+    blurbs).  Distinct-per-doc explode -> one count shuffle -> top-k
+    via TakeOrderedAndProject; the ranking window sees 20 rows."""
+    docs = _docs(spark, sf_dir)
+    g = docs.select("doc_id",
+                    F.explode(dd.word_shingles("text", 4)).alias("gram"))
+    dfreq = (g.groupBy("gram")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+             .where(F.col("n_docs") >= 3))
+    top = dfreq.orderBy(F.desc("n_docs"), F.asc("gram")).limit(20)
+    w = Window.orderBy(F.desc("n_docs"), F.asc("gram"))
+    return top.select(F.row_number().over(w).cast("int").alias("rk"),
+                      "gram", "n_docs")
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)
