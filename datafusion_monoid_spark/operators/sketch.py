@@ -266,3 +266,44 @@ def hist_quantiles(hist: DataFrame, q_micros: list[int], lo: float,
                     F.round(F.lit(lo) + (F.col("bin") + 1)
                             * F.lit((hi - lo)) / F.lit(bins), 2)
                      .alias("upper_edge")))
+
+
+def hist_build_grouped(df: DataFrame, group_col: str, val_col: str,
+                       lo: float, hi: float, bins: int) -> DataFrame:
+    """(group, bin, cnt): one fixed-bin histogram per group — same
+    count-vector monoid, keyed; reduce state is O(groups x bins)."""
+    v = F.col(val_col).cast("double")
+    return (df.where(v.isNotNull())
+            .groupBy(F.col(group_col).alias("grp"),
+                     hist_bin(v, lo, hi, bins).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def hist_quantiles_grouped(hist: DataFrame, q_micros: list[int], lo: float,
+                           hi: float, bins: int) -> DataFrame:
+    """(grp, q_micro, bin, upper_edge) — :func:`hist_quantiles` per
+    group: the cumulative window PARTITIONS by group (O(bins) rows per
+    partition, never a global sort) and target ranks stay exact
+    integer arithmetic."""
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy("grp").orderBy("bin")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    totals = hist.groupBy("grp").agg(F.sum("cnt").cast("bigint")
+                                     .alias("__total"))
+    cum = (hist.join(totals, "grp")
+           .select("grp", "bin",
+                   F.sum("cnt").over(w).cast("bigint").alias("cum"),
+                   "__total"))
+    qs = F.explode(F.array(*[F.lit(q).cast("bigint")
+                             for q in q_micros])).alias("q_micro")
+    ranked = cum.select("grp", "bin", "cum", "__total", qs)
+    rank = ((F.col("__total") * F.col("q_micro")
+             - (F.col("__total") * F.col("q_micro")) % 1_000_000)
+            / 1_000_000).cast("bigint")
+    return (ranked.where(F.col("cum") >= F.greatest(rank, F.lit(1)))
+            .groupBy("grp", "q_micro").agg(F.min("bin").alias("bin"))
+            .select("grp", "q_micro", "bin",
+                    F.round(F.lit(lo) + (F.col("bin") + 1)
+                            * F.lit((hi - lo)) / F.lit(bins), 2)
+                     .alias("upper_edge")))

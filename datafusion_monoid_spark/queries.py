@@ -2886,5 +2886,41 @@ def boilerplate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "gram", "n_docs")
 
 
+@register("group_quantile_tokens", f"""
+WITH t AS (SELECT source,
+                  len(list_filter(string_split({_NORM}, ' '), x -> x != ''))
+                    AS n_toks
+           FROM documents),
+h AS (SELECT source AS grp,
+             {sk.hist_bin_sql("n_toks", 0.0, 128.0, 128)} AS bin,
+             count(*) AS cnt
+      FROM t GROUP BY grp, bin),
+tot AS (SELECT grp, CAST(sum(cnt) AS BIGINT) AS total FROM h GROUP BY grp),
+c AS (SELECT h.grp, bin,
+             CAST(sum(cnt) OVER (PARTITION BY h.grp ORDER BY bin
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+             total
+      FROM h JOIN tot ON h.grp = tot.grp),
+q AS (SELECT unnest([500000, 900000]) AS q_micro),
+r AS (SELECT grp, q_micro, bin FROM c, q
+      WHERE cum >= greatest((total * q_micro) // 1000000, 1))
+SELECT grp, CAST(q_micro AS BIGINT) AS q_micro, CAST(min(bin) AS BIGINT) AS bin,
+       round(0.0 + (min(bin) + 1) * 128.0 / 128, 2) AS upper_edge
+FROM r GROUP BY grp, q_micro
+""")
+def group_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source p50/p90 document length (tokens) via GROUPED
+    histogram sketches: one keyed count-vector per source (unit-width
+    bins, so the sketch is exact here), cumulative windows PARTITIONED
+    by group.  The shape a corpus dashboard computes for every slice at
+    once — state O(groups x bins), never a per-group sort of the
+    data."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select("source",
+                        tx.token_counts("text")["ws_tokens"].alias("n_toks"))
+    h = sk.hist_build_grouped(sized, "source", "n_toks", 0.0, 128.0, 128)
+    return sk.hist_quantiles_grouped(h, [500000, 900000], 0.0, 128.0, 128)
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

@@ -184,3 +184,25 @@ def test_hist_quantiles_track_exact_percentiles(spark):
     for q in qs:
         exact = q / 1e6 * n
         assert abs(got[q] - exact) <= width + 1e-9, (q, got[q], exact)
+
+
+def test_grouped_hist_quantiles_match_per_group_exact(spark):
+    """Unit-width bins make the grouped sketch exact: each group's
+    p50 bin equals the true median of that group's integer values."""
+    import random
+    rng = random.Random(3)
+    rows = [(f"g{g}", float(rng.randint(0, 63)))
+            for g in range(5) for _ in range(200)]
+    df = spark.createDataFrame(rows, "grp0 string, v double")
+    h = sk.hist_build_grouped(df, "grp0", "v", 0.0, 64.0, 64)
+    got = {(r["grp"], r["q_micro"]): r["bin"]
+           for r in sk.hist_quantiles_grouped(h, [500000], 0.0, 64.0, 64)
+                      .collect()}
+    import math
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(int(v))
+    for g, vals in by_g.items():
+        vals.sort()
+        rank = max(len(vals) * 500000 // 1000000, 1)
+        assert got[(g, 500000)] == vals[rank - 1], g
