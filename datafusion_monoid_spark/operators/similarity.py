@@ -307,3 +307,70 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 cosine_similarity(F.col("qvec"), F.col("cvec")).alias("sim"))
     )
     return _ranked_topk(pairs, k)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic quantized k-means (Lloyd) — an ITERATIVE algorithm that
+# still hash-matches a SQL oracle: every step is exact integer math
+# (micro-unit vectors, squared-L2 in BIGINT, floor-division means), so
+# any engine that unrolls the same iterations reproduces the centroids
+# bit-for-bit.  The float version of Lloyd's is notoriously
+# partitioning-dependent (sum order changes means); quantization is
+# what buys reproducibility-at-scale here, the same trade the exact
+# monoid centroid numerator (queries.monoid_embedding_sum) makes.
+# ---------------------------------------------------------------------------
+
+def quantize_micro(vec_col: str = "embedding") -> F.Column:
+    """float vector -> BIGINT micro-units (round half-up, exact)."""
+    return F.transform(F.col(vec_col).cast("array<double>"),
+                       lambda x: F.round(x * 1_000_000).cast("bigint"))
+
+
+def _sqdist_micro(a, b) -> F.Column:
+    """Exact squared L2 between micro-int vectors (fits BIGINT:
+    64 dims x (2e6)^2 = 2.6e14 << 2^63)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                       F.lit(0).cast("bigint"), lambda acc, t: acc + t)
+
+
+def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """(cid, pos, val): centroids after ``iters`` Lloyd rounds, seeded
+    from the first ``k`` vectors by id.
+
+    Per round: assignment = argmin exact squared-L2 against the
+    BROADCAST centroids (k x dim integers — always broadcastable;
+    the corpus is never shuffled for assignment), tie-break on cid;
+    update = per-(cid, pos) floor-division mean of exact integer sums
+    (posexplode + partial agg — the monoid two-phase shape); empty
+    clusters keep their previous centroid.  Iteration count is FIXED
+    (not convergence-tested): deterministic work, and each round is a
+    full lineage checkpointable stage at scale."""
+    v = df.select(F.col(id_col).alias("__vid"),
+                  quantize_micro(vec_col).alias("__v"))
+    cents = (v.where(F.col("__vid") < k)
+             .select(F.col("__vid").alias("cid"), F.col("__v").alias("cv")))
+    for _ in range(iters):
+        d = (v.crossJoin(F.broadcast(cents))
+             .select("__vid", "__v", "cid",
+                     _sqdist_micro(F.col("__v"), F.col("cv")).alias("__d")))
+        assigned = (d.groupBy("__vid")
+                    .agg(F.min(F.struct("__d", "cid", "__v")).alias("__m"))
+                    .select(F.col("__m.cid").alias("cid"),
+                            F.col("__m.__v").alias("__v")))
+        sums = (assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
+                .groupBy("cid", "pos")
+                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")))
+        means = sums.select(
+            "cid", "pos",
+            ((F.col("s") - F.col("s") % F.col("n")) / F.col("n"))
+            .cast("bigint").alias("val"))
+        new_cents = (means.groupBy("cid")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                         lambda t: t["val"]).alias("cv")))
+        cents = (cents.select("cid", F.col("cv").alias("__old"))
+                 .join(new_cents, "cid", "left")
+                 .select("cid", F.coalesce("cv", "__old").alias("cv")))
+    return cents.select("cid", F.posexplode("cv").alias("pos", "val"))

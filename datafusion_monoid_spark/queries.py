@@ -2922,5 +2922,61 @@ def group_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hist_quantiles_grouped(h, [500000, 900000], 0.0, 128.0, 128)
 
 
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as chained CTEs — exact integer math
+    start to finish, so the SQL replay is bit-identical."""
+    parts = [f"""
+WITH vecs AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+              FROM embeddings),
+cents0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {k})"""]
+    for i in range(iters):
+        parts.append(f""",
+d{i} AS (SELECT vec_id, v, cid,
+         list_sum(list_transform(range(1, {dim + 1}),
+                  j -> (v[j] - cv[j]) * (v[j] - cv[j]))) AS d
+         FROM vecs CROSS JOIN cents{i}),
+a{i} AS (SELECT vec_id, v, cid FROM (
+           SELECT vec_id, v, cid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d, cid) AS rn
+           FROM d{i}) WHERE rn = 1),
+s{i} AS (SELECT cid, pos, sum(x) AS s, count(*) AS n FROM (
+           SELECT cid, unnest(v) AS x,
+                  unnest(range(0, len(v))) AS pos
+           FROM a{i}) GROUP BY cid, pos),
+m{i} AS (SELECT cid, pos,
+                CAST((s - s % n) // n AS BIGINT) AS val FROM s{i}),
+cents{i + 1} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv
+                 FROM cents{i} c
+                 LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS cv
+                            FROM m{i} GROUP BY cid) n
+                 ON c.cid = n.cid)""")
+    parts.append(f"""
+SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS INTEGER) AS pos,
+       CAST(val AS BIGINT) AS val
+FROM (SELECT cid, unnest(cv) AS val, unnest(range(0, len(cv))) AS pos
+      FROM cents{iters})""")
+    return "".join(parts)
+
+
+@register("kmeans_quantized_centroids", _kmeans_oracle_sql())
+def kmeans_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three Lloyd rounds of k-means (k=8) over the embeddings in EXACT
+    integer arithmetic — the iterative algorithm made hash-matchable:
+    micro-unit quantization, BIGINT squared-L2, floor-division means,
+    argmin tie-broken on centroid id.  Float Lloyd's is
+    partitioning-dependent (sum order perturbs means, assignments flip
+    on the boundary); the quantized form is reproducible on any engine
+    and any cluster layout.  Per round the corpus only ever meets the
+    broadcast k x dim centroid table; the mean is a posexplode
+    partial-agg — the monoid two-phase shape."""
+    e = _emb(spark, sf_dir)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    return cents.select(F.col("cid").cast("bigint").alias("cid"),
+                        F.col("pos").cast("int").alias("pos"),
+                        F.col("val").cast("bigint").alias("val"))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

@@ -56,3 +56,37 @@ def test_ann_recall_measured(spark, emb, brute, ann, kwargs, floor):
     hits = sum(len(got.get(qid, set()) & want[qid]) for qid in want)
     recall = hits / (len(want) * 5)
     assert recall >= floor, f"recall {recall:.2f} below floor {floor}"
+
+
+def test_kmeans_quantized_is_deterministic_and_learns(spark):
+    """Two runs produce identical centroids (the reproducibility claim);
+    three rounds move every centroid away from its seed vector; and
+    quantized inertia does not increase round over round."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got1 = {(r.cid, r.pos): r.val
+            for r in sim.kmeans_lloyd_quantized(e, k=8, iters=3).collect()}
+    got2 = {(r.cid, r.pos): r.val
+            for r in sim.kmeans_lloyd_quantized(e, k=8, iters=3).collect()}
+    assert got1 == got2
+    assert len(got1) == 8 * 64
+    seeds = {(r.cid, r.pos): r.val
+             for r in sim.kmeans_lloyd_quantized(e, k=8, iters=0).collect()}
+    assert got1 != seeds
+
+    def inertia(iters):
+        cents = sim.kmeans_lloyd_quantized(e, k=8, iters=iters)
+        cv = (cents.groupBy("cid")
+              .agg(F.transform(F.array_sort(F.collect_list(
+                  F.struct("pos", "val"))), lambda t: t["val"]).alias("cv")))
+        v = e.select(sim.quantize_micro("embedding").alias("v"))
+        d = (v.crossJoin(F.broadcast(cv))
+             .select(sim._sqdist_micro(F.col("v"), F.col("cv")).alias("d"),
+                     "v"))
+        # nearest-centroid distance per vector, summed
+        from pyspark.sql import Window as W
+        import pyspark.sql.functions as FF
+        return (d.groupBy("v").agg(FF.min("d").alias("dm"))
+                .agg(FF.sum("dm")).first()[0])
+
+    i1, i2, i3 = inertia(1), inertia(2), inertia(3)
+    assert i2 <= i1 and i3 <= i2
