@@ -257,16 +257,18 @@ def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 # ---------------------------------------------------------------------------
 
 def ivf_assign(corpus: DataFrame, n_centroids: int = 32,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               centroids: DataFrame | None = None) -> DataFrame:
     """Assign every vector to its nearest centroid.
 
-    Centroids are the ``n_centroids`` lowest-id vectors — deterministic,
-    no iterative clustering (swap in k-means offline at scale; the search
-    path below is unchanged)."""
+    Default centroids are the ``n_centroids`` lowest-id vectors —
+    deterministic, no iterative clustering; pass ``centroids``
+    (cent_id, cent ARRAY<DOUBLE>) to use learned ones (e.g.
+    :func:`kmeans_lloyd_quantized` output, de-quantized) — the search
+    path is unchanged either way."""
     cent = F.broadcast(
-        corpus.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"),
-                F.col(vec_col).cast("array<double>").alias("cent")))
+        _default_centroids(corpus, n_centroids, id_col, vec_col)
+        if centroids is None else centroids)
     v = corpus.select(F.col(id_col).alias("cand_id"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
     d = v.crossJoin(cent).select(
@@ -283,15 +285,22 @@ def ivf_assign(corpus: DataFrame, n_centroids: int = 32,
     ).select("cand_id", "cvec", "cent_id")
 
 
+def _default_centroids(corpus: DataFrame, n_centroids: int,
+                       id_col: str, vec_col: str) -> DataFrame:
+    return (corpus.where(F.col(id_col) < n_centroids)
+            .select(F.col(id_col).alias("cent_id"),
+                    F.col(vec_col).cast("array<double>").alias("cent")))
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
              n_centroids: int = 32, nprobe: int = 8,
-             id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF ANN: search only the nprobe nearest centroid partitions."""
-    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col)
-    cent = F.broadcast(
-        corpus.where(F.col(id_col) < n_centroids)
-        .select(F.col(id_col).alias("cent_id"),
-                F.col(vec_col).cast("array<double>").alias("cent")))
+    if centroids is None:
+        centroids = _default_centroids(corpus, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(corpus, n_centroids, id_col, vec_col, centroids)
+    cent = F.broadcast(centroids)
     q = queries.select(F.col(id_col).alias("query_id"),
                        F.col(vec_col).cast("array<double>").alias("qvec"))
     qc = q.crossJoin(cent).select(

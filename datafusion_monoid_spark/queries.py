@@ -2922,11 +2922,11 @@ def group_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hist_quantiles_grouped(h, [500000, 900000], 0.0, 128.0, 128)
 
 
-def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
-    """Unrolled Lloyd iterations as chained CTEs — exact integer math
-    start to finish, so the SQL replay is bit-identical."""
-    parts = [f"""
-WITH vecs AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    """Unrolled Lloyd iterations as chained CTEs (no WITH keyword, no
+    final SELECT) — exact integer math start to finish, so the SQL
+    replay is bit-identical; composable into larger oracles."""
+    parts = [f"""vecs AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
               FROM embeddings),
 cents0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {k})"""]
@@ -2952,12 +2952,16 @@ cents{i + 1} AS (SELECT c.cid, coalesce(n.cv, c.cv) AS cv
                  LEFT JOIN (SELECT cid, list(val ORDER BY pos) AS cv
                             FROM m{i} GROUP BY cid) n
                  ON c.cid = n.cid)""")
-    parts.append(f"""
+    return "".join(parts)
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim)}
 SELECT CAST(cid AS BIGINT) AS cid, CAST(pos AS INTEGER) AS pos,
        CAST(val AS BIGINT) AS val
 FROM (SELECT cid, unnest(cv) AS val, unnest(range(0, len(cv))) AS pos
-      FROM cents{iters})""")
-    return "".join(parts)
+      FROM cents{iters})"""
 
 
 @register("kmeans_quantized_centroids", _kmeans_oracle_sql())
@@ -2976,6 +2980,70 @@ def kmeans_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(F.col("cid").cast("bigint").alias("cid"),
                         F.col("pos").cast("int").alias("pos"),
                         F.col("val").cast("bigint").alias("val"))
+
+
+def _ivf_kmeans_oracle_sql(k_cent: int = 8, iters: int = 3,
+                           nprobe: int = 4, k: int = 5) -> str:
+    csim_cand = _COS_SQL.format(a="c.v", b="ct.cent")
+    csim_query = _COS_SQL.format(a="q.v", b="ct.cent")
+    return f"""
+WITH {_kmeans_ctes(k_cent, iters)},
+cent AS (SELECT cid AS cent_id,
+                list_transform(cv, x -> x / 1000000.0) AS cent
+         FROM cents{iters}),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT cand_id, cent_id FROM (
+    SELECT c.vec_id AS cand_id, ct.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {csim_cand} DESC, ct.cent_id) AS rn
+    FROM e c CROSS JOIN cent ct)
+  WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT q.vec_id AS query_id, ct.cent_id,
+           row_number() OVER (PARTITION BY q.vec_id
+                              ORDER BY {csim_query} DESC, ct.cent_id) AS rn
+    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 20)
+  WHERE rn <= {nprobe}
+),
+cand AS (
+  SELECT DISTINCT probes.query_id, asg.cand_id
+  FROM probes JOIN asg USING (cent_id)
+  WHERE probes.query_id != asg.cand_id
+),
+p AS (
+  SELECT query_id, cand_id, {_COS_SQL.format(a='q.v', b='c.v')} AS sim
+  FROM cand JOIN e q ON cand.query_id = q.vec_id
+            JOIN e c ON cand.cand_id = c.vec_id
+),
+r AS (SELECT query_id, cand_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM p)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, round(sim, 3) AS sim
+FROM r WHERE rk <= {k}
+"""
+
+
+@register("sim_topk_ivf_kmeans", _ivf_kmeans_oracle_sql())
+def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN over LEARNED partitions: the deterministic quantized
+    k-means centroids (8, de-quantized to doubles) replace the
+    lowest-id seeds; nprobe=4 of 8 partitions searched.  The whole
+    composition — 3 Lloyd rounds AND the probing search — replays in
+    the SQL oracle, because every clustering step is exact integer
+    math.  Same search plan as sim_topk_ivf: assignment via
+    partial-agg argmax against broadcast centroids, candidates only."""
+    e = _emb(spark, sf_dir)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cv = (cents.groupBy(F.col("cid").alias("cent_id"))
+          .agg(F.transform(
+              F.array_sort(F.collect_list(F.struct("pos", "val"))),
+              lambda t: t["val"] / 1000000.0).alias("cent")))
+    return sim.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5,
+                        nprobe=4, centroids=cv)
 
 
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:

@@ -90,3 +90,22 @@ def test_kmeans_quantized_is_deterministic_and_learns(spark):
 
     i1, i2, i3 = inertia(1), inertia(2), inertia(3)
     assert i2 <= i1 and i3 <= i2
+
+
+def test_ivf_kmeans_recall_vs_bruteforce(spark):
+    """Learned-centroid IVF must keep a reasonable recall@5 floor vs
+    the exact brute-force result with only 4 of 8 partitions probed."""
+    e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = e.where(F.col("vec_id") < 10)
+    exact = {(r.query_id, r.cand_id)
+             for r in sim.brute_force_topk(e, q, k=5).collect()}
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cv = (cents.groupBy(F.col("cid").alias("cent_id"))
+          .agg(F.transform(F.array_sort(F.collect_list(
+              F.struct("pos", "val"))), lambda t: t["val"] / 1000000.0)
+              .alias("cent")))
+    approx = {(r.query_id, r.cand_id)
+              for r in sim.ivf_topk(e, q, k=5, nprobe=4,
+                                    centroids=cv).collect()}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, recall
