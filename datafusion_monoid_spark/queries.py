@@ -3046,5 +3046,40 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         nprobe=4, centroids=cv)
 
 
+@register("q12_late_shipments", """
+SELECT o_orderpriority,
+       CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                     THEN 1 ELSE 0 END) AS BIGINT) AS late_items,
+       count(*) AS total_items,
+       CAST((sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90
+                      THEN 1 ELSE 0 END) * 1000000) // count(*) AS BIGINT)
+         AS late_micro
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+GROUP BY o_orderpriority
+""")
+def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 flavor adapted to the available columns (the synthetic
+    lineitem has no shipmode/commitdate): items shipped more than 90
+    days after order date, by order priority — the
+    late-shipment-by-class report.  Day difference is exact integer
+    date arithmetic; the late share is exact micro-units.  One
+    co-keyed join + one agg."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate",
+                                           "o_orderpriority")
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01"))
+          .select("l_orderkey", "l_shipdate"))
+    late = F.sum(F.when(F.datediff("l_shipdate", "o_orderdate") > 90, 1)
+                 .otherwise(0))
+    total = F.count(F.lit(1))
+    return (o.join(li, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(late.cast("bigint").alias("late_items"),
+                 total.alias("total_items"),
+                 cu.micro_ratio(late, total).alias("late_micro")))
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     return dict(_CATALOG)

@@ -271,3 +271,30 @@ def streaming_contamination_alerts(doc_stream: DataFrame,
         F.broadcast(eval_grams.select("gram_hash").distinct()),
         "gram_hash", "left_semi")
     return hits.select(id_col).dropDuplicates([id_col])
+
+
+def streaming_cms(events: DataFrame, key_col: str = "event_type",
+                  depth: int = 4, width: int = 256,
+                  window: str = "1 hour",
+                  watermark: str = "2 hours") -> DataFrame:
+    """Windowed Count-Min Sketch — the CMS count-matrix monoid
+    (operators/sketch.py) in streaming form: per-(window, depth,
+    bucket) counts, bounded state of window x depth x width cells no
+    matter the key cardinality.  The per-window sketch answers
+    frequency point-queries for THAT window and merges with any other
+    window's sketch by cell-wise addition — the pre-aggregated
+    rollup a streaming frequency dashboard keeps."""
+    from datafusion_monoid_spark.operators.sketch import _cms_hash
+
+    keyed = (events.withWatermark("event_time", watermark)
+             .select("event_time", F.col(key_col).alias("__k")))
+    exploded = keyed.select(
+        "event_time",
+        F.posexplode(F.array(*[
+            _cms_hash(F.col("__k"), i, width) for i in range(depth)
+        ])).alias("depth", "bucket"))
+    return (exploded.groupBy(F.window("event_time", window),
+                             "depth", "bucket")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(F.col("window").start.alias("window_start"),
+                    "depth", "bucket", "cnt"))

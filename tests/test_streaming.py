@@ -342,3 +342,35 @@ def test_streaming_contamination_matches_batch(spark, tmp_path):
         cu.ngram_hashes(tr, "doc_id", "text", 4),
         cu.ngram_hashes(ev, "doc_id", "text", 4), "doc_id").collect()}
     assert got == want and len(want) > 0
+
+
+def test_streaming_cms_matches_batch_sketch(spark, events_dir, tmp_path):
+    """Per-window streamed CMS cells equal the batch sketch built on
+    each window's slice — the count-matrix monoid streaming contract."""
+    from datafusion_monoid_spark.operators import sketch as sk
+    from datafusion_monoid_spark.streaming.monoid_stream import (
+        read_events_stream, streaming_cms)
+
+    stream = read_events_stream(spark, events_dir)
+    agg = streaming_cms(stream, "event_type", window="1 hour")
+    q = run_stream_to_memory(agg, "cmsstream", str(tmp_path / "ckpt_cms"))
+    try:
+        got = {(r["window_start"], r["depth"], r["bucket"]): r["cnt"]
+               for r in spark.sql("SELECT * FROM cmsstream").collect()}
+    finally:
+        q.stop()
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = (spark.read.parquet(events_dir)
+             .withColumn("event_time",
+                         F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+             .withColumn("ws", F.window("event_time", "1 hour").start))
+    cells = (batch.select(
+        "ws", F.posexplode(F.array(*[
+            sk._cms_hash(F.col("event_type"), i, 256) for i in range(4)
+        ])).alias("depth", "bucket"))
+        .groupBy("ws", "depth", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt")))
+    want = {(r["ws"], r["depth"], r["bucket"]): r["cnt"]
+            for r in cells.collect()}
+    assert got == want and len(got) > 0
