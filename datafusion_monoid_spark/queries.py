@@ -3081,5 +3081,44 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cu.micro_ratio(late, total).alias("late_micro")))
 
 
+def _driver_checked_rounds() -> dict[str, str]:
+    """name -> latest CORRECTNESS_r*.json artifact that contains it.
+
+    The driver's correctness gate only covers the FIRST 50 ``catalog()``
+    entries per round; reading the past artifacts lets :func:`catalog`
+    rotate never-checked queries to the front so every operator
+    eventually gets an official driver correctness row (rounds 1-2
+    produced the identical 50-key window, leaving 40 queries checked
+    only by the local ``tools/check_oracles.py`` mirror)."""
+    import glob
+    import json
+    import os
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    seen: dict[str, str] = {}
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        try:
+            with open(path) as f:
+                data = json.load(f)
+        except (OSError, ValueError):
+            continue
+        if isinstance(data, dict):
+            for name in data:
+                seen[name] = os.path.basename(path)
+    return seen
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
-    return dict(_CATALOG)
+    """Registered queries, never-driver-checked first.
+
+    Order within each tier is registration order; previously-checked
+    entries are sorted least-recently-checked first so the 50-entry
+    driver window keeps rotating over the whole catalog across rounds.
+    """
+    seen = _driver_checked_rounds()
+    names = list(_CATALOG)
+    order = {n: i for i, n in enumerate(names)}
+    never = [n for n in names if n not in seen]
+    checked = sorted((n for n in names if n in seen),
+                     key=lambda n: (seen[n], order[n]))
+    return {n: _CATALOG[n] for n in (*never, *checked)}
