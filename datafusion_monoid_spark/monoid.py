@@ -24,7 +24,10 @@ Semantics decisions (documented deviations, see SURVEY.md §2.1 / §7):
   per-pair saturation in the expression/NumPy forms (the accumulator must
   stay bounded; an exact wide fold can exceed DECIMAL(38,0) after just
   three int64 factors) and sign/zero/log-magnitude decomposition in the
-  posexplode form.  Known cross-form divergence, by construction: once a
+  posexplode form — EXACT at all magnitudes: 8..32-bit carriers are
+  double-mantissa-exact in range, and 64-bit carriers route the
+  (2^52.5, 2^(bits+0.5)] band through a bounded DECIMAL(38,0) second
+  pass (array_reduce.py:_exact_product_per_pos).  Known cross-form divergence, by construction: once a
   product overflows, a later factor of magnitude <= 1 distinguishes the
   schemes (per-pair: ``sat(2^62 * 2) * -1 = -(2^63-1)``; exact-then-
   clamp: ``clamp(-2^63) = -2^63``).  All forms agree whenever no

@@ -126,15 +126,17 @@ def array_reduce(col: Column | str, monoid: Monoid | str,
 # ---------------------------------------------------------------------------
 
 def _int_product_agg(m: Monoid, e: Column) -> Column:
-    """Distributed saturating integer product per (group, pos).
+    """Distributed saturating integer product per (group, pos) — the
+    single-aggregation form for element types whose full range fits the
+    double mantissa (``hi + 1 <= 2^53``: every int8..int32/uint8..uint32
+    in-range product is exact in ``F.product``).
 
     No exact built-in integer product aggregate exists in Spark, so:
     sign from the parity of negative factors, zero short-circuit, overflow
     detection from sum(log2|x|), magnitude from the double-typed
     ``F.product``.  All components are partial-aggregation-capable
-    built-ins.  Caveat (documented): in-range products with magnitude in
-    (2^53, 2^63) lose low-bit precision to the double mantissa; the
-    expression and pandas forms are exact there.
+    built-ins.  64-bit carriers (where in-range magnitudes above 2^53
+    exist) go through :func:`_exact_product_per_pos` instead.
     """
     lo, hi = INT_BOUNDS[m.elem]
     carrier = m.spark_type.simpleString()
@@ -159,6 +161,82 @@ def _int_product_agg(m: Monoid, e: Column) -> Column:
         .when(log_mag > F.lit(overflow_bits), saturated.cast(carrier))
         .otherwise(in_range)
     )
+
+
+def _exact_product_per_pos(base: DataFrame, groups: list[str],
+                           m: Monoid, e: Column) -> DataFrame:
+    """Exact distributed saturating product for 64-bit carriers
+    (``bigint``/``uint64``), matching the reference's exact saturating
+    mul at ALL magnitudes (``src/monoid.rs:105-138``) — including the
+    (2^53, 2^63] band the double mantissa cannot carry.
+
+    Three magnitude zones per (group, pos) cell, decided by the
+    partial-agg-safe ``sum(log2|x|)`` detector (all terms >= 0, so the
+    float error stays ~1e-5 even at 10^9 rows — far inside the 0.5-bit
+    guard bands):
+
+    * **low** (< 2^52.5): ``F.product`` over doubles is exact — with the
+      zero short-circuit taken, every factor and every subset product has
+      magnitude <= the total < 2^53.
+    * **gray** ([2^52.5, 2^(bits+0.5)]): the cell has at most ~bits+1
+      factors of magnitude >= 2, so a second bounded pass collects JUST
+      those factors for the cell and folds them exactly in DECIMAL(38,0)
+      (max ~2^65 << 10^38), then clamps once — exact in-range values AND
+      the exact saturation boundary (e.g. -2^63 stays -2^63).
+    * **high** (> 2^(bits+0.5)): saturated; sign from negative-count
+      parity.
+
+    The gray pass is a left-semi join of the exploded rows against the
+    gray CELLS (vanishingly few in real data) followed by a bounded
+    ``collect_list`` (<= ~65 elements by construction) — scale-safe, and
+    zero extra scans: ``base`` feeds both aggregations.
+    """
+    lo, hi = INT_BOUNDS[m.elem]
+    carrier = m.spark_type.simpleString()
+    lo_d = F.lit(str(lo)).cast("decimal(38,0)")
+    hi_d = F.lit(str(hi)).cast("decimal(38,0)")
+    bits = math.log2(hi + 1)
+    d = e.cast("double")
+    dec_abs = F.abs(e.cast("decimal(38,0)"))
+
+    keys = [*groups, "__pos"]
+    stats = base.groupBy(*keys).agg(
+        F.max((e == 0).cast("int")).alias("__zero"),
+        (F.sum(F.when(e < 0, 1).otherwise(0)) % 2).alias("__negpar"),
+        F.sum(F.when(e != 0, F.log2(F.abs(d))).otherwise(F.lit(0.0)))
+        .alias("__logmag"),
+        F.product(d).alias("__prodd"),
+        F.count(F.lit(1)).alias("__cnt"),
+    )
+    gray_cells = stats.where(
+        (F.col("__zero") == 0)
+        & (F.col("__logmag") >= 52.5)
+        & (F.col("__logmag") <= bits + 0.5)
+    ).select(*keys)
+    exact = (
+        base.join(gray_cells, keys, "left_semi")
+        .where(dec_abs >= 2)
+        .groupBy(*keys)
+        .agg(F.collect_list(dec_abs).alias("__fs"))
+        .select(*keys,
+                F.aggregate("__fs", F.lit(1).cast("decimal(38,0)"),
+                            lambda a, b: a * b).alias("__mag"))
+    )
+    joined = stats.join(exact, keys, "left")
+
+    signed_mag = F.when(F.col("__negpar") == 1, -F.col("__mag")) \
+        .otherwise(F.col("__mag"))
+    saturated = F.when(F.col("__negpar") == 1, lo_d).otherwise(hi_d)
+    val = (
+        F.when(F.col("__zero") == 1, F.lit(0).cast(carrier))
+        .when(F.col("__mag").isNotNull(),
+              F.least(F.greatest(signed_mag, lo_d), hi_d).cast(carrier))
+        .when(F.col("__logmag") > bits + 0.5, saturated.cast(carrier))
+        .otherwise(
+            F.least(F.greatest(F.round(F.col("__prodd")).cast("decimal(38,0)"),
+                               lo_d), hi_d).cast(carrier))
+    )
+    return joined.select(*keys, val.alias("__v"), "__cnt")
 
 
 def array_reduce_exploded(df: DataFrame, group_cols: Sequence[str],
@@ -200,12 +278,18 @@ def array_reduce_exploded(df: DataFrame, group_cols: Sequence[str],
     e = F.coalesce(F.col("__elem"), ident)
 
     if m.op == "product" and m.agg is None:
-        agg_v = _int_product_agg(m, e)
+        if math.log2(INT_BOUNDS[m.elem][1] + 1) > 53:
+            # 64-bit carrier: in-range magnitudes above 2^53 exist, so
+            # the double-product form is lossy there — take the exact
+            # gray-zone two-pass instead
+            per_pos = _exact_product_per_pos(base, groups, m, e)
+        else:
+            per_pos = base.groupBy(*groups, "__pos").agg(
+                _int_product_agg(m, e).alias("__v"),
+                F.count(F.lit(1)).alias("__cnt"))
     else:
-        agg_v = m.agg(e)
-
-    per_pos = base.groupBy(*groups, "__pos").agg(
-        agg_v.alias("__v"), F.count(F.lit(1)).alias("__cnt"))
+        per_pos = base.groupBy(*groups, "__pos").agg(
+            m.agg(e).alias("__v"), F.count(F.lit(1)).alias("__cnt"))
 
     w = Window.partitionBy(*groups)
     kept = (

@@ -9,29 +9,62 @@ the batch posexplode form's window-function truncation and array rebuild
 need a second aggregation, which Structured Streaming forbids), and the
 consumer reassembles arrays if needed.
 
-Events quirk: the driver parquet stores ts as TIMESTAMP(NANOS); we read
-with an explicit LongType schema (+ nanosAsLong) and derive the event
-time as a proper timestamp for watermarking.
+Events quirk: driver-generated parquet has stored ``ts`` as
+TIMESTAMP(NANOS) in some rounds (Spark's vectorized reader rejects it
+without ``nanosAsLong``) and as TIMESTAMP(MICROS)/NTZ in others; the
+layout is probed from the batch-inferred schema and the event-time
+column (whole seconds, for watermarking) is derived the same way on the
+stream and batch sides so stream==batch comparisons are layout-proof.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from datafusion_monoid_spark.monoid import Monoid, get_monoid
 
-EVENTS_SCHEMA = ("event_id long, ts long, user_id long, "
-                 "event_type string, value double, props string")
+_EVENTS_SCHEMA_TMPL = ("event_id long, ts {ts}, user_id long, "
+                       "event_type string, value double, props string")
 
 
-def read_events_stream(spark: SparkSession, events_dir: str) -> DataFrame:
-    """Streaming source over the events parquet layout, with a proper
-    event-time column for watermarking."""
+def _ts_dtype(spark: SparkSession, events_dir: str) -> T.DataType:
+    """Probe the stored ``ts`` type (LONG = legacy nanos-as-long layout,
+    else a timestamp type) from one batch schema inference."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
-    return raw.withColumn(
-        "event_time", F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+    return spark.read.parquet(events_dir).schema["ts"].dataType
+
+
+def event_time_col(ts_dtype: T.DataType) -> Column:
+    """Whole-second event-time from ``ts`` under either storage layout."""
+    if isinstance(ts_dtype, T.LongType):  # nanos read as raw int64
+        return F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))
+    return F.timestamp_seconds(
+        F.unix_timestamp(F.col("ts").cast("timestamp")))
+
+
+def read_events_stream(spark: SparkSession, events_dir: str,
+                       **options: str) -> DataFrame:
+    """Streaming source over the events parquet layout, with a proper
+    event-time column for watermarking.  ``options`` pass through to the
+    reader (e.g. ``maxFilesPerTrigger=1`` to force multi-batch runs)."""
+    dt = _ts_dtype(spark, events_dir)
+    schema = _EVENTS_SCHEMA_TMPL.format(ts=dt.simpleString())
+    reader = spark.readStream.schema(schema)
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    raw = reader.parquet(events_dir)
+    return raw.withColumn("event_time", event_time_col(dt))
+
+
+def read_events_batch(spark: SparkSession, events_dir: str) -> DataFrame:
+    """Batch twin of :func:`read_events_stream` — identical schema and
+    event-time derivation, for stream==batch equivalence checks."""
+    dt = _ts_dtype(spark, events_dir)
+    schema = _EVENTS_SCHEMA_TMPL.format(ts=dt.simpleString())
+    raw = spark.read.schema(schema).parquet(events_dir)
+    return raw.withColumn("event_time", event_time_col(dt))
 
 
 def streaming_monoid_reduce(events: DataFrame,

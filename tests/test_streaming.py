@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from datafusion_monoid_spark.streaming.monoid_stream import (
+    read_events_batch,
     read_events_stream,
     run_stream_to_memory,
     streaming_monoid_reduce,
@@ -38,11 +39,8 @@ def test_stream_matches_batch(spark, events_dir, tmp_path):
         q.stop()
 
     # batch twin on the same file
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("event_time",
-                    F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+        read_events_batch(spark, events_dir)
         .select("event_time", "event_type",
                 F.posexplode(F.array("value", F.col("value") * F.col("value"),
                                      F.lit(1.0))).alias("pos", "elem"))
@@ -69,11 +67,8 @@ def test_session_windows_match_batch(spark, events_dir, tmp_path):
     finally:
         q.stop()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = (
-        spark.read.parquet(events_dir)
-        .withColumn("event_time",
-                    F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+        read_events_batch(spark, events_dir)
         .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
         .select(F.col("session_window").start.alias("ss"), "user_id", "n", "t")
@@ -110,9 +105,8 @@ def test_stateful_monoid_accumulator_merges_across_batches(spark, events_dir, tm
         if r["event_type"] not in latest or r["batches"] > latest[r["event_type"]]["batches"]:
             latest[r["event_type"]] = r
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = {r["event_type"]: (r["s"], r["c"]) for r in
-             spark.read.parquet(events_dir)
+             read_events_batch(spark, events_dir)
              .groupBy("event_type")
              .agg(F.sum("value").alias("s"), F.count(F.lit(1)).alias("c"))
              .collect()}
@@ -146,7 +140,6 @@ def test_foreach_batch_upsert_matches_batch(spark, tmp_path):
     (maxFilesPerTrigger=1 over two input files) upsert into the target;
     the final table equals the batch computation over all input."""
     from datafusion_monoid_spark.streaming.monoid_stream import (
-        EVENTS_SCHEMA,
         run_stream_foreach_batch,
     )
 
@@ -155,12 +148,7 @@ def test_foreach_batch_upsert_matches_batch(spark, tmp_path):
     shutil.copy(f"{SF}/events.parquet", d / "part-0.parquet")
     shutil.copy(f"{SF}/events.parquet", d / "part-1.parquet")
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (spark.readStream.schema(EVENTS_SCHEMA)
-           .option("maxFilesPerTrigger", 1).parquet(str(d)))
-    stream = raw.withColumn(
-        "event_time",
-        F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+    stream = read_events_stream(spark, str(d), maxFilesPerTrigger="1")
     agg = streaming_monoid_reduce(stream, "sum", window="1 hour")
 
     target = str(tmp_path / "fb_target")
@@ -175,9 +163,7 @@ def test_foreach_batch_upsert_matches_batch(spark, tmp_path):
            for r in spark.read.parquet(target).collect()}
 
     batch = (
-        spark.read.parquet(str(d))
-        .withColumn("event_time",
-                    F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+        read_events_batch(spark, str(d))
         .select("event_time", "event_type",
                 F.posexplode(F.array("value", F.col("value") * F.col("value"),
                                      F.lit(1.0))).alias("pos", "elem"))
@@ -215,8 +201,7 @@ def test_streaming_dedup_drops_redelivery(spark, tmp_path):
             "FROM dedup_stream").collect()[0]
     finally:
         q.stop()
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    want = (spark.read.parquet(str(d))
+    want = (read_events_batch(spark, str(d))
             .select("event_id").distinct().count())
     assert got["n"] == got["d"] == want
 
@@ -245,10 +230,7 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir, tmp_path):
     finally:
         q.stop()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = (spark.read.parquet(events_dir)
-          .withColumn("event_time",
-                      F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))))
+    ev = read_events_batch(spark, events_dir)
     bp = ev.where(F.col("event_type") == "purchase").alias("p")
     bc = ev.where(F.col("event_type") == "click").alias("c")
     want = {(r["pid"], r["cid"]) for r in
@@ -280,10 +262,7 @@ def test_streaming_histogram_matches_batch_and_quantiles(spark, events_dir, tmp_
     finally:
         q.stop()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (spark.read.parquet(events_dir)
-             .withColumn("event_time",
-                         F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000))))
+    batch = read_events_batch(spark, events_dir)
     want_rows = (batch.where(F.col("value").isNotNull())
                  .groupBy(F.window("event_time", "1 hour"),
                           sk.hist_bin(F.col("value"), 0.0, 500.0, 64).alias("bin"))
@@ -360,10 +339,7 @@ def test_streaming_cms_matches_batch_sketch(spark, events_dir, tmp_path):
     finally:
         q.stop()
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (spark.read.parquet(events_dir)
-             .withColumn("event_time",
-                         F.timestamp_seconds(F.floor(F.col("ts") / 1_000_000_000)))
+    batch = (read_events_batch(spark, events_dir)
              .withColumn("ws", F.window("event_time", "1 hour").start))
     cells = (batch.select(
         "ws", F.posexplode(F.array(*[
