@@ -3082,6 +3082,438 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TPC-H completion: the 9 remaining shapes (Q2, Q9, Q11, Q13, Q15, Q16,
+# Q20, Q21, Q22), adapted to the available star schema.  The synthetic
+# data has no partsupp table and no commit/receipt dates, so:
+#   * part-supplier facts derive from lineitem (GROUP BY partkey, suppkey)
+#     with the min unit price in exact integer cents as the supply-cost
+#     stand-in — identical derivation on both engines;
+#   * "late" = shipped > 60/90 days after o_orderdate (the Q21 receipt-
+#     after-commit stand-in, same convention as q12_late_shipments).
+# All money flows in exact integer cents and every threshold compare is
+# integer-only (value * n > total instead of value > total/n), so the
+# oracle hash never rides a float.
+# ---------------------------------------------------------------------------
+
+#: derived part-supplier relation: min unit cost (exact cents, floor-div
+#: by the integral quantity) per (partkey, suppkey) — the partsupp
+#: stand-in, shared by Q2/Q9.  DuckDB twin of _ps_cost().
+_PS_COST_SQL = """
+ps AS (
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(round(l_extendedprice * 100) AS BIGINT)
+             // CAST(l_quantity AS BIGINT)) AS ps_cost_cents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+)"""
+
+
+def _ps_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    unit_cents = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " DIV CAST(l_quantity AS BIGINT)")
+    return (li.select(F.col("l_partkey").alias("ps_partkey"),
+                      F.col("l_suppkey").alias("ps_suppkey"),
+                      unit_cents.alias("__unit"))
+            .groupBy("ps_partkey", "ps_suppkey")
+            .agg(F.min("__unit").alias("ps_cost_cents")))
+
+
+@register("q2_min_cost_supplier", f"""
+WITH {_PS_COST_SQL.strip()},
+eu AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+cost AS (
+  SELECT ps_partkey, ps_cost_cents, s_name, s_acctbal, n_name
+  FROM ps JOIN eu ON ps_suppkey = s_suppkey
+),
+mn AS (SELECT ps_partkey, min(ps_cost_cents) AS min_cents
+       FROM cost GROUP BY ps_partkey)
+SELECT p_partkey, p_name, s_name, n_name,
+       CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_cents,
+       ps_cost_cents AS cost_cents
+FROM part
+JOIN cost ON p_partkey = cost.ps_partkey
+JOIN mn ON mn.ps_partkey = cost.ps_partkey AND ps_cost_cents = min_cents
+WHERE p_size = 15 AND p_type LIKE '%ONOMY'
+ORDER BY acctbal_cents DESC, p_partkey, s_name LIMIT 50
+""")
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the EUROPE supplier(s)
+    achieving the minimum derived supply cost — the correlated-min
+    subquery decorrelated into a per-part min + equality join (the plan
+    every engine rewrites Q2 into).  Suppliers/nation/region broadcast;
+    the derived ps relation aggregates lineitem once."""
+    ps = _ps_cost(spark, sf_dir)
+    eu = F.broadcast(
+        _t(spark, sf_dir, "supplier")
+        .join(F.broadcast(_t(spark, sf_dir, "nation")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(_t(spark, sf_dir, "region")
+                          .where(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    cost = ps.join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
+    mn = cost.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("min_cents"))
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == 15) & F.col("p_type").like("%ONOMY")))
+    return (
+        cost.join(mn, ["ps_partkey"])
+        .where(F.col("ps_cost_cents") == F.col("min_cents"))
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .select("p_partkey", "p_name", "s_name", "n_name",
+                F.round(F.col("s_acctbal") * 100).cast("bigint")
+                 .alias("acctbal_cents"),
+                F.col("ps_cost_cents").alias("cost_cents"))
+        .orderBy(F.col("acctbal_cents").desc(), "p_partkey", "s_name")
+        .limit(50)
+    )
+
+
+@register("q9_product_profit", f"""
+WITH {_PS_COST_SQL.strip()}
+SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)
+                - ps_cost_cents * CAST(l_quantity AS BIGINT)) AS BIGINT)
+         AS profit_cents
+FROM lineitem
+JOIN part     ON p_partkey = l_partkey
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN orders   ON o_orderkey = l_orderkey
+JOIN ps       ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, o_year
+""")
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit (revenue minus derived supply cost) per
+    supplier nation per order year, for parts matching a name pattern.
+    The part filter prunes lineitem BEFORE the orders join (broadcast
+    part/supplier/nation); the ps cost relation joins on the same
+    (partkey, suppkey) the fact rows already carry."""
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .where(F.col("p_name").like("%red%"))
+                    .select("p_partkey"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier")
+                    .select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation"))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = _t(spark, sf_dir, "lineitem")
+    ps = _ps_cost(spark, sf_dir)
+    amount = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                      * 100).cast("bigint")
+              - F.col("ps_cost_cents")
+              * F.col("l_quantity").cast("bigint"))
+    return (
+        li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .join(ps, (F.col("ps_partkey") == F.col("l_partkey"))
+              & (F.col("ps_suppkey") == F.col("l_suppkey")))
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(F.sum(amount).cast("bigint").alias("profit_cents"))
+    )
+
+
+@register("q11_important_stock", """
+WITH val AS (
+  SELECT l_partkey AS partkey,
+         CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_7'
+  GROUP BY l_partkey
+),
+tot AS (SELECT sum(value_cents) AS total_cents FROM val)
+SELECT partkey, value_cents FROM val, tot
+WHERE value_cents * 1000 > total_cents
+""")
+def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part inventory value for one nation's
+    suppliers, kept when above a fraction of the nation total — the
+    scalar-subquery threshold as an exact integer cross-compare
+    (value * 1000 > total, no float division).  The one-row total
+    broadcasts; the fact aggregates once."""
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation")
+                    .where(F.col("n_name") == "NATION_7"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"))
+    val = (
+        li.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum("cents").cast("bigint").alias("value_cents"))
+    )
+    tot = val.agg(F.sum("value_cents").alias("total_cents"))
+    return (val.crossJoin(F.broadcast(tot))
+            .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+            .select("partkey", "value_cents"))
+
+
+@register("q13_customer_distribution", """
+WITH co AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority NOT LIKE '1-%'
+  GROUP BY c_custkey
+)
+SELECT CAST(c_count AS BIGINT) AS c_count, count(*) AS custdist
+FROM co GROUP BY c_count
+""")
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: the orders-per-customer distribution — LEFT
+    join with an ON-clause filter (urgent orders excluded, the
+    o_comment stand-in) so customers with zero qualifying orders count
+    at c_count = 0, then the histogram of counts.  Two aggregations,
+    one join; the second agg runs on customer-cardinality data."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey",
+                                           "o_orderpriority")
+    co = (
+        c.join(o, (F.col("c_custkey") == F.col("o_custkey"))
+               & ~F.col("o_orderpriority").like("1-%"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (co.groupBy(F.col("c_count").cast("bigint").alias("c_count"))
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+@register("q15_top_supplier", """
+WITH rev AS (
+  SELECT l_suppkey AS supplier_no,
+         CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                       AS BIGINT)) AS BIGINT) AS total_cents
+  FROM lineitem
+  WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+  GROUP BY l_suppkey
+),
+mx AS (SELECT max(total_cents) AS m FROM rev)
+SELECT s_suppkey, s_name, total_cents
+FROM supplier JOIN rev ON s_suppkey = supplier_no JOIN mx ON total_cents = m
+""")
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: the supplier(s) with the maximum quarterly
+    revenue — the view + scalar-max subquery as one aggregation and a
+    broadcast one-row max joined back (ties kept, like the spec).
+    Exact cents make the max unambiguous cross-engine."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy(F.col("l_suppkey").alias("supplier_no"))
+           .agg(F.sum(F.round(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount")) * 100)
+                      .cast("bigint")).cast("bigint").alias("total_cents")))
+    mx = rev.agg(F.max("total_cents").alias("m"))
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (rev.join(F.broadcast(mx), F.col("total_cents") == F.col("m"))
+            .join(s, F.col("s_suppkey") == F.col("supplier_no"))
+            .select("s_suppkey", "s_name", "total_cents"))
+
+
+@register("q16_supplier_part_counts", """
+WITH ps AS (SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+            FROM lineitem)
+SELECT p_brand, p_type, CAST(p_size AS INTEGER) AS p_size,
+       count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM ps JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#1' AND p_type NOT LIKE 'MED%'
+  AND p_size IN (1, 4, 7, 10, 15, 23, 45, 50)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+""")
+def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct-supplier counts per (brand, type,
+    size) over the derived part-supplier pairs, excluding an unwanted
+    supplier set (negative balance = the complaints stand-in) via a
+    broadcast ANTI join — the NOT IN rewrite that scales (NOT IN as a
+    non-broadcast subquery nulls-safe check would shuffle everything)."""
+    ps = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+          .distinct())
+    p = F.broadcast(
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_brand") != "Brand#1")
+               & ~F.col("p_type").like("MED%")
+               & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50)))
+    bad = F.broadcast(_t(spark, sf_dir, "supplier")
+                      .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    return (
+        ps.join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register("q20_excess_supply", """
+WITH pq AS (
+  SELECT l_partkey, l_suppkey,
+         CAST(sum(CASE WHEN l_shipdate >= '1996-01-01'
+                        AND l_shipdate < '1997-01-01'
+                       THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS BIGINT)
+           AS qty_1996,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_all
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+hot AS (
+  SELECT DISTINCT l_suppkey AS suppkey
+  FROM pq JOIN part ON p_partkey = l_partkey
+  WHERE p_name LIKE 'small%' AND qty_1996 * 2 > qty_all
+)
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = 'EUROPE' AND s_suppkey IN (SELECT suppkey FROM hot)
+""")
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers whose 1996 shipments of pattern-named
+    parts exceed half their all-time volume (the availqty-threshold
+    stand-in, exact integer compare), restricted to one region — the
+    nested IN-chain as aggregate + semi joins."""
+    li = _t(spark, sf_dir, "lineitem")
+    qty = F.col("l_quantity").cast("bigint")
+    in96 = ((F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01"))
+    pq = (li.groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.when(in96, qty).otherwise(0)).cast("bigint")
+               .alias("qty_1996"),
+               F.sum(qty).cast("bigint").alias("qty_all")))
+    p = F.broadcast(_t(spark, sf_dir, "part")
+                    .where(F.col("p_name").like("small%"))
+                    .select("p_partkey"))
+    hot = (pq.join(p, F.col("p_partkey") == F.col("l_partkey"))
+           .where(F.col("qty_1996") * 2 > F.col("qty_all"))
+           .select(F.col("l_suppkey").alias("suppkey")).distinct())
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(_t(spark, sf_dir, "nation")),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .join(F.broadcast(_t(spark, sf_dir, "region")
+                           .where(F.col("r_name") == "EUROPE")),
+               F.col("n_regionkey") == F.col("r_regionkey")))
+    return (s.join(hot, F.col("s_suppkey") == F.col("suppkey"), "left_semi")
+            .select("s_name", "n_name"))
+
+
+@register("q21_waiting_suppliers", """
+WITH li AS (
+  SELECT l_orderkey, l_suppkey,
+         date_diff('day', o_orderdate, l_shipdate) AS lag_days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE o_orderstatus = 'F'
+),
+l1 AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li WHERE lag_days > 60),
+others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM li),
+cand AS (
+  SELECT l1.l_orderkey, l1.l_suppkey FROM l1
+  WHERE EXISTS (SELECT 1 FROM others o
+                WHERE o.l_orderkey = l1.l_orderkey
+                  AND o.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM l1 x
+                    WHERE x.l_orderkey = l1.l_orderkey
+                      AND x.l_suppkey <> l1.l_suppkey)
+)
+SELECT s_name, count(*) AS numwait
+FROM cand JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+ORDER BY numwait DESC, s_name LIMIT 20
+""")
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: suppliers who were the SOLE late shipper on
+    finished multi-supplier orders — the EXISTS / NOT-EXISTS stack as a
+    left-semi then left-anti join on (orderkey, different-supplier)
+    conditions.  "Late" = shipped > 60 days after order date (the
+    receipt-after-commit stand-in).  The distinct (order, supplier)
+    projections keep the self-joins on pre-deduplicated keys."""
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+          .select("l_orderkey", "l_suppkey",
+                  F.datediff("l_shipdate", "o_orderdate").alias("lag_days")))
+    late = (li.where(F.col("lag_days") > 60)
+            .select("l_orderkey", "l_suppkey").distinct())
+    others = li.select("l_orderkey", "l_suppkey").distinct()
+    cand = (
+        late.alias("l1")
+        .join(others.alias("o"),
+              (F.col("l1.l_orderkey") == F.col("o.l_orderkey"))
+              & (F.col("l1.l_suppkey") != F.col("o.l_suppkey")),
+              "left_semi")
+        .join(late.alias("x"),
+              (F.col("l1.l_orderkey") == F.col("x.l_orderkey"))
+              & (F.col("l1.l_suppkey") != F.col("x.l_suppkey")),
+              "left_anti")
+    )
+    s = F.broadcast(_t(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    return (cand.join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+            .groupBy("s_name").agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.col("numwait").desc(), "s_name").limit(20))
+
+
+@register("q22_global_sales_opportunity", """
+WITH act AS (
+  SELECT c_custkey, c_nationkey % 10 AS cntrycode,
+         CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+  FROM customer WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+),
+avgbal AS (
+  SELECT CAST(sum(bal_cents) AS BIGINT) AS s, count(*) AS n
+  FROM act WHERE bal_cents > 0
+),
+noord AS (
+  SELECT act.* FROM act
+  WHERE NOT EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = act.c_custkey
+                      AND o_orderdate >= '1999-01-01')
+)
+SELECT CAST(cntrycode AS INTEGER) AS cntrycode, count(*) AS numcust,
+       CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM noord, avgbal
+WHERE bal_cents * n > s
+GROUP BY cntrycode
+""")
+def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: customers from selected country codes (nation
+    key mod 10 — the phone-prefix stand-in) with above-average balance
+    and NO recent orders (none since 1999 — every synthetic customer
+    has SOME order, so the pure no-orders predicate is vacuous here):
+    scalar avg as an exact integer cross-compare (bal * n > sum), the
+    NOT EXISTS as a shuffle anti join against the filtered order
+    custkeys.  Output per country code in exact cents."""
+    c = _t(spark, sf_dir, "customer")
+    act = (c.where((F.col("c_nationkey") % 10).isin(1, 3, 5, 7, 9))
+           .select("c_custkey",
+                   (F.col("c_nationkey") % 10).alias("cntrycode"),
+                   F.round(F.col("c_acctbal") * 100).cast("bigint")
+                    .alias("bal_cents")))
+    avgbal = (act.where(F.col("bal_cents") > 0)
+              .agg(F.sum("bal_cents").cast("bigint").alias("s"),
+                   F.count(F.lit(1)).alias("n")))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") >= "1999-01-01").select("o_custkey"))
+    noord = act.join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+    return (noord.crossJoin(F.broadcast(avgbal))
+            .where(F.col("bal_cents") * F.col("n") > F.col("s"))
+            .groupBy(F.col("cntrycode").cast("int").alias("cntrycode"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.sum("bal_cents").cast("bigint").alias("totacctbal_cents")))
+
+
+# ---------------------------------------------------------------------------
 # Streaming tier (streaming/stream_queries.py): each entry EXECUTES a real
 # Structured Streaming query (file source -> watermarked stateful agg ->
 # memory sink) and the oracle is the batch twin of the same semantics —

@@ -118,3 +118,40 @@ def test_q7_q8_dimensions_broadcast(spark, catalog):
         p = _explain(catalog[name][0](spark, SF), "simple")
         assert "SortMergeJoin" not in p, name
         assert p.count("BroadcastHashJoin") >= 3, name
+
+
+def test_q21_semi_anti_join_stack(spark, catalog):
+    """Q21's EXISTS/NOT-EXISTS must compile to semi + anti hash joins on
+    the order key — never a nested-loop over the fact."""
+    p = _explain(catalog["q21_waiting_suppliers"][0](spark, SF), "simple")
+    assert "LeftSemi" in p and "LeftAnti" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q13_left_join_then_two_aggs(spark, catalog):
+    """Q13: LEFT join preserving zero-order customers, then the count
+    histogram — second agg must run on already-reduced data."""
+    p = _explain(catalog["q13_customer_distribution"][0](spark, SF), "simple")
+    assert "LeftOuter" in p
+    assert p.count("HashAggregate") >= 4  # partial+final for both aggs
+    assert "CartesianProduct" not in p
+
+
+def test_q2_broadcasts_all_dimensions(spark, catalog):
+    """Q2: supplier/nation/region/part broadcast; the only shuffles are
+    the ps aggregation and the per-part min."""
+    p = _explain(catalog["q2_min_cost_supplier"][0](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_q22_scalar_is_broadcast_not_cartesian_fact(spark, catalog):
+    """Q22: the one-row avg joins by broadcast; the anti join is on the
+    order custkeys — no nested loop over customers x orders."""
+    p = _explain(catalog["q22_global_sales_opportunity"][0](spark, SF),
+                 "simple")
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
