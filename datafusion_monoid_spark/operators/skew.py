@@ -45,6 +45,33 @@ def salted_aggregate(df: DataFrame, key_cols: list[str],
     ])
 
 
+def salted_join(fact: DataFrame, dim: DataFrame, key: str,
+                n_salts: int = 16,
+                salt_src: Column | None = None) -> DataFrame:
+    """Skew-safe equi-join for a HOT join key that cannot broadcast.
+
+    The fact side gets a deterministic salt (hash of ``salt_src``, a
+    high-cardinality column, mod ``n_salts``); the dim side replicates
+    each row ``n_salts`` times with every salt value; the join runs on
+    ``(key, __salt)`` — the hot key's rows spread over ``n_salts``
+    reducers instead of one.  Result set == the plain join (each fact
+    row meets exactly one replica), which is why a plain SQL join is a
+    valid oracle even though salting is an execution detail.
+
+    Use when BOTH sides are too big to broadcast and AQE's skew split
+    (which only splits the PROBE side of a sort-merge join) is not
+    enough — e.g. the dim side is modest-but-over-broadcast-threshold
+    and one fact key owns >> 1/parallelism of the rows.  The explicit
+    ``shuffle_hash`` hint keeps Spark from choosing broadcast (which
+    would make the demo moot) or sort-merge."""
+    salt = F.pmod(F.hash(salt_src if salt_src is not None else F.col(key)),
+                  F.lit(n_salts))
+    f = fact.withColumn("__salt", salt)
+    d = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+    return f.join(d.hint("shuffle_hash"), [key, "__salt"]).drop("__salt")
+
+
 def write_bucketed(df: DataFrame, table_name: str, key: str,
                    n_buckets: int = 8) -> None:
     """Persist as a bucketed managed table: later equi-joins/aggs on

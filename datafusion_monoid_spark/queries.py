@@ -2711,6 +2711,42 @@ def skew_salted_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value_max"), 2).alias("value_max"))
 
 
+@register("skew_salted_join_deviation", """
+WITH dim AS (
+  SELECT event_type,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) // count(*) AS BIGINT)
+           AS avg_milli
+  FROM events GROUP BY event_type
+)
+SELECT e.event_type, count(*) AS n,
+       CAST(sum(abs(CAST(round(e.value * 1000) AS BIGINT) - d.avg_milli))
+            AS BIGINT) AS abs_dev_milli
+FROM events e JOIN dim d USING (event_type)
+GROUP BY e.event_type
+""")
+def skew_salted_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SALTED JOIN over a worst-case join-key distribution (5 event
+    types, 32 reducers: every key is hot).  The per-type mean table
+    joins back to the full fact via :func:`skew.salted_join`: fact rows
+    salt by hash(event_id) mod 16, the dim replicates 16x, the join
+    keys are (event_type, salt) — so no reducer owns a whole hot key
+    (plan-asserted in tests/test_skew.py).  Join output equals the
+    plain join, so the oracle is the unsalted SQL.  Mean is exact
+    integer milli-units (floor div), deviation sums are exact ints."""
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    mv = F.round(F.col("value") * 1000).cast("bigint")
+    dim = (e.groupBy("event_type")
+           .agg(F.expr("CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)"
+                       " DIV count(*)").alias("avg_milli")))
+    joined = sw.salted_join(e.withColumn("mv", mv).drop("value"), dim,
+                            "event_type", n_salts=16,
+                            salt_src=F.col("event_id"))
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.abs(F.col("mv") - F.col("avg_milli")))
+                  .cast("bigint").alias("abs_dev_milli")))
+
+
 @register("unpivot_lineitem_measures", """
 SELECT l_returnflag, measure, round(sum(val), 2) AS total
 FROM (

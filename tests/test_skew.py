@@ -85,3 +85,42 @@ def test_aqe_splits_skewed_join_at_runtime(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_matches_plain_and_spreads_hot_keys(spark):
+    """salted_join == plain join row-for-row, AND the physical join keys
+    include the salt — so a key owning 97% of the fact spreads over
+    n_salts reducers instead of one (the no-single-partition-reducer
+    contract)."""
+    fact = spark.range(100_000).select(
+        F.when(F.col("id") < 97_000, F.lit(0)).otherwise(F.col("id") % 7)
+         .alias("k"),
+        F.col("id").alias("v"))
+    dim = spark.range(7).select(F.col("id").alias("k"),
+                                (F.col("id") * 10).alias("w"))
+
+    j = skew.salted_join(fact, dim, "k", n_salts=8, salt_src=F.col("v"))
+    plain = fact.join(dim, "k")
+    assert j.count() == plain.count() == 100_000
+    got = j.groupBy("k").agg(F.sum("w").alias("sw")).collect()
+    want = plain.groupBy("k").agg(F.sum("w").alias("sw")).collect()
+    assert {(r["k"], r["sw"]) for r in got} == \
+        {(r["k"], r["sw"]) for r in want}
+
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    # the join operates on (k, __salt): the salt must be a join key and
+    # the chosen strategy must not be broadcast (broadcast would erase
+    # the demo) — ShuffledHashJoin per the hint
+    assert "__salt" in plan
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+
+def test_salted_join_catalog_plan(spark):
+    """The catalog entry's executed plan joins on (event_type, salt) via
+    ShuffledHashJoin — every hot event_type spreads over 16 reducers."""
+    from datafusion_monoid_spark import queries as qcat
+    df = qcat.catalog()["skew_salted_join_deviation"][0](
+        spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "__salt" in plan and "ShuffledHashJoin" in plan
