@@ -39,11 +39,12 @@ def micro_ratio(num: Column, den: Column) -> Column:
     carrier for a ratio (float division differs in the last ulp between
     engines; integer division cannot).
 
-    Spark has no Column-level integer division, so this uses the
-    identity ``(a - a % b) / b``: the numerator is exactly divisible,
-    the quotient is an exact integer < 2**53, and double division of
-    exactly-divisible integers below 2**53 is exact in IEEE-754.
-    DuckDB twin: ``(num * 1000000) // den``.
+    Implemented with the identity ``(a - a % b) / b``: the numerator is
+    exactly divisible, the quotient is an exact integer < 2**53, and
+    double division of exactly-divisible integers below 2**53 is exact
+    in IEEE-754.  (``F.expr("a DIV b")`` is the SQL-level equivalent;
+    the identity form works on arbitrary Column expressions without
+    name plumbing.)  DuckDB twin: ``(num * 1000000) // den``.
     """
     a = num.cast("bigint") * MICRO
     return ((a - a % den) / den).cast("bigint")

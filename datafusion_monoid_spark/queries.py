@@ -1456,7 +1456,17 @@ def monoid_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`SELECT grp, array_reduce_sum(arr) ... GROUP BY grp` through the
     registered pandas-UDAF SQL path — the verbatim reference entry point,
     oracle-checked against the same DuckDB reduction as the posexplode
-    form (the two forms must agree end-to-end)."""
+    form (the two forms must agree end-to-end).
+
+    GROUP-SIZE CONTRACT (the one deliberate Complete-mode plan in the
+    catalog): GROUPED_AGG pandas UDAFs materialize each group on one
+    executor, so this path is the SQL-compatibility surface for groups
+    that fit an executor (here: <= 4 groups over order-sized arrays; in
+    production: dashboard-scale groups).  Unbounded groups take the
+    identical-semantics posexplode form (`array_reduce_exploded`, the
+    monoid_sum_* catalog entries) — same results, partial-agg plan.  A
+    Spark-registerable SQL function cannot carry the two-phase rewrite,
+    so the guard is this documented contract plus the scalable twin."""
     _register_all(spark)
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_udaf")
     df = spark.sql("""
