@@ -188,8 +188,17 @@ def _exact_product_per_pos(base: DataFrame, groups: list[str],
 
     The gray pass is a left-semi join of the exploded rows against the
     gray CELLS (vanishingly few in real data) followed by a bounded
-    ``collect_list`` (<= ~65 elements by construction) — scale-safe, and
-    zero extra scans: ``base`` feeds both aggregations.
+    ``collect_list`` (<= ~65 elements by construction) — scale-safe.
+
+    Scan accounting (ADVICE r3 — the old docstring claimed "zero extra
+    scans" while the uncached ``stats``/``base`` lineage re-scanned the
+    source up to 4x): ``stats`` (one row per (group, pos) cell — tiny)
+    is **persisted**, and a driver-side probe of the persisted ``stats``
+    decides whether any gray cell exists.  In the common all-low/high
+    case the gray pass is skipped entirely and the source is scanned
+    EXACTLY ONCE; when gray cells exist the semi-join probe pays one
+    additional scan of ``base`` — bounded, and only for corpora that
+    actually contain (2^52.5, 2^(bits+0.5)] products.
     """
     lo, hi = INT_BOUNDS[m.elem]
     carrier = m.spark_type.simpleString()
@@ -208,21 +217,28 @@ def _exact_product_per_pos(base: DataFrame, groups: list[str],
         F.product(d).alias("__prodd"),
         F.count(F.lit(1)).alias("__cnt"),
     )
+    stats = stats.persist()
     gray_cells = stats.where(
         (F.col("__zero") == 0)
         & (F.col("__logmag") >= 52.5)
         & (F.col("__logmag") <= bits + 0.5)
     ).select(*keys)
-    exact = (
-        base.join(gray_cells, keys, "left_semi")
-        .where(dec_abs >= 2)
-        .groupBy(*keys)
-        .agg(F.collect_list(dec_abs).alias("__fs"))
-        .select(*keys,
-                F.aggregate("__fs", F.lit(1).cast("decimal(38,0)"),
-                            lambda a, b: a * b).alias("__mag"))
-    )
-    joined = stats.join(exact, keys, "left")
+    # driver-side probe over the PERSISTED per-cell stats: no gray cell
+    # -> skip the second scan of base entirely (the common case)
+    if gray_cells.limit(1).count() == 0:
+        joined = stats.withColumn("__mag",
+                                  F.lit(None).cast("decimal(38,0)"))
+    else:
+        exact = (
+            base.join(gray_cells, keys, "left_semi")
+            .where(dec_abs >= 2)
+            .groupBy(*keys)
+            .agg(F.collect_list(dec_abs).alias("__fs"))
+            .select(*keys,
+                    F.aggregate("__fs", F.lit(1).cast("decimal(38,0)"),
+                                lambda a, b: a * b).alias("__mag"))
+        )
+        joined = stats.join(exact, keys, "left")
 
     signed_mag = F.when(F.col("__negpar") == 1, -F.col("__mag")) \
         .otherwise(F.col("__mag"))

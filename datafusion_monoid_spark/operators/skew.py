@@ -31,11 +31,20 @@ def salted_aggregate(df: DataFrame, key_cols: list[str],
     ``agg_exprs``: either ``{column: op}`` (output ``column_op``) or
     ``{alias: (column, op)}`` for several ops over one column in a
     single pass, with op in {sum, count, min, max} — ops whose
-    partials merge losslessly (count merges by sum)."""
+    partials merge losslessly (count merges by sum).
+
+    The salt is DETERMINISTIC — ``pmod(hash(all non-key cols), n)`` —
+    not ``rand()``: a random salt is re-drawn per task attempt, so a
+    retried task can route the same row to a different phase-1 partial.
+    The monoid merge makes any assignment CORRECT, but deterministic
+    salting makes the phase-1 partials themselves reproducible (stable
+    shuffle statistics, debuggable spills) at zero cost."""
     merge_op = {"sum": "sum", "count": "sum", "min": "min", "max": "max"}
     specs = [(f"{c}_{v}", c, v) if isinstance(v, str) else (c, v[0], v[1])
              for c, v in agg_exprs.items()]
-    salted = df.withColumn("__salt", (F.rand(seed=7) * n_salts).cast("int"))
+    non_key = [c for c in df.columns if c not in key_cols] or list(df.columns)
+    salted = df.withColumn(
+        "__salt", F.pmod(F.hash(*non_key), F.lit(n_salts)))
     phase1 = salted.groupBy(*key_cols, "__salt").agg(*[
         getattr(F, op)(col).alias(f"__p_{alias}") for alias, col, op in specs
     ])

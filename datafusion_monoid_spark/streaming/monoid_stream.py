@@ -168,15 +168,22 @@ def streaming_session_windows(events: DataFrame, gap: str = "30 minutes",
     """Per-user session windows (gap-based), the streaming twin of the
     batch lag+cumsum sessionization in queries.py — but here the engine
     maintains session state natively (merging adjacent windows as events
-    arrive, monoid-style)."""
+    arrive, monoid-style).
+
+    The session total is summed in exact integer MILLI-units
+    (``round(value*1000)`` as bigint), not doubles: float summation
+    order differs between the incremental stream state merge and any
+    batch oracle, so a double sum can flip a rounding boundary — the
+    oracle hash never rides a float."""
+    mv = F.round(F.col("value") * 1000).cast("bigint")
     return (
         events.withWatermark("event_time", watermark)
         .groupBy(F.session_window("event_time", gap), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum("value").alias("total"))
+             F.sum(mv).alias("total_milli"))
         .select(F.col("session_window").start.alias("session_start"),
                 F.col("session_window").end.alias("session_end"),
-                "user_id", "n_events", "total")
+                "user_id", "n_events", "total_milli")
     )
 
 

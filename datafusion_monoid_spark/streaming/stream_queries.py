@@ -99,7 +99,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.unix_timestamp("session_start").cast("bigint").alias("ss_sec"),
         F.col("n_events").cast("bigint").alias("n_events"),
-        F.round("total", 2).alias("total"))
+        F.col("total_milli").cast("bigint").alias("total_milli"))
 
 
 def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:

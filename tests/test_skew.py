@@ -120,7 +120,6 @@ def test_salted_join_catalog_plan(spark):
     """The catalog entry's executed plan joins on (event_type, salt) via
     ShuffledHashJoin — every hot event_type spreads over 16 reducers."""
     from datafusion_monoid_spark import queries as qcat
-    df = qcat.catalog()["skew_salted_join_deviation"][0](
-        spark, "/root/testdata/sf0.001")
+    df = qcat.catalog()["skew_salted_join_deviation"][0](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan and "ShuffledHashJoin" in plan

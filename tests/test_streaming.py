@@ -62,15 +62,16 @@ def test_session_windows_match_batch(spark, events_dir, tmp_path):
     agg = streaming_session_windows(stream, gap="30 minutes")
     q = run_stream_to_memory(agg, "sessions", str(tmp_path / "ckpt_s"))
     try:
-        got = {(r["user_id"], r["session_start"]): (r["n_events"], round(r["total"], 4))
+        got = {(r["user_id"], r["session_start"]): (r["n_events"], r["total_milli"])
                for r in spark.sql("SELECT * FROM sessions").collect()}
     finally:
         q.stop()
 
+    mv = F.round(F.col("value") * 1000).cast("bigint")
     batch = (
         read_events_batch(spark, events_dir)
         .groupBy(F.session_window("event_time", "30 minutes"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("t"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(mv).alias("t"))
         .select(F.col("session_window").start.alias("ss"), "user_id", "n", "t")
     )
     want = {(r["user_id"], r["ss"]): (r["n"], round(r["t"], 4))
