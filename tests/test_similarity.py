@@ -93,8 +93,10 @@ def test_kmeans_quantized_is_deterministic_and_learns(spark):
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark):
-    """Learned-centroid IVF must keep a reasonable recall@5 floor vs
-    the exact brute-force result with only 4 of 8 partitions probed."""
+    """Learned-centroid IVF at the CATALOG's parameters (nprobe=6 of 8,
+    raised from 4 after BENCH_r03 measured recall@5 = 0.8) must keep a
+    recall@5 floor of 0.9 vs the exact brute-force result — the pinned
+    gate that keeps parameter drift from silently degrading quality."""
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10)
     exact = {(r.query_id, r.cand_id)
@@ -105,7 +107,7 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
               F.struct("pos", "val"))), lambda t: t["val"] / 1000000.0)
               .alias("cent")))
     approx = {(r.query_id, r.cand_id)
-              for r in sim.ivf_topk(e, q, k=5, nprobe=4,
+              for r in sim.ivf_topk(e, q, k=5, nprobe=6,
                                     centroids=cv).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.5, recall
+    assert recall >= 0.9, recall
