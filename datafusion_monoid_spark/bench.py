@@ -1,0 +1,184 @@
+"""Benchmark harness, importable as ``python -m datafusion_monoid_spark.bench``.
+
+Runs the query catalog at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and emits ONE
+compact JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"tpch_q1": sec, ...}, "recall": {"sim_topk_lsh": r, ...},
+     "stream_processing_sec": {"streaming_sessionize": sec, ...},
+     "duckdb": {"value": total, "queries": {...}}, "ratio": spark/duckdb,
+     "sf": 0.1}
+
+The line is BOTH printed to stdout (the only stdout line this module
+produces — Spark logs go to stderr) AND written to ``bench_result.json``
+(``out_path`` argument / ``$SPARK_GRAFT_BENCH_OUT`` / cwd), so a
+pipeline that truncates captured stdout can still read the full
+artifact.
+
+Timing protocol: each query is forced end-to-end with the noop writer
+(full materialization, no driver collect); the reported number is the
+MEDIAN of ``$SPARK_GRAFT_BENCH_REPEATS`` (default 3) runs — medians are
+robust to ambient-load outliers.
+
+The DuckDB column times each catalog entry's ``oracle_sql`` on the SAME
+parquet tables in the same run (threads = $SPARK_GRAFT_CPUS,
+``fetchall`` to force materialization) so the "Spark within 2x of the
+single-node baseline" gate is checkable in-round.  Disable with
+``SPARK_GRAFT_BENCH_DUCKDB=0``.
+
+``stream_processing_sec`` is the engine-side micro-batch execution time
+of each streaming query (summed triggerExecution durations from query
+progress): the gap between it and the wall-clock number is checkpoint
+setup + query start/stop — harness cost that a long-lived production
+stream amortizes to nothing.
+
+ANN quality: recall@5 of each approximate top-k query against the exact
+brute-force result is measured on the same session and reported under
+``recall`` — parameter drift in the LSH/IVF tiers shows up here before
+it shows up as a silent quality regression.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import statistics
+import time
+
+from datafusion_monoid_spark.session import get_spark
+from datafusion_monoid_spark import queries as qcat
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+RUN_DUCKDB = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0"
+#: DuckDB repeats — 1 by default: the column is a same-round sanity
+#: baseline, not a tuning target; one pass keeps total bench time sane.
+DUCKDB_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_REPEATS", "1"))
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+#: approximate top-k queries measured against this exact baseline
+_ANN_BASELINE = "sim_topk_bruteforce"
+_ANN_QUERIES = ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_kmeans")
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def _topk_sets(df) -> dict:
+    """query_id -> set of returned cand_ids."""
+    out: dict = {}
+    for row in df.select("query_id", "cand_id").collect():
+        out.setdefault(row["query_id"], set()).add(row["cand_id"])
+    return out
+
+
+def _recall(spark, catalog) -> dict[str, float]:
+    """Mean recall@k of each ANN tier vs the exact brute-force top-k."""
+    try:
+        truth = _topk_sets(catalog[_ANN_BASELINE][0](spark, SF_DIR))
+    except Exception:
+        return {}
+    recalls: dict[str, float] = {}
+    for name in _ANN_QUERIES:
+        if name not in catalog:
+            continue
+        try:
+            approx = _topk_sets(catalog[name][0](spark, SF_DIR))
+        except Exception:
+            continue
+        per_q = [len(approx.get(q, set()) & hits) / len(hits)
+                 for q, hits in truth.items() if hits]
+        if per_q:
+            recalls[name] = round(sum(per_q) / len(per_q), 3)
+    return recalls
+
+
+def _duckdb_times(catalog) -> dict[str, float]:
+    """Time each oracle_sql in DuckDB on the same parquet tables —
+    the single-node baseline column, measured in the SAME round."""
+    import duckdb
+
+    from datafusion_monoid_spark.sources import TABLES
+
+    con = duckdb.connect()
+    con.execute(f"SET threads={CPUS}")
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
+    out: dict[str, float] = {}
+    for name, (_, oracle) in catalog.items():
+        if not oracle:
+            continue
+        runs = []
+        for _ in range(DUCKDB_REPEATS):
+            t0 = time.perf_counter()
+            try:
+                con.sql(oracle).fetchall()
+            except Exception:
+                runs = []
+                break
+            runs.append(time.perf_counter() - t0)
+        if runs:
+            out[name] = round(statistics.median(runs), 3)
+    con.close()
+    return out
+
+
+def main(out_path: str | None = None) -> None:
+    out_path = (out_path
+                or os.environ.get("SPARK_GRAFT_BENCH_OUT")
+                or os.path.join(os.getcwd(), "bench_result.json"))
+    m = re.search(r"sf([\d.]+)", SF_DIR)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    catalog = qcat.catalog()
+
+    times: dict[str, float] = {}
+    # warm-up: JVM + codegen + parquet footer caches
+    _force(catalog["tpch_q1"][0](spark, SF_DIR))
+
+    for name, (fn, _) in catalog.items():
+        runs = []
+        for _ in range(REPEATS):
+            t0 = time.perf_counter()
+            _force(fn(spark, SF_DIR))
+            runs.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(runs), 3)
+
+    recall = _recall(spark, catalog)
+
+    from datafusion_monoid_spark.streaming import stream_queries as sq
+    stream_proc = {name: met["processing_sec"]
+                   for name, met in sorted(sq.LAST_STREAM_METRICS.items())}
+    spark.stop()
+
+    result = {
+        "metric": "catalog wall-clock (median of %d, noop sink)" % REPEATS,
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "recall": recall,
+        "stream_processing_sec": stream_proc,
+        "sf": sf,
+    }
+    if RUN_DUCKDB:
+        duck = _duckdb_times(catalog)
+        result["duckdb"] = {"value": round(sum(duck.values()), 3),
+                            "queries": duck}
+        comparable = [n for n in times if n in duck]
+        sp = sum(times[n] for n in comparable)
+        du = sum(duck[n] for n in comparable)
+        if du > 0:
+            result["ratio"] = round(sp / du, 3)
+
+    line = json.dumps(result, separators=(",", ":"))
+    with open(out_path, "w") as f:
+        f.write(line + "\n")
+    print(line)
+
+
+if __name__ == "__main__":
+    main()

@@ -19,6 +19,7 @@ streaming; the memory sink is only the harness's collection surface.
 
 from __future__ import annotations
 
+import os
 import shutil
 import tempfile
 
@@ -54,21 +55,68 @@ def _events_stream(spark: SparkSession, sf_dir: str,
     return raw.withColumn("event_time", event_time_col(dt))
 
 
+#: sink-name -> {"processing_sec": engine time summed over micro-batch
+#: triggerExecution durations, "batches": n} for the LAST run of each
+#: streaming query.  bench.py reports this next to wall time: the
+#: difference is pure harness (checkpoint setup, query start/stop,
+#: driver round-trips), which is what dominates sub-10 s local runs and
+#: amortizes to nothing on a long-lived production stream.
+LAST_STREAM_METRICS: dict[str, dict] = {}
+
+#: Shuffle/state partitions for the streaming drains.  Streaming has no
+#: AQE partition coalescing: ``spark.sql.shuffle.partitions`` is pinned
+#: into the checkpoint at query start, and EVERY stateful operator pays
+#: per-partition state-store maintenance (checkpoint files, store
+#: commits) per micro-batch.  Measured on the stream-stream interval
+#: join at sf0.01: 32 partitions -> 9.9 s engine time, 8 -> 3.0 s,
+#: 4 -> 2.0 s, identical results — the batch session default (sized for
+#: CPU-bound shuffles) is 3-5x overhead here.  On a production cluster
+#: size this to state volume / executor count and keep it fixed for the
+#: life of the checkpoint (state repartitioning needs a new one).
+STREAM_SHUFFLE = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
+
+_CKPT_ROOT: str | None = None
+
+
+def _ckpt_dir(name: str) -> str:
+    """Fresh per-run checkpoint dir under a session-scoped tmpfs root
+    (/dev/shm when present) — state-store and offset-log writes hit
+    RAM, not disk; the root is created once per process."""
+    global _CKPT_ROOT
+    if _CKPT_ROOT is None:
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        _CKPT_ROOT = tempfile.mkdtemp(prefix="dms_ckpt_", dir=base)
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
+
+
 def _drain_to_df(agg: DataFrame, name: str, mode: str = "complete",
                  ) -> DataFrame:
     """Run the streaming query over all available input, materialize the
     memory-sink table (localCheckpoint so it survives query stop), and
-    return it as a batch DataFrame."""
+    return it as a batch DataFrame.  Engine processing time is recorded
+    in :data:`LAST_STREAM_METRICS`."""
     spark = agg.sparkSession
-    ckpt = tempfile.mkdtemp(prefix=f"dms_ck_{name}_")
-    q = (agg.writeStream.outputMode(mode).format("memory").queryName(name)
-         .option("checkpointLocation", ckpt).start())
+    ckpt = _ckpt_dir(name)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
     try:
-        q.processAllAvailable()
-        out = spark.table(name).localCheckpoint(eager=True)
+        q = (agg.writeStream.outputMode(mode).format("memory")
+             .queryName(name).option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            prog = q.recentProgress
+            LAST_STREAM_METRICS[name] = {
+                "processing_sec": round(sum(
+                    (p.get("durationMs") or {}).get("triggerExecution", 0)
+                    for p in prog) / 1000.0, 3),
+                "batches": len(prog),
+            }
+            out = spark.table(name).localCheckpoint(eager=True)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
     finally:
-        q.stop()
-        shutil.rmtree(ckpt, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return out
 
 
@@ -82,7 +130,7 @@ def streaming_windowed_monoid(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.array(mv, mv * mv, F.lit(1).cast("bigint"))
     agg = streaming_monoid_reduce(_events_stream(spark, sf_dir), "sum",
                                   elem="bigint", window="1 hour", vec=vec)
-    out = _drain_to_df(agg, "dms_swm")
+    out = _drain_to_df(agg, "streaming_windowed_monoid")
     return out.select(
         F.unix_timestamp("window_start").cast("bigint").alias("ws_sec"),
         "event_type", F.col("pos").cast("int").alias("pos"),
@@ -94,7 +142,7 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     the streaming twin of the batch lag+cumsum sessionization."""
     agg = streaming_session_windows(_events_stream(spark, sf_dir),
                                     gap="30 minutes")
-    out = _drain_to_df(agg, "dms_sess")
+    out = _drain_to_df(agg, "streaming_sessionize")
     return out.select(
         "user_id",
         F.unix_timestamp("session_start").cast("bigint").alias("ss_sec"),
@@ -107,7 +155,7 @@ def streaming_cms_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     (window x depth x width) state regardless of key cardinality."""
     agg = streaming_cms(_events_stream(spark, sf_dir), "event_type",
                         depth=4, width=256, window="1 hour")
-    out = _drain_to_df(agg, "dms_cms")
+    out = _drain_to_df(agg, "streaming_cms_cells")
     return out.select(
         F.unix_timestamp("window_start").cast("bigint").alias("ws_sec"),
         F.col("depth").cast("int").alias("depth"),
@@ -125,7 +173,7 @@ def streaming_dedup_redelivery(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.copy(f"{sf_dir}/events.parquet", f"{d}/part-1.parquet")
         deduped = streaming_dedup(_events_stream(spark, sf_dir, events_dir=d))
         out = _drain_to_df(deduped.select("event_id", "event_type"),
-                           "dms_dedup", mode="append")
+                           "streaming_dedup_redelivery", mode="append")
     finally:
         shutil.rmtree(d, ignore_errors=True)
     return out.groupBy("event_type").agg(
@@ -144,7 +192,7 @@ def streaming_purchase_click_join(spark: SparkSession,
     j = streaming_interval_join(p, c, within="24 hours",
                                 watermark="48 hours")
     out = _drain_to_df(j.select("user_id", "purchase_id", "click_id"),
-                       "dms_ssj", mode="append")
+                       "streaming_purchase_click_join", mode="append")
     return out
 
 
@@ -161,4 +209,4 @@ def streaming_decontam_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .where(F.col("doc_id") % 97 != 0))
     alerts = streaming_contamination_alerts(
         doc_stream, cu.ngram_hashes(ev, "doc_id", "text", 4))
-    return _drain_to_df(alerts, "dms_decontam", mode="append")
+    return _drain_to_df(alerts, "streaming_decontam_alerts", mode="append")
