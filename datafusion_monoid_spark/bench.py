@@ -56,7 +56,18 @@ RUN_DUCKDB = os.environ.get("SPARK_GRAFT_BENCH_DUCKDB", "1") != "0"
 #: DuckDB repeats — 1 by default: the column is a same-round sanity
 #: baseline, not a tuning target; one pass keeps total bench time sane.
 DUCKDB_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_REPEATS", "1"))
+#: per-query DuckDB wall cap — some oracle SQL (the unnest-heavy LSH
+#: rebuilds) is 10-100x slower than the Spark plan at sf>=0.1; the cap
+#: keeps one runaway baseline query from eating the whole bench budget.
+#: Interrupted queries are reported under duckdb.timeout, excluded from
+#: the comparable-ratio set.
+DUCKDB_TIMEOUT = float(os.environ.get("SPARK_GRAFT_BENCH_DUCKDB_TIMEOUT",
+                                      "180"))
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+#: comma-separated subset of catalog names to run (empty = whole
+#: catalog) — for scale tiers where a full 106-query sweep is overkill
+ONLY = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
+        if n}
 
 #: approximate top-k queries measured against this exact baseline
 _ANN_BASELINE = "sim_topk_bruteforce"
@@ -96,9 +107,12 @@ def _recall(spark, catalog) -> dict[str, float]:
     return recalls
 
 
-def _duckdb_times(catalog) -> dict[str, float]:
+def _duckdb_times(catalog) -> tuple[dict[str, float], list[str]]:
     """Time each oracle_sql in DuckDB on the same parquet tables —
-    the single-node baseline column, measured in the SAME round."""
+    the single-node baseline column, measured in the SAME round.
+    Returns (times, timed_out_names)."""
+    import threading
+
     import duckdb
 
     from datafusion_monoid_spark.sources import TABLES
@@ -108,22 +122,29 @@ def _duckdb_times(catalog) -> dict[str, float]:
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS FROM '{SF_DIR}/{t}.parquet'")
     out: dict[str, float] = {}
+    timed_out: list[str] = []
     for name, (_, oracle) in catalog.items():
         if not oracle:
             continue
         runs = []
         for _ in range(DUCKDB_REPEATS):
+            timer = threading.Timer(DUCKDB_TIMEOUT, con.interrupt)
+            timer.start()
             t0 = time.perf_counter()
             try:
                 con.sql(oracle).fetchall()
             except Exception:
                 runs = []
+                if time.perf_counter() - t0 >= DUCKDB_TIMEOUT - 1:
+                    timed_out.append(name)
                 break
+            finally:
+                timer.cancel()
             runs.append(time.perf_counter() - t0)
         if runs:
             out[name] = round(statistics.median(runs), 3)
     con.close()
-    return out
+    return out, timed_out
 
 
 def main(out_path: str | None = None) -> None:
@@ -135,10 +156,12 @@ def main(out_path: str | None = None) -> None:
 
     spark = get_spark("bench")
     catalog = qcat.catalog()
+    if ONLY:
+        catalog = {n: v for n, v in catalog.items() if n in ONLY}
 
     times: dict[str, float] = {}
     # warm-up: JVM + codegen + parquet footer caches
-    _force(catalog["tpch_q1"][0](spark, SF_DIR))
+    _force(qcat.catalog()["tpch_q1"][0](spark, SF_DIR))
 
     for name, (fn, _) in catalog.items():
         runs = []
@@ -165,9 +188,12 @@ def main(out_path: str | None = None) -> None:
         "sf": sf,
     }
     if RUN_DUCKDB:
-        duck = _duckdb_times(catalog)
+        duck, timed_out = _duckdb_times(catalog)
         result["duckdb"] = {"value": round(sum(duck.values()), 3),
                             "queries": duck}
+        if timed_out:
+            result["duckdb"]["timeout"] = timed_out
+            result["duckdb"]["timeout_sec"] = DUCKDB_TIMEOUT
         comparable = [n for n in times if n in duck]
         sp = sum(times[n] for n in comparable)
         du = sum(duck[n] for n in comparable)

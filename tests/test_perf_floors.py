@@ -1,0 +1,66 @@
+"""Perf ceilings for the sketch tier (VERDICT r3 item 4).
+
+BENCH_r03 showed cms/hll/group-quantile ~1.6-2.3x slower than r2 with
+NO code change — consistent with ambient load, but nothing pinned it.
+These tests pin generous absolute ceilings (~4x a quiet sf0.01 median)
+so a REAL regression (an accidental cartesian, a lost partial-agg, a
+dropped pushdown) fails loudly while ambient noise does not.
+
+Protocol: warm the session (JVM + codegen + parquet footers) with one
+throwaway run, then take the best of 3 noop-sink materializations —
+"best" rather than median because a ceiling test asks "CAN the plan
+still run this fast", which the fastest quiet run answers and ambient
+load cannot fake.
+
+Opt out with ``SPARK_GRAFT_PERF=0`` (e.g. on a loaded CI box).
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+
+from datafusion_monoid_spark import queries as qcat
+
+SF = "/root/testdata/sf0.01"
+
+#: name -> ceiling sec (~4x quiet sf0.01 medians on local[8])
+CEILINGS = {
+    "cms_token_sketch": 4.0,
+    "cms_heavy_hitters": 5.0,
+    "hll_registers": 5.0,
+    "hll_distinct_tokens": 4.0,
+    "group_quantile_tokens": 4.0,
+    "quality_repetition_filters": 5.0,
+    "dedup_clusters": 14.0,
+}
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("SPARK_GRAFT_PERF", "1") == "0",
+    reason="perf floors disabled via SPARK_GRAFT_PERF=0")
+
+
+def _best_of(fn, spark, n=3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        fn(spark, SF).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _warm(spark):
+    qcat.catalog()["tpch_q1"][0](spark, SF) \
+        .write.format("noop").mode("overwrite").save()
+
+
+@pytest.mark.parametrize("name", sorted(CEILINGS))
+def test_sketch_tier_perf_ceiling(spark, name):
+    fn = qcat.catalog()[name][0]
+    best = _best_of(fn, spark, n=3)
+    assert best <= CEILINGS[name], (
+        f"{name}: best-of-3 {best:.2f}s exceeds ceiling "
+        f"{CEILINGS[name]}s — a real plan regression, not noise")
