@@ -2028,10 +2028,20 @@ def stratified_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     half de/es/fr, 10% zh) decided by the SAME stable hash as the plain
     sample — a pure filter, no shuffle, reproducible row-for-row in any
     engine.  The up/down-weighting primitive of training-corpus
-    curation."""
+    curation.
+
+    The language column is pinned behind :func:`pin_columns`: without
+    the barrier, predicate pushdown inlines the whole tokenize+lang-id
+    chain into the sampling filter and sinks it below the repartition
+    to the single-file scan — 19-24 s on one core at sf1 vs ~1.1 s
+    pinned (measured; see plans/fence.py for the full mechanism and
+    the non-solutions)."""
+    from datafusion_monoid_spark.plans.fence import pin_columns
+
     docs = _docs(spark, sf_dir).withColumn("__toks", dd.tokens("text"))
     pred, _ = tx.lang_id("text", toks=F.col("__toks"))
-    with_lang = docs.select("doc_id", pred.alias("lang"))
+    with_lang = pin_columns(
+        docs.select("doc_id", pred.alias("lang")), "doc_id")
     sampled = smp.stratified_hash_sample(
         with_lang, "doc_id", "lang", _STRATA_FRACTIONS)
     return sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))

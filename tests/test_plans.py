@@ -155,3 +155,21 @@ def test_q22_scalar_is_broadcast_not_cartesian_fact(spark, catalog):
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
+
+
+def test_stratified_sample_lang_chain_stays_above_scan(spark, catalog):
+    """The language-ID chain must NOT be substituted into the sampling
+    predicate and pushed to the (single-split) scan: the scan-side
+    filter may carry only the cheap doc_id hash, never the tokenizer.
+    pin_columns (plans/fence.py) is what guarantees this — measured
+    19-24 s (one-core tokenize at the scan) vs ~1.1 s pinned at sf1."""
+    df = catalog["stratified_sample_mix"][0](spark, SF)
+    p = _explain(df, "simple")
+    scan_side = [l for l in p.splitlines()
+                 if "Filter" in l and "md5" in l]
+    assert scan_side, "expected the pushed doc_id hash filter"
+    for line in scan_side:
+        assert "lambdafunction" not in line, (
+            "tokenizer chain leaked into the scan filter")
+    # the barrier itself: a doc_id-keyed aggregate below the sampling
+    assert "first(lang" in p
