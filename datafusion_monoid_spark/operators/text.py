@@ -119,3 +119,34 @@ def fingerprint(text_col: Column | str) -> Column:
         F.lit(0).cast("bigint"),
         lambda acc, t: (acc * 31 + md5_long(t)) % F.lit(FINGERPRINT_P),
     )
+
+
+# -- PII detection / redaction ------------------------------------------------
+
+#: Java-regex AND RE2-compatible patterns (no lookaround, no backrefs),
+#: so the DuckDB oracle evaluates the very same strings.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "phone": r"\b555-\d{4}\b",
+}
+
+
+def pii_counts(text_col: Column | str) -> dict[str, Column]:
+    """Per-document PII match counts, one ``regexp_count`` per pattern —
+    pure Catalyst, codegen'd, no Python in the path.  Swap the pattern
+    table for a vendored detector at quality-critical scale; the
+    plumbing (scan -> count -> aggregate) is the production shape."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return {name: F.regexp_count(c, F.lit(pat))
+            for name, pat in PII_PATTERNS.items()}
+
+
+def pii_redact(text_col: Column | str) -> Column:
+    """Replace every PII span with a ``<KIND>`` placeholder.  Patterns
+    apply in sorted-name order (deterministic composition)."""
+    out = F.col(text_col) if isinstance(text_col, str) else text_col
+    for name in sorted(PII_PATTERNS):
+        out = F.regexp_replace(out, PII_PATTERNS[name],
+                               f"<{name.upper()}>")
+    return out

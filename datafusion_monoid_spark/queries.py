@@ -3711,6 +3711,292 @@ SELECT DISTINCT doc_id FROM trg JOIN ev USING (gram_hash)
 """)(sq.streaming_decontam_alerts)
 
 
+# ---------------------------------------------------------------------------
+# Round-4 pipeline additions: PII scan/redaction, BM25 ranking, SemDeDup
+# ---------------------------------------------------------------------------
+
+def _pii_inject_sql() -> str:
+    """DuckDB twin of the deterministic PII injection below."""
+    return ("""text
+  || CASE WHEN doc_id % 7 = 0
+          THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+          ELSE '' END
+  || CASE WHEN doc_id % 11 = 0
+          THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+               || '.' || CAST(doc_id % 100 AS VARCHAR)
+          ELSE '' END
+  || CASE WHEN doc_id % 13 = 0
+          THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+          ELSE '' END""")
+
+
+def _pii_oracle_sql() -> str:
+    from datafusion_monoid_spark.operators.text import PII_PATTERNS
+    em, ip, ph = (PII_PATTERNS[k] for k in ("email", "ipv4", "phone"))
+    red = f"""regexp_replace(regexp_replace(regexp_replace(t2,
+            '{em}', '<EMAIL>', 'g'),
+            '{ip}', '<IPV4>', 'g'),
+            '{ph}', '<PHONE>', 'g')"""
+    return f"""
+WITH inj AS (SELECT doc_id, source, {_pii_inject_sql()} AS t2 FROM documents),
+c AS (SELECT source,
+             len(regexp_extract_all(t2, '{em}')) AS n_em,
+             len(regexp_extract_all(t2, '{ip}')) AS n_ip,
+             len(regexp_extract_all(t2, '{ph}')) AS n_ph,
+             length({red}) AS red_len
+      FROM inj)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n_em > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_email,
+       CAST(sum(n_em) AS BIGINT) AS n_emails,
+       CAST(sum(CASE WHEN n_ip > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_ipv4,
+       CAST(sum(n_ip) AS BIGINT) AS n_ipv4,
+       CAST(sum(CASE WHEN n_ph > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_phone,
+       CAST(sum(n_ph) AS BIGINT) AS n_phones,
+       CAST(sum(red_len) AS BIGINT) AS sum_redacted_len
+FROM c GROUP BY source
+"""
+
+
+@register("text_pii_scan", _pii_oracle_sql())
+def text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction audit per source: match counts for
+    email / IPv4 / phone patterns and the total post-redaction length
+    (a deterministic integer checksum that the redaction actually
+    rewrote the spans).  The synthetic corpus carries no PII, so both
+    engines INJECT identical fake PII keyed on doc_id — the detector
+    and redactor run on real text either way.
+
+    Scale: one ``regexp_count`` per pattern inside whole-stage codegen,
+    then a single groupBy(source) with map-side partial aggregation —
+    the same linear scan shape a Common-Crawl PII pass runs; patterns
+    are RE2-safe (no lookaround/backrefs) so the identical strings run
+    on any engine."""
+    d = _docs(spark, sf_dir)
+    t2 = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" contact u"),
+                        F.col("doc_id").cast("string"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" from 10.0."),
+                        (F.col("doc_id") % 256).cast("string"), F.lit("."),
+                        (F.col("doc_id") % 100).cast("string")))
+         .otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 13 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")),
+    )
+    inj = d.select("source", t2.alias("t2"))
+    cnt = tx.pii_counts(F.col("t2"))
+    feats = inj.select(
+        "source", cnt["email"].alias("n_em"), cnt["ipv4"].alias("n_ip"),
+        cnt["phone"].alias("n_ph"),
+        F.length(tx.pii_redact(F.col("t2"))).alias("red_len"))
+    flag = lambda c: F.sum((c > 0).cast("int")).cast("bigint")
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        flag(F.col("n_em")).alias("n_docs_email"),
+        F.sum("n_em").cast("bigint").alias("n_emails"),
+        flag(F.col("n_ip")).alias("n_docs_ipv4"),
+        F.sum("n_ip").cast("bigint").alias("n_ipv4"),
+        flag(F.col("n_ph")).alias("n_docs_phone"),
+        F.sum("n_ph").cast("bigint").alias("n_phones"),
+        F.sum("red_len").cast("bigint").alias("sum_redacted_len"),
+    )
+
+
+#: BM25 query terms — mid-frequency tokens of the synthetic corpus.
+_BM25_TERMS = ("hash", "join", "stream", "vector")
+
+
+def _idiv(a, b):
+    """Exact floor division of non-negative bigint columns.  The
+    ``(a - a%b)/b`` form keeps every intermediate an exact integer;
+    all BM25 quantities stay < 2^53 by construction (documented at the
+    call sites), so the final double division is exact too."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+@register("bm25_rank_topk", f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+base AS (SELECT doc_id, len(toks) AS dl,
+                list_filter(toks, x -> list_contains(
+                  [{", ".join(f"'{w}'" for w in _BM25_TERMS)}], x)) AS qt
+         FROM t),
+tot AS (SELECT CAST(sum(dl) AS BIGINT) AS total_dl,
+               CAST(count(*) AS BIGINT) AS n FROM base),
+tf AS (SELECT doc_id, dl, token, CAST(count(*) AS BIGINT) AS tf
+       FROM (SELECT doc_id, dl, unnest(qt) AS token FROM base)
+       GROUP BY doc_id, dl, token),
+dfq AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY token),
+sc AS (SELECT doc_id,
+              (((2*n - 2*df + 1) * 1000000) // (2*df + 1))
+              * ((tf * 22 * total_dl * 10000)
+                 // (10*tf*total_dl + 3*total_dl + 9*dl*n)) // 10000
+                AS s
+       FROM tf JOIN dfq USING (token) CROSS JOIN tot),
+agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
+        FROM sc GROUP BY doc_id),
+r AS (SELECT doc_id, score_micro,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
+      FROM agg)
+SELECT CAST(rk AS INTEGER) AS rank, doc_id, score_micro FROM r WHERE rk <= 10
+""")
+def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (k1=1.2, b=0.75) for a fixed term set, in
+    EXACT integer arithmetic so the score hash-matches any engine: the
+    idf uses the rational ((2N-2df+1)/(2df+1)) instead of its log (same
+    ordering, no libm), and the tf saturation is scaled by 10*total_dl
+    to clear the fractions — idf_micro <= ~4e10, part <= 22000, and
+    every numerator < 2^53 even at sf10, so :func:`_idiv` is exact.
+
+    Scale: the token explode is filtered to the query terms BEFORE the
+    shuffle (per-doc tf state is O(|terms|)); df is a |terms|-row
+    aggregate joined back by broadcast; the corpus-wide (N, total_dl)
+    is a 1-row cross join; the final top-10 is TakeOrderedAndProject
+    (per-partition heads), never a global sort."""
+    docs = _docs(spark, sf_dir).select("doc_id", dd.tokens("text").alias("toks"))
+    base = docs.select(
+        "doc_id", F.size("toks").cast("bigint").alias("dl"),
+        F.filter("toks", lambda x: x.isin(*_BM25_TERMS)).alias("qt"))
+    tot = base.agg(F.sum("dl").cast("bigint").alias("total_dl"),
+                   F.count(F.lit(1)).cast("bigint").alias("n"))
+    tf = (base.select("doc_id", "dl", F.explode("qt").alias("token"))
+          .groupBy("doc_id", "dl", "token")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
+    sc = (tf.join(F.broadcast(dfq), "token").crossJoin(F.broadcast(tot))
+          .select("doc_id",
+                  (_idiv((2*F.col("n") - 2*F.col("df") + 1) * 1000000,
+                         2*F.col("df") + 1)
+                   * _idiv(F.col("tf") * 22 * F.col("total_dl") * 10000,
+                           10*F.col("tf")*F.col("total_dl")
+                           + 3*F.col("total_dl")
+                           + 9*F.col("dl")*F.col("n"))).alias("num")))
+    agg = (sc.groupBy("doc_id")
+           .agg(F.sum(_idiv(F.col("num"), F.lit(10000)))
+                .cast("bigint").alias("score_micro")))
+    top = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id", "score_micro"))
+
+
+def _semdedup_oracle_sql(k: int = 8, iters: int = 3, t2_pct: int = 7225) -> str:
+    return f"""
+WITH {_kmeans_ctes(k, iters)},
+d AS (SELECT vec_id, cid,
+             list_sum(list_transform(range(1, 65),
+                      j -> (v[j] - cv[j]) * (v[j] - cv[j]))) AS d
+      FROM vecs CROSS JOIN cents{iters}),
+asg AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+          FROM d) WHERE rn = 1),
+q8 AS (SELECT vec_id,
+              list_transform(embedding::DOUBLE[],
+                             x -> CAST(round(x * 127) AS BIGINT)) AS q
+       FROM embeddings),
+qn AS (SELECT vec_id, q,
+              list_sum(list_transform(q, x -> x * x)) AS n2 FROM q8),
+pairs AS (SELECT b.vec_id AS bid,
+                 list_sum(list_transform(range(1, 65),
+                          j -> qa.q[j] * qb.q[j])) AS dot,
+                 qa.n2 AS na2, qb.n2 AS nb2
+          FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          JOIN qn qa ON qa.vec_id = a.vec_id
+          JOIN qn qb ON qb.vec_id = b.vec_id),
+pr AS (SELECT DISTINCT bid AS vec_id FROM pairs
+       WHERE dot > 0 AND dot * dot * 10000 >= {t2_pct} * na2 * nb2)
+SELECT CAST(asg.cid AS BIGINT) AS cid, count(*) AS n_vecs,
+       CAST(sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pruned,
+       CAST(count(*) - sum(CASE WHEN pr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(coalesce(sum(CASE WHEN pr.vec_id IS NOT NULL
+                               THEN asg.vec_id END), 0) AS BIGINT)
+         AS sum_pruned_ids
+FROM asg LEFT JOIN pr ON asg.vec_id = pr.vec_id
+GROUP BY asg.cid
+"""
+
+
+@register("semdedup_prune", _semdedup_oracle_sql())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (cluster-then-prune, after
+    Abbas et al. 2023): k-means partitions the embedding space, then
+    ONLY within-cluster pairs are tested for cosine similarity, and a
+    vector is pruned when a smaller-id cluster-mate sits above the
+    threshold.  Per-cluster keep/prune tallies come back (plus the
+    pruned-id checksum), the whole composition in exact integer math:
+    the deterministic quantized k-means (cents replayed by the oracle's
+    unrolled CTEs), int8-ish quantization round(x*127), and the cosine
+    test  dot>0 AND dot^2*10000 >= 7225*|a|^2*|b|^2  — i.e. cos >= 0.85
+    decided without a single float (dot^2*1e4 <= 1.1e16 < 2^63).
+
+    Scale: this is the textbook SemDeDup shape — the O(n^2) pairwise
+    test runs per CLUSTER, so k is chosen ~N/target_cluster_size to
+    bound each cluster (at 100 TB: k in the tens of thousands, cluster
+    assignment still a broadcast of k x dim ints, and the self-join
+    shuffles on cid with bounded partitions).  Learned centroids are
+    materialized driver-side once (bounded k x dim collect — the
+    persisted-centroids pattern, same as sim_topk_ivf_kmeans)."""
+    e = _emb(spark, sf_dir)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    by_cid: dict[int, list[tuple[int, int]]] = {}
+    for r in cents.collect():   # k x dim rows — bounded by construction
+        by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
+    cv = spark.createDataFrame(
+        [(int(cid), [v for _, v in sorted(pv)]) for cid, pv in
+         sorted(by_cid.items())],
+        "cid bigint, cv array<bigint>")
+    v = e.select(
+        "vec_id", sim.quantize_micro("embedding").alias("v"),
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 127).cast("bigint")).alias("q"))
+    v = v.withColumn(
+        "n2", F.aggregate(F.transform(F.col("q"), lambda x: x * x),
+                          F.lit(0).cast("bigint"), lambda a, x: a + x))
+    asg = (v.crossJoin(F.broadcast(cv))
+           .select("vec_id", "cid", "q", "n2",
+                   F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
+                                          lambda x, y: (x - y) * (x - y)),
+                               F.lit(0).cast("bigint"),
+                               lambda a, x: a + x).alias("d"))
+           .groupBy("vec_id")
+           .agg(F.min(F.struct("d", "cid", "q", "n2")).alias("m"))
+           .select("vec_id", F.col("m.cid").alias("cid"),
+                   F.col("m.q").alias("q"), F.col("m.n2").alias("n2")))
+    a, b = asg.alias("a"), asg.alias("b")
+    dot = F.aggregate(F.zip_with(F.col("a.q"), F.col("b.q"),
+                                 lambda x, y: x * y),
+                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    pruned = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
+                     & (F.col("a.vec_id") < F.col("b.vec_id")))
+              .select(F.col("b.vec_id").alias("vec_id"), dot.alias("dot"),
+                      F.col("a.n2").alias("na2"), F.col("b.n2").alias("nb2"))
+              .where((F.col("dot") > 0)
+                     & (F.col("dot") * F.col("dot") * 10000
+                        >= 7225 * F.col("na2") * F.col("nb2")))
+              .select("vec_id").distinct()
+              .withColumn("is_pruned", F.lit(1)))
+    return (asg.join(pruned, "vec_id", "left")
+            .groupBy("cid")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 F.sum(F.coalesce("is_pruned", F.lit(0)))
+                 .cast("bigint").alias("n_pruned"),
+                 (F.count(F.lit(1))
+                  - F.sum(F.coalesce("is_pruned", F.lit(0))))
+                 .cast("bigint").alias("n_kept"),
+                 F.coalesce(F.sum(F.when(F.col("is_pruned") == 1,
+                                         F.col("vec_id"))), F.lit(0))
+                 .cast("bigint").alias("sum_pruned_ids"))
+            .select(F.col("cid").cast("bigint").alias("cid"), "n_vecs",
+                    "n_pruned", "n_kept", "sum_pruned_ids"))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -3727,7 +4013,8 @@ SELECT DISTINCT doc_id FROM trg JOIN ev USING (gram_hash)
 #: the whole catalog across rounds.  Union of rounds 1-3 = 106/106
 #: checked at least once.
 _DRIVER_WINDOW_R4 = [
-    # sentinels: headline + changed-this-round
+    # sentinels: headline + changed-this-round + NEW this round
+    "text_pii_scan", "bm25_rank_topk", "semdedup_prune",
     "tpch_q1", "monoid_sum_double", "sim_topk_ivf_kmeans",
     "skew_salted_event_stats", "skew_salted_join_deviation",
     "streaming_sessionize", "streaming_windowed_monoid",
