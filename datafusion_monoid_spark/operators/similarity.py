@@ -355,7 +355,15 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
     (posexplode + partial agg — the monoid two-phase shape); empty
     clusters keep their previous centroid.  Iteration count is FIXED
     (not convergence-tested): deterministic work, and each round is a
-    full lineage checkpointable stage at scale."""
+    full lineage checkpointable stage at scale.
+
+    The iterations stay CHAINED lineage on purpose: a per-iteration
+    driver round-trip of the centroids (the MLlib pattern) was measured
+    SLOWER here (2.9 s vs 1.9 s for the 3-round fit at sf0.1) — three
+    separate jobs pay more scheduling than the fused chain recomputes.
+    At a scale where one assignment pass dominates scheduling, flip to
+    per-round materialization (consumers already collect the FINAL
+    centroids once — the persisted-centroids pattern)."""
     v = df.select(F.col(id_col).alias("__vid"),
                   quantize_micro(vec_col).alias("__v"))
     cents = (v.where(F.col("__vid") < k)

@@ -3858,9 +3858,16 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row cross join; the final top-10 is TakeOrderedAndProject
     (per-partition heads), never a global sort."""
     docs = _docs(spark, sf_dir).select("doc_id", dd.tokens("text").alias("toks"))
+    # Materialize the post-tokenize projection once: (dl, qt) is tiny
+    # (a count + the query-term hits) but feeds BOTH the corpus-stats
+    # aggregate and the tf explode — left inline, each consumer re-runs
+    # the tokenizer over the corpus.  Eager: a lazy checkpoint inside a
+    # single action does not split the DAG, so both consumers would
+    # still compile the full tokenize lineage.
     base = docs.select(
         "doc_id", F.size("toks").cast("bigint").alias("dl"),
-        F.filter("toks", lambda x: x.isin(*_BM25_TERMS)).alias("qt"))
+        F.filter("toks", lambda x: x.isin(*_BM25_TERMS)).alias("qt")
+    ).localCheckpoint(eager=True)
     tot = base.agg(F.sum("dl").cast("bigint").alias("total_dl"),
                    F.count(F.lit(1)).cast("bigint").alias("n"))
     tf = (base.select("doc_id", "dl", F.explode("qt").alias("token"))
@@ -3968,7 +3975,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
            .groupBy("vec_id")
            .agg(F.min(F.struct("d", "cid", "q", "n2")).alias("m"))
            .select("vec_id", F.col("m.cid").alias("cid"),
-                   F.col("m.q").alias("q"), F.col("m.n2").alias("n2")))
+                   F.col("m.q").alias("q"), F.col("m.n2").alias("n2"))
+           # assignments feed the self-join TWICE plus the final tally —
+           # inline, the scan+quantize+argmin lineage runs 3x.  One
+           # bounded eager materialization (vec_id, cid, int8 vector)
+           # is the persisted-assignments pattern a production SemDeDup
+           # run would write to storage anyway; lazy does not split a
+           # single action's DAG.
+           .localCheckpoint(eager=True))
     a, b = asg.alias("a"), asg.alias("b")
     dot = F.aggregate(F.zip_with(F.col("a.q"), F.col("b.q"),
                                  lambda x, y: x * y),
