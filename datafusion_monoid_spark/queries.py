@@ -3891,6 +3891,41 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("rank", "doc_id", "score_micro"))
 
 
+def _semdedup_prune_pandas(pdf):
+    """Per-cluster prune tally: exact int64 NumPy matmul over the int8
+    quantized vectors.  A vector is pruned when ANY smaller-id
+    cluster-mate clears  dot>0 AND dot^2*1e4 >= 7225*na2*nb2  (integer
+    cos >= 0.85).  Row-blocked so peak memory is B x c, not c x c.
+
+    All arithmetic stays in int64 with headroom: |q_i| <= ~2^9 means
+    dot <= 2^24, dot^2*1e4 <= 2^62."""
+    import numpy as np
+    import pandas as pd
+    ids = pdf["vec_id"].to_numpy(np.int64)
+    order = np.argsort(ids)
+    ids = ids[order]
+    q = np.stack([np.asarray(a, dtype=np.int64)
+                  for a in pdf["q"].iloc[order]])
+    n2 = (q * q).sum(axis=1)
+    n = len(ids)
+    pruned = np.zeros(n, dtype=bool)
+    B = 2048
+    for i0 in range(0, n, B):
+        hi = min(i0 + B, n)
+        blk = q[i0:hi] @ q.T
+        cond = (blk > 0) & (blk * blk * 10000
+                            >= 7225 * np.outer(n2[i0:hi], n2))
+        # strict upper triangle in GLOBAL (id-sorted) indices: i < j
+        cond &= np.arange(i0, hi)[:, None] < np.arange(n)[None, :]
+        pruned |= cond.any(axis=0)
+    k = int(pruned.sum())
+    return pd.DataFrame({
+        "cid": [int(pdf["cid"].iloc[0])], "n_vecs": [n],
+        "n_pruned": [k], "n_kept": [n - k],
+        "sum_pruned_ids": [int(ids[pruned].sum())],
+    })
+
+
 def _semdedup_oracle_sql(k: int = 8, iters: int = 3, t2_pct: int = 7225) -> str:
     return f"""
 WITH {_kmeans_ctes(k, iters)},
@@ -3943,13 +3978,14 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     test  dot>0 AND dot^2*10000 >= 7225*|a|^2*|b|^2  — i.e. cos >= 0.85
     decided without a single float (dot^2*1e4 <= 1.1e16 < 2^63).
 
-    Scale: this is the textbook SemDeDup shape — the O(n^2) pairwise
-    test runs per CLUSTER, so k is chosen ~N/target_cluster_size to
-    bound each cluster (at 100 TB: k in the tens of thousands, cluster
-    assignment still a broadcast of k x dim ints, and the self-join
-    shuffles on cid with bounded partitions).  Learned centroids are
-    materialized driver-side once (bounded k x dim collect — the
-    persisted-centroids pattern, same as sim_topk_ivf_kmeans)."""
+    Scale: this is the textbook SemDeDup shape — the O(c^2) pairwise
+    test runs per CLUSTER as one Arrow-batched exact-int64 NumPy matmul
+    (applyInPandas, row-blocked), so k is chosen ~N/target_cluster_size
+    to bound each cluster (at 100 TB: k in the tens of thousands,
+    cluster assignment still a broadcast of k x dim ints, pruning still
+    a single shuffle on cid).  Learned centroids are materialized
+    driver-side once (bounded k x dim collect — the persisted-centroids
+    pattern, same as sim_topk_ivf_kmeans)."""
     e = _emb(spark, sf_dir)
     cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
     by_cid: dict[int, list[tuple[int, int]]] = {}
@@ -3963,52 +3999,26 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", sim.quantize_micro("embedding").alias("v"),
         F.transform(F.col("embedding").cast("array<double>"),
                     lambda x: F.round(x * 127).cast("bigint")).alias("q"))
-    v = v.withColumn(
-        "n2", F.aggregate(F.transform(F.col("q"), lambda x: x * x),
-                          F.lit(0).cast("bigint"), lambda a, x: a + x))
     asg = (v.crossJoin(F.broadcast(cv))
-           .select("vec_id", "cid", "q", "n2",
+           .select("vec_id", "cid", "q",
                    F.aggregate(F.zip_with(F.col("v"), F.col("cv"),
                                           lambda x, y: (x - y) * (x - y)),
                                F.lit(0).cast("bigint"),
                                lambda a, x: a + x).alias("d"))
            .groupBy("vec_id")
-           .agg(F.min(F.struct("d", "cid", "q", "n2")).alias("m"))
+           .agg(F.min(F.struct("d", "cid", "q")).alias("m"))
            .select("vec_id", F.col("m.cid").alias("cid"),
-                   F.col("m.q").alias("q"), F.col("m.n2").alias("n2"))
-           # assignments feed the self-join TWICE plus the final tally —
-           # inline, the scan+quantize+argmin lineage runs 3x.  One
-           # bounded eager materialization (vec_id, cid, int8 vector)
-           # is the persisted-assignments pattern a production SemDeDup
-           # run would write to storage anyway; lazy does not split a
-           # single action's DAG.
-           .localCheckpoint(eager=True))
-    a, b = asg.alias("a"), asg.alias("b")
-    dot = F.aggregate(F.zip_with(F.col("a.q"), F.col("b.q"),
-                                 lambda x, y: x * y),
-                      F.lit(0).cast("bigint"), lambda acc, x: acc + x)
-    pruned = (a.join(b, (F.col("a.cid") == F.col("b.cid"))
-                     & (F.col("a.vec_id") < F.col("b.vec_id")))
-              .select(F.col("b.vec_id").alias("vec_id"), dot.alias("dot"),
-                      F.col("a.n2").alias("na2"), F.col("b.n2").alias("nb2"))
-              .where((F.col("dot") > 0)
-                     & (F.col("dot") * F.col("dot") * 10000
-                        >= 7225 * F.col("na2") * F.col("nb2")))
-              .select("vec_id").distinct()
-              .withColumn("is_pruned", F.lit(1)))
-    return (asg.join(pruned, "vec_id", "left")
-            .groupBy("cid")
-            .agg(F.count(F.lit(1)).alias("n_vecs"),
-                 F.sum(F.coalesce("is_pruned", F.lit(0)))
-                 .cast("bigint").alias("n_pruned"),
-                 (F.count(F.lit(1))
-                  - F.sum(F.coalesce("is_pruned", F.lit(0))))
-                 .cast("bigint").alias("n_kept"),
-                 F.coalesce(F.sum(F.when(F.col("is_pruned") == 1,
-                                         F.col("vec_id"))), F.lit(0))
-                 .cast("bigint").alias("sum_pruned_ids"))
-            .select(F.col("cid").cast("bigint").alias("cid"), "n_vecs",
-                    "n_pruned", "n_kept", "sum_pruned_ids"))
+                   F.col("m.q").alias("q")))
+    # The within-cluster all-pairs test runs as ONE Arrow-batched
+    # NumPy matmul per cluster (applyInPandas) instead of a c^2-row
+    # Catalyst self-join: at sf1 (20k vectors, 10x-duplicated corpus)
+    # the expression self-join spent 84 s on ~25M pair rows of
+    # 64-element array lambdas; the exact int64 matmul does the same
+    # arithmetic in <2 s.  Same one-shuffle shape (groupBy cid).
+    return asg.groupBy("cid").applyInPandas(
+        _semdedup_prune_pandas,
+        schema=("cid bigint, n_vecs bigint, n_pruned bigint, "
+                "n_kept bigint, sum_pruned_ids bigint"))
 
 
 #: The COMMITTED driver-window manifest for this round — the first 50
