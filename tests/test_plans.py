@@ -173,3 +173,33 @@ def test_stratified_sample_lang_chain_stays_above_scan(spark, catalog):
             "tokenizer chain leaked into the scan filter")
     # the barrier itself: a doc_id-keyed aggregate below the sampling
     assert "first(lang" in p
+
+
+def test_bm25_topk_plan(spark, catalog):
+    """BM25 must plan the final top-10 as TakeOrderedAndProject and
+    join the tiny df/totals sides by broadcast — the corpus is never
+    sort-merged against a 4-row table."""
+    p = _explain(catalog["bm25_rank_topk"][0](spark, SF), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_semdedup_pandas_kernel_single_shuffle(spark, catalog):
+    """The within-cluster all-pairs test must run as the Arrow-batched
+    per-cluster kernel (FlatMapGroupsInPandas), NOT a c^2-row self-join
+    (measured 8x at sf1), and never an all-pairs nested loop."""
+    p = _explain(catalog["semdedup_prune"][0](spark, SF), "simple")
+    assert "FlatMapGroupsInPandas" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+
+
+def test_pii_scan_partial_aggregation(spark, catalog):
+    """The PII audit is one linear scan + groupBy(source): partial
+    (map-side) aggregation before the exchange, no joins at all."""
+    p = _explain(catalog["text_pii_scan"][0](spark, SF), "simple")
+    assert "HashAggregate" in p
+    assert p.count("Exchange") <= 2   # repartition guard + the groupBy
+    assert "Join" not in p
