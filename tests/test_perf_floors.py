@@ -35,6 +35,9 @@ CEILINGS = {
     "group_quantile_tokens": 4.0,
     "quality_repetition_filters": 5.0,
     "dedup_clusters": 14.0,
+    "text_pii_scan": 3.0,
+    "bm25_rank_topk": 5.0,
+    "semdedup_prune": 15.0,
 }
 
 pytestmark = pytest.mark.skipif(
