@@ -3117,7 +3117,7 @@ def kmeans_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_oracle_sql(k_cent: int = 8, iters: int = 3,
-                           nprobe: int = 6, k: int = 5) -> str:
+                           nprobe: int = 7, k: int = 5) -> str:
     csim_cand = _COS_SQL.format(a="c.v", b="ct.cent")
     csim_query = _COS_SQL.format(a="q.v", b="ct.cent")
     return f"""
@@ -3165,11 +3165,13 @@ FROM r WHERE rk <= {k}
 def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN over LEARNED partitions: the deterministic quantized
     k-means centroids (8, de-quantized to doubles) replace the
-    lowest-id seeds; nprobe=6 of 8 partitions searched (raised from 4
-    after BENCH_r03 measured recall@5 = 0.8 — learned partitions
-    concentrate neighbors LESS than the id-seeded tier at this tiny
-    corpus size, so the probe set must widen; recall floor is pinned
-    in tests/test_similarity.py).  The whole
+    lowest-id seeds; nprobe=7 of 8 partitions searched (4 -> 6 -> 7
+    across rounds as BENCH measured recall@5 = 0.8 -> 0.93 -> 0.97 —
+    the synthetic near-random vectors have no cluster structure, so
+    neighbors spread almost uniformly over partitions and the probe
+    set must be wide to hit the r5 floor of 0.95; real embedding
+    corpora cluster, and the nprobe/k_cent ratio drops accordingly.
+    The recall floor is pinned in tests/test_similarity.py).  The whole
     composition — 3 Lloyd rounds AND the probing search — replays in
     the SQL oracle, because every clustering step is exact integer
     math.  Same search plan as sim_topk_ivf: assignment via
@@ -3191,7 +3193,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
          for cid, pv in sorted(by_cid.items())],
         "cent_id bigint, cent array<double>")
     return sim.ivf_topk(e, e.where(F.col("vec_id") < 20), k=5,
-                        nprobe=6, centroids=cv)
+                        nprobe=7, centroids=cv)
 
 
 @register("q12_late_shipments", """

@@ -93,10 +93,11 @@ def test_kmeans_quantized_is_deterministic_and_learns(spark):
 
 
 def test_ivf_kmeans_recall_vs_bruteforce(spark):
-    """Learned-centroid IVF at the CATALOG's parameters (nprobe=6 of 8,
-    raised from 4 after BENCH_r03 measured recall@5 = 0.8) must keep a
-    recall@5 floor of 0.9 vs the exact brute-force result — the pinned
-    gate that keeps parameter drift from silently degrading quality."""
+    """Learned-centroid IVF at the CATALOG's parameters (nprobe=7 of 8,
+    raised 4 -> 6 -> 7 as BENCH measured recall@5 0.8 -> 0.93 -> 0.97 at
+    sf0.1) must keep a recall@5 floor of 0.95 vs the exact brute-force
+    result — the pinned gate that keeps parameter drift from silently
+    degrading quality (VERDICT r4 item 4 lifted it from 0.9)."""
     e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     q = e.where(F.col("vec_id") < 10)
     exact = {(r.query_id, r.cand_id)
@@ -107,7 +108,7 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
               F.struct("pos", "val"))), lambda t: t["val"] / 1000000.0)
               .alias("cent")))
     approx = {(r.query_id, r.cand_id)
-              for r in sim.ivf_topk(e, q, k=5, nprobe=6,
+              for r in sim.ivf_topk(e, q, k=5, nprobe=7,
                                     centroids=cv).collect()}
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.9, recall
+    assert recall >= 0.95, recall
