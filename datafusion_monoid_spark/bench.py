@@ -71,7 +71,8 @@ ONLY = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
 
 #: approximate top-k queries measured against this exact baseline
 _ANN_BASELINE = "sim_topk_bruteforce"
-_ANN_QUERIES = ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_kmeans")
+_ANN_QUERIES = ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_kmeans",
+                "sim_topk_ivf_pretrained")
 
 
 def _force(df) -> None:

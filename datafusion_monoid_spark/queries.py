@@ -3196,6 +3196,102 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
                         nprobe=7, centroids=cv)
 
 
+# -- fit/serve split (VERDICT r4 item 3): at 100 TB the index is FIT once
+# (scheduled job, centroids persisted) and SERVED many times (per-query
+# search against the persisted artifact).  Folding the fit into every
+# search — what sim_topk_ivf_kmeans does to stay self-contained — hides
+# the serve cost, which is the number that matters for a deployed index.
+# The split makes each measurable alone, and the quantized fit is
+# deterministic, so persisted == refit and both entries share the
+# existing exact-replay oracles.
+
+import os as _os_mod
+
+_REPO_ROOT = _os_mod.path.dirname(
+    _os_mod.path.dirname(_os_mod.path.abspath(__file__)))
+
+
+def _artifact_path(sf_dir: str, name: str) -> str:
+    """Deterministic per-sf-tier artifact location under the repo's
+    (gitignored) ``.artifacts/`` — the stand-in for the object-store
+    prefix a production fit job would publish to."""
+    import re as _re
+    tag = _re.sub(r"[^A-Za-z0-9.]+", "_", sf_dir.strip("/"))
+    return f"{_REPO_ROOT}/.artifacts/{name}_{tag}"
+
+
+def _fit_centroids_persisted(spark: SparkSession, sf_dir: str,
+                             overwrite: bool) -> str:
+    """Fit the quantized k-means (k=8, 3 Lloyd rounds) and persist the
+    (cid, pos, val) centroid table as parquet; returns the path.  A
+    512-row write — the artifact is always broadcast-sized by
+    construction (k x dim)."""
+    path = _artifact_path(sf_dir, "ivf_centroids")
+    if not overwrite and _os_mod.path.isfile(
+            _os_mod.path.join(path, "_SUCCESS")):
+        return path
+    e = _emb(spark, sf_dir)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cents.coalesce(1).write.mode("overwrite").parquet(path)
+    return path
+
+
+@register("sim_ivf_fit_centroids", _kmeans_oracle_sql())
+def sim_ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FIT half of the split: run the deterministic quantized
+    k-means and persist the centroids parquet.  The returned DataFrame
+    is the READ-BACK of the persisted artifact (not the in-memory
+    lineage), so the oracle hash-check verifies the on-disk state a
+    serve job would actually consume — same oracle as
+    kmeans_quantized_centroids because the fit is exact-replayable."""
+    path = _fit_centroids_persisted(spark, sf_dir, overwrite=True)
+    return spark.read.parquet(path).select(
+        F.col("cid").cast("bigint").alias("cid"),
+        F.col("pos").cast("int").alias("pos"),
+        F.col("val").cast("bigint").alias("val"))
+
+
+@register("sim_topk_ivf_pretrained", _ivf_kmeans_oracle_sql())
+def sim_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SERVE half: IVF search against the PERSISTED centroids —
+    the 100 TB deployment shape, where the index artifact is read, not
+    re-learned, per query batch.  Fit-if-absent keeps the entry
+    self-contained (first touch pays the fit once; the determinism of
+    the quantized fit makes persisted == refit, which is why the
+    sim_topk_ivf_kmeans oracle replays this entry bit-for-bit).  The
+    512-row artifact is collected driver-side and inlined as LITERAL
+    centroids, which buys the serve plan its shape: nearest-centroid
+    assignment becomes a map-only projection (no crossJoin, no
+    assignment shuffle — see ``sim.ivf_topk_pretrained``), leaving the
+    per-query top-k window as the only exchange.  Measured 2.0 → <1 s
+    at sf0.1 vs routing the artifact through the DataFrame-centroid
+    path; identical results (tie-breaks replayed exactly), so it shares
+    the fused entry's oracle."""
+    path = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    e = _emb(spark, sf_dir)
+    cent_list = _load_centroids_cached(spark, path)
+    return sim.ivf_topk_pretrained(e, e.where(F.col("vec_id") < 20),
+                                   cent_list, k=5, nprobe=7)
+
+
+#: (path, _SUCCESS mtime) -> centroid list — a serving process loads the
+#: index artifact once, not per query batch; keyed on the marker mtime so
+#: a re-fit invalidates the cache
+_CENTROID_CACHE: dict[tuple[str, float], list] = {}
+
+
+def _load_centroids_cached(spark: SparkSession, path: str) -> list:
+    key = (path, _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS")))
+    if key not in _CENTROID_CACHE:
+        by_cid: dict[int, list[tuple[int, int]]] = {}
+        for r in spark.read.parquet(path).collect():   # k x dim rows
+            by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
+        _CENTROID_CACHE[key] = [
+            (int(cid), [v / 1e6 for _, v in sorted(pv)])
+            for cid, pv in sorted(by_cid.items())]
+    return _CENTROID_CACHE[key]
+
+
 @register("q12_late_shipments", """
 SELECT o_orderpriority,
        CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 90

@@ -41,6 +41,10 @@ CEILINGS = {
     # routed SQL entry on a single unbounded group (VERDICT r4 item 1):
     # 3-cell partial agg — a blown ceiling means the partial was lost
     "monoid_sql_routed_hugegroup": 4.0,
+    # fit/serve split (VERDICT r4 item 3): the serve path must stay a
+    # map-only-assignment plan — a blown ceiling means the assignment
+    # shuffle (or the per-call artifact re-read) came back
+    "sim_topk_ivf_pretrained": 5.0,
 }
 
 pytestmark = pytest.mark.skipif(

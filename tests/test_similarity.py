@@ -112,3 +112,38 @@ def test_ivf_kmeans_recall_vs_bruteforce(spark):
                                     centroids=cv).collect()}
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.95, recall
+
+
+def test_pretrained_serve_replays_fused_entry(spark):
+    """Fit/serve split (VERDICT r4 item 3): the serve path against
+    persisted centroids must replay the fused fit+search entry
+    bit-for-bit — persisted == refit (deterministic quantized fit) and
+    the literal-centroid plan reproduces every tie-break."""
+    from datafusion_monoid_spark import queries as qcat
+
+    cat = qcat.catalog()
+    fused = cat["sim_topk_ivf_kmeans"][0](spark, SF).collect()
+    cat["sim_ivf_fit_centroids"][0](spark, SF).collect()   # (re)persist
+    served = cat["sim_topk_ivf_pretrained"][0](spark, SF).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["sim"]) for r in rows)
+    assert key(served) == key(fused)
+
+
+def test_pretrained_serve_plan_is_map_only_assignment(spark):
+    """The serve plan's contract: nearest-centroid assignment is a pure
+    projection against literal centroids (no crossJoin, no assignment
+    shuffle); the ONLY hash exchange is the per-query top-k window, and
+    the probe side broadcasts."""
+    from datafusion_monoid_spark import queries as qcat
+
+    cat = qcat.catalog()
+    cat["sim_ivf_fit_centroids"][0](spark, SF).collect()
+    df = cat["sim_topk_ivf_pretrained"][0](spark, SF)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    # partial top-k below the exchange: bounded rows move per query
+    assert "WindowGroupLimit" in p
