@@ -28,7 +28,7 @@ commutative reduction, so partial aggregation is safe by construction.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # MinHash parameters — shared with the DuckDB oracle generators.
@@ -146,6 +146,26 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
     )
 
 
+def minhash_band_buckets(sigs: DataFrame, id_col: str,
+                         bands: int = MINHASH_BANDS,
+                         rows: int = MINHASH_ROWS) -> DataFrame:
+    """(id, band_idx, band_hash): the banded-LSH bucket relation —
+    the join keys of :func:`lsh_candidate_pairs`, exposed so
+    bucket-occupancy telemetry (:func:`bucket_occupancy_stats`)
+    measures exactly the buckets the candidate join uses."""
+    return sigs.select(
+        id_col,
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(",", *[
+                    F.col("sig")[j * rows + r].cast("string") for r in range(rows)
+                ])).alias(f"b{j}")
+                for j in range(bands)
+            ])
+        ).alias("band_idx", "band_hash"),
+    )
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
                         bands: int = MINHASH_BANDS,
                         rows: int = MINHASH_ROWS) -> DataFrame:
@@ -158,17 +178,7 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     nothing — signatures re-attach to the deduplicated pairs afterwards
     (two narrow hash joins on id).  Output carries both signatures for
     estimation."""
-    banded = sigs.select(
-        id_col,
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws(",", *[
-                    F.col("sig")[j * rows + r].cast("string") for r in range(rows)
-                ])).alias(f"b{j}")
-                for j in range(bands)
-            ])
-        ).alias("band_idx", "band_hash"),
-    )
+    banded = minhash_band_buckets(sigs, id_col, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -244,6 +254,53 @@ def simhash(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                        assemble("vl").alias("sim_lo"))
 
 
+def simhash_chunk_buckets(sh: DataFrame, id_col: str) -> DataFrame:
+    """(id, sim_hi, sim_lo, chunk_idx, chunk): the 4 x 16-bit pigeonhole
+    chunk buckets of each SimHash — the build-side relation of
+    :func:`simhash_hamming_pairs`, exposed so bucket-occupancy telemetry
+    measures EXACTLY the buckets the join uses."""
+    chunks = F.array(*[
+        F.shiftright(half, 16 * k).bitwiseAND(F.lit(0xFFFF))
+        for half in (F.col("sim_hi"), F.col("sim_lo"))
+        for k in range(2)
+    ])
+    return sh.select(id_col, "sim_hi", "sim_lo",
+                     F.posexplode(chunks).alias("chunk_idx", "chunk"))
+
+
+def bucket_occupancy_stats(buckets: DataFrame,
+                           idx_col: str = "chunk_idx",
+                           key_col: str = "chunk") -> DataFrame:
+    """Per-index bucket-occupancy telemetry: (idx, n_buckets, max_occ,
+    p99_occ, n_rows).
+
+    The operational dial for every bucketed candidate generator in this
+    module: at 100 TB the question is not "is the join bucketed" but
+    "how hot is the hottest bucket" — within-bucket work is quadratic in
+    occupancy, so the ``max_bucket`` cap should be set from p99/max, not
+    guessed.  ``p99_occ`` is the exact discrete percentile (occupancy at
+    sorted position ceil(0.99 * n_buckets), ties broken by bucket key) —
+    deterministic, hash-matchable on any engine.
+
+    Plan: one partial-agg shuffle over (idx, bucket) — the same keys the
+    candidate join shuffles on — then window + final agg over the
+    bounded bucket-count relation (<= 4 x 2^16 rows here)."""
+    sizes = buckets.groupBy(idx_col, key_col).agg(
+        F.count(F.lit(1)).alias("occ"))
+    w = Window.partitionBy(idx_col).orderBy("occ", key_col)
+    ranked = (sizes
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("nb", F.count(F.lit(1)).over(
+                  Window.partitionBy(idx_col))))
+    return (ranked.groupBy(idx_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.max("occ").cast("bigint").alias("max_occ"),
+        F.max(F.when(F.col("rn") == F.ceil(F.lit(0.99) * F.col("nb")),
+                     F.col("occ"))).cast("bigint").alias("p99_occ"),
+        F.sum("occ").cast("bigint").alias("n_rows"),
+    ))
+
+
 def simhash_hamming_pairs(sh: DataFrame, id_col: str,
                           max_hamming: int = 7,
                           max_bucket: int | None = None) -> DataFrame:
@@ -264,15 +321,12 @@ def simhash_hamming_pairs(sh: DataFrame, id_col: str,
     ``max_bucket`` (optional): drop buckets larger than this on BOTH
     sides — a hot-bucket guard for adversarial/boilerplate corpora.
     Pairs found ONLY through a dropped bucket are lost (documented
-    recall trade); at 100 TB set it to a small multiple of the expected
-    bucket occupancy."""
-    chunks = F.array(*[
-        F.shiftright(half, 16 * k).bitwiseAND(F.lit(0xFFFF))
-        for half in (F.col("sim_hi"), F.col("sim_lo"))
-        for k in range(2)
-    ])
-    build = sh.select(id_col, "sim_hi", "sim_lo",
-                      F.posexplode(chunks).alias("chunk_idx", "chunk"))
+    recall trade: a pair survives iff SOME chunk index has their chunks
+    within Hamming 1 and both buckets kept — asserted exactly in
+    tests/test_dedup.py); at 100 TB set it from measured occupancy
+    (the ``dedup_simhash_bucket_stats`` telemetry entry), e.g. a small
+    multiple of p99."""
+    build = simhash_chunk_buckets(sh, id_col)
     if max_bucket is not None:
         sizes = build.groupBy("chunk_idx", "chunk").count()
         keep = sizes.where(F.col("count") <= max_bucket) \

@@ -653,7 +653,10 @@ register("dedup_ngram_jaccard_pairs", _jaccard_on_lsh_oracle_sql())(
     dedup_ngram_jaccard_pairs)
 
 
-def _simhash_oracle_sql(max_hamming: int = 7) -> str:
+def _simhash_sims_cte() -> str:
+    """DuckDB CTE chain rebuilding the exact (doc_id, sim_hi, sim_lo)
+    SimHash relation — shared by the pair oracle and the bucket-stats
+    oracle."""
     tok_norm = dd.NORMALIZE_SQL.format(expr="text")
     vh = ", ".join(
         f"sum(CASE WHEN (hi >> {i}) & 1 = 1 THEN w ELSE -w END) AS vh{i}"
@@ -665,8 +668,7 @@ def _simhash_oracle_sql(max_hamming: int = 7) -> str:
                         for i in range(32))
     lo_asm = " + ".join(f"(CASE WHEN vl{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)"
                         for i in range(32))
-    return f"""
-WITH tok AS (
+    return f"""tok AS (
   SELECT doc_id, t, count(*) AS w FROM (
     SELECT doc_id, unnest(list_filter(string_split({tok_norm}, ' '), x -> x != '')) AS t
     FROM documents) GROUP BY doc_id, t
@@ -678,7 +680,12 @@ hashed AS (
   FROM tok
 ),
 votes AS (SELECT doc_id, {vh}, {vl} FROM hashed GROUP BY doc_id),
-sims AS (SELECT doc_id, {hi_asm} AS sim_hi, {lo_asm} AS sim_lo FROM votes),
+sims AS (SELECT doc_id, {hi_asm} AS sim_hi, {lo_asm} AS sim_lo FROM votes)"""
+
+
+def _simhash_oracle_sql(max_hamming: int = 7) -> str:
+    return f"""
+WITH {_simhash_sims_cte()},
 chunked AS (
   SELECT doc_id, sim_hi, sim_lo,
          unnest([(sim_hi >> 0) & 255, (sim_hi >> 8) & 255,
@@ -707,6 +714,86 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = dd.simhash(docs, "doc_id", "text")
     return dd.simhash_hamming_pairs(sh, "doc_id", max_hamming=7)
+
+
+@register("dedup_simhash_bucket_stats", f"""
+WITH {{sims_cte}},
+chunked16 AS (
+  SELECT doc_id,
+         unnest([(sim_hi >> 0) & 65535, (sim_hi >> 16) & 65535,
+                 (sim_lo >> 0) & 65535, (sim_lo >> 16) & 65535]) AS chunk,
+         unnest(range(0, 4)) AS chunk_idx
+  FROM sims
+),
+sizes AS (SELECT chunk_idx, chunk, count(*) AS occ
+          FROM chunked16 GROUP BY chunk_idx, chunk),
+ranked AS (
+  SELECT chunk_idx, chunk, occ,
+         row_number() OVER (PARTITION BY chunk_idx
+                            ORDER BY occ, chunk) AS rn,
+         count(*) OVER (PARTITION BY chunk_idx) AS nb
+  FROM sizes)
+SELECT CAST(chunk_idx AS INTEGER) AS chunk_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(occ) AS BIGINT) AS max_occ,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nb) AS BIGINT)
+                     THEN occ END) AS BIGINT) AS p99_occ,
+       CAST(sum(occ) AS BIGINT) AS n_rows
+FROM ranked GROUP BY chunk_idx
+""".format(sims_cte=_simhash_sims_cte()))
+def dedup_simhash_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket telemetry for the SimHash candidate generator
+    (VERDICT r4 item 6): per chunk index, the occupancy distribution of
+    EXACTLY the 16-bit buckets ``simhash_hamming_pairs`` joins on —
+    bucket count, max occupancy, exact-discrete p99 occupancy, row
+    total.
+
+    At 100 TB this is the operational dial for the ``max_bucket`` cap:
+    within-bucket join work is quadratic in occupancy, so the cap is
+    set from measured p99/max (e.g. boilerplate corpora drive a few
+    buckets to 10^5 while p99 stays single-digit — cap at a small
+    multiple of p99, lose only the documented pairs).  The stats query
+    itself scales: one (chunk_idx, chunk) partial-agg shuffle — the
+    same keys the candidate join shuffles on — then a window over the
+    bounded (<= 4 x 2^16 rows) bucket-size relation."""
+    docs = _docs(spark, sf_dir)
+    sh = dd.simhash(docs, "doc_id", "text")
+    buckets = dd.simhash_chunk_buckets(sh, "doc_id")
+    return (dd.bucket_occupancy_stats(buckets)
+            .select(F.col("chunk_idx").cast("int").alias("chunk_idx"),
+                    "n_buckets", "max_occ", "p99_occ", "n_rows"))
+
+
+@register("dedup_lsh_bucket_stats", f"""
+{_minhash_candidates_cte()},
+sizes AS (SELECT band_idx, band_hash, count(*) AS occ
+          FROM banded GROUP BY band_idx, band_hash),
+ranked AS (
+  SELECT band_idx, band_hash, occ,
+         row_number() OVER (PARTITION BY band_idx
+                            ORDER BY occ, band_hash) AS rn,
+         count(*) OVER (PARTITION BY band_idx) AS nb
+  FROM sizes)
+SELECT CAST(band_idx AS INTEGER) AS band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(max(occ) AS BIGINT) AS max_occ,
+       CAST(max(CASE WHEN rn = CAST(ceil(0.99 * nb) AS BIGINT)
+                     THEN occ END) AS BIGINT) AS p99_occ,
+       CAST(sum(occ) AS BIGINT) AS n_rows
+FROM ranked GROUP BY band_idx
+""")
+def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket telemetry for the MinHash banded-LSH candidate
+    generator — the same occupancy dial as
+    ``dedup_simhash_bucket_stats``, over the (band_idx, band_hash)
+    buckets ``lsh_candidate_pairs`` joins on (16 bands).  On a
+    boilerplate-heavy corpus the max column is the early warning: every
+    doc sharing a band hash joins quadratically within the bucket."""
+    sigs, _ = _minhash_shared(spark, sf_dir)
+    buckets = dd.minhash_band_buckets(sigs, "doc_id")
+    return (dd.bucket_occupancy_stats(buckets, "band_idx", "band_hash")
+            .select(F.col("band_idx").cast("int").alias("band_idx"),
+                    "n_buckets", "max_occ", "p99_occ", "n_rows"))
 
 
 from datafusion_monoid_spark.operators import similarity as sim

@@ -139,3 +139,76 @@ def test_simhash_max_bucket_cap(spark):
            dd.simhash_hamming_pairs(sh, "doc_id", 7, max_bucket=5).collect()}
     assert (100, 101) in got
     assert capped < uncapped
+
+
+def _chunks16(hi, lo):
+    return [(hi >> 0) & 0xFFFF, (hi >> 16) & 0xFFFF,
+            (lo >> 0) & 0xFFFF, (lo >> 16) & 0xFFFF]
+
+
+def test_bucket_cap_drops_exactly_documented_pairs(spark):
+    """The max_bucket recall contract, asserted EXACTLY (VERDICT r4
+    item 6): with the cap, a pair survives iff SOME chunk index has
+    their chunks within Hamming 1 AND both buckets kept.  Recomputed
+    from first principles in Python over the real sf0.001 corpus and
+    compared pair-for-pair."""
+    from collections import Counter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dd.simhash(docs, "doc_id", "text")
+    rows = [(r["doc_id"], r["sim_hi"], r["sim_lo"]) for r in sh.collect()]
+
+    sizes = Counter((i, c) for _, hi, lo in rows
+                    for i, c in enumerate(_chunks16(hi, lo)))
+    # cap below the largest bucket so the guard actually fires, above 1
+    # so plenty survives
+    cap = max(sizes.values()) - 1
+    assert cap >= 1 and any(v > cap for v in sizes.values()), \
+        "corpus must exercise the cap"
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    expected = set()
+    for i in range(len(rows)):
+        for j in range(i + 1, len(rows)):
+            (da, ha, la), (db, hb, lb) = rows[i], rows[j]
+            a, b = (da, db) if da < db else (db, da)
+            if ham(ha, hb) + ham(la, lb) > 7:
+                continue
+            ca, cb = (_chunks16(ha, la), _chunks16(hb, lb)) \
+                if da < db else (_chunks16(hb, lb), _chunks16(ha, la))
+            if any(ham(ca[k], cb[k]) <= 1
+                   and sizes[(k, ca[k])] <= cap and sizes[(k, cb[k])] <= cap
+                   for k in range(4)):
+                expected.add((a, b))
+    got = {(r["id_a"], r["id_b"]) for r in
+           dd.simhash_hamming_pairs(sh, "doc_id", 7,
+                                    max_bucket=cap).collect()}
+    assert got == expected
+
+
+def test_bucket_occupancy_stats_matches_python(spark):
+    """bucket_occupancy_stats == a from-first-principles recompute:
+    exact-discrete p99 (occupancy at sorted position ceil(0.99 * n),
+    ties by bucket key), max, counts."""
+    import math
+    from collections import Counter
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dd.simhash(docs, "doc_id", "text")
+    rows = [(r["sim_hi"], r["sim_lo"]) for r in sh.collect()]
+    sizes = Counter((i, c) for hi, lo in rows
+                    for i, c in enumerate(_chunks16(hi, lo)))
+
+    want = {}
+    for idx in range(4):
+        occ = sorted((n, c) for (i, c), n in sizes.items() if i == idx)
+        p99 = occ[math.ceil(0.99 * len(occ)) - 1][0]
+        want[idx] = (len(occ), occ[-1][0], p99, sum(n for n, _ in occ))
+
+    got = {r["chunk_idx"]: (r["n_buckets"], r["max_occ"],
+                            r["p99_occ"], r["n_rows"])
+           for r in dd.bucket_occupancy_stats(
+               dd.simhash_chunk_buckets(sh, "doc_id")).collect()}
+    assert got == want
