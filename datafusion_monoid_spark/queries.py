@@ -2932,6 +2932,71 @@ def skew_salted_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .cast("bigint").alias("abs_dev_milli")))
 
 
+@register("skew_aqe_join_deviation", """
+WITH fact AS (
+  SELECT event_type,
+         CASE WHEN value < 250 THEN 0 ELSE event_id END AS hot_key,
+         CAST(round(value * 1000) AS BIGINT) AS mv
+  FROM events
+),
+dim AS (
+  SELECT hot_key,
+         CAST(sum(mv) // count(*) AS BIGINT) AS avg_milli
+  FROM fact GROUP BY hot_key
+)
+SELECT f.event_type, count(*) AS n,
+       CAST(sum(abs(f.mv - d.avg_milli)) AS BIGINT) AS abs_dev_milli
+FROM fact f JOIN dim d USING (hot_key)
+GROUP BY f.event_type
+""")
+def skew_aqe_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE-skew-join demonstration (VERDICT r4 item 8), on the classic
+    PRODUCTION skew shape: default-value key collapse — ~92% of events
+    land on sentinel key 0 (the "null foreign key" / "anonymous user"
+    pattern), the rest stay unique — then a per-key-mean dim joins back
+    to the fact.  No salt: at scale Spark's AQE skew-join is the
+    default cure — the runtime observes the oversized shuffle partition
+    and splits it across reducers (``skew=true`` on the SMJ node),
+    replicating the matching dim rows, which is what the manual salt
+    (``skew_salted_join_deviation``) does statically.
+    ``tests/test_skew.py`` executes THIS entry with byte thresholds
+    scaled to the test corpus (plus ``forceOptimizeSkewedJoin`` — the
+    downstream aggregation otherwise makes AQE decline the split to
+    avoid the extra exchange) and asserts the split in the final
+    adaptive plan.
+
+    Three deliberate plan shapes, each a finding about WHEN the AQE
+    cure applies: (a) the ``merge`` hint pins SMJ — a broadcast would
+    dodge the skew question (though at real scale a per-key dim over a
+    10^9-key fact may genuinely not broadcast); (b) the dim is
+    ``localCheckpoint``-ed (the persisted-dim pattern) because
+    OptimizeSkewedJoin can only REPLICATE a side whose sort reads a
+    bare shuffle — with the dim's aggregation still between its shuffle
+    and the join, replication would double-count partials, so AQE
+    (correctly) declines; (c) the fact is round-robin repartitioned to
+    full parallelism first, because AQE splits a skewed reduce
+    partition by MAPPER RANGES — the single-row-group test parquet
+    yields ONE map task, leaving nothing to split (a test-scale
+    artifact: a 100 TB scan has thousands of mappers, making both this
+    repartition a no-op and the split always available).  Results equal
+    the plain join either way — hence the plain-SQL oracle."""
+    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
+    fact = e.repartition(spark.sparkContext.defaultParallelism).select(
+        "event_type",
+        F.when(F.col("value") < 250, F.lit(0).cast("bigint"))
+         .otherwise(F.col("event_id")).alias("hot_key"),
+        F.round(F.col("value") * 1000).cast("bigint").alias("mv"))
+    dim = (fact.groupBy("hot_key")
+           .agg(F.expr("CAST(sum(mv) AS BIGINT) DIV count(*)")
+                .alias("avg_milli"))
+           .localCheckpoint(eager=True))
+    joined = fact.join(dim.hint("merge"), "hot_key")
+    return (joined.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.abs(F.col("mv") - F.col("avg_milli")))
+                  .cast("bigint").alias("abs_dev_milli")))
+
+
 @register("unpivot_lineitem_measures", """
 SELECT l_returnflag, measure, round(sum(val), 2) AS total
 FROM (

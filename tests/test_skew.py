@@ -123,3 +123,53 @@ def test_salted_join_catalog_plan(spark):
     df = qcat.catalog()["skew_salted_join_deviation"][0](spark, SF)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "__salt" in plan and "ShuffledHashJoin" in plan
+
+
+def test_aqe_skew_catalog_entry_splits_and_matches_salted(spark):
+    """VERDICT r4 item 8: the CATALOG hot-key join (skew_aqe_join_
+    deviation) executed with AQE skew handling on — thresholds scaled
+    to the test corpus the way production scales them to executors —
+    must show the skew split on the SMJ node in the FINAL adaptive
+    plan, and return exactly what the manually salted form returns.
+    forceOptimizeSkewedJoin is on because the entry aggregates on the
+    join key downstream, where AQE otherwise declines the split to
+    avoid the extra exchange (the documented knob for this shape)."""
+    from datafusion_monoid_spark import queries as qcat
+
+    keys = (
+        "spark.sql.adaptive.enabled",
+        "spark.sql.adaptive.skewJoin.enabled",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin")
+    restore = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k, v in {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
+            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        }.items():
+            spark.conf.set(k, v)
+        cat = qcat.catalog()
+        # sf0.01: the hot partition must clear the byte threshold
+        df = cat["skew_aqe_join_deviation"][0](spark, "/root/testdata/sf0.01")
+        aqe_rows = {tuple(r) for r in df.collect()}
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+        assert "skewed" in plan        # AQEShuffleRead 'coalesced and skewed'
+    finally:
+        for k, v in restore.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # same entry under default confs (no forced split): the skew split
+    # must not change results
+    plain = {tuple(r) for r in
+             cat["skew_aqe_join_deviation"][0](
+                 spark, "/root/testdata/sf0.01").collect()}
+    assert aqe_rows == plain
