@@ -21,7 +21,11 @@ def write_table(df: DataFrame, path: str, fmt: str = "parquet",
     if fmt in LAKE_FORMATS:
         raise NotImplementedError(
             f"{fmt}: lake-format jars are not on the classpath in this "
-            "environment; add the connector jar and remove this gate.")
+            f"environment (verified: DATA_SOURCE_NOT_FOUND without this "
+            f"gate — tests/test_sources.py).  To enable: start the "
+            f"session with the connector on the classpath, e.g. "
+            f"spark.jars.packages=io.delta:delta-spark_2.13:<ver> plus "
+            f"its catalog/extension confs, then remove this gate.")
     if fmt not in FORMATS:
         raise ValueError(f"unknown format {fmt!r}; supported: {FORMATS}")
     w = df.write.mode(mode)

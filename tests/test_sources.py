@@ -66,3 +66,30 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     # pruned read returns exactly the partition's rows
     want = orders.where(F.col("o_orderstatus") == "F").count()
     assert back.count() == want
+
+
+def test_lake_format_gate_is_honest(spark, tmp_path):
+    """VERDICT r4 item 7: the lake-format gate, verified end to end.
+    (a) every lake format is gated on BOTH surfaces with an actionable
+    message; (b) the gate's CLAIM is true in this environment — going
+    around it, Spark itself cannot resolve the DataSource (so the gate
+    replaces an obscure classpath error with an actionable one, rather
+    than hiding a working path)."""
+    from datafusion_monoid_spark.sources.io import (
+        LAKE_FORMATS, read_table, write_table)
+
+    sample = spark.range(3).toDF("id")
+    for fmt in LAKE_FORMATS:
+        with pytest.raises(NotImplementedError, match=f"{fmt}.*classpath"):
+            write_table(sample, str(tmp_path / fmt), fmt)
+        with pytest.raises(NotImplementedError, match=fmt):
+            read_table(spark, str(tmp_path / fmt), fmt)
+
+    # (b) the underlying truth the gate documents
+    err = None
+    try:
+        spark.read.format("delta").load(str(tmp_path / "raw_delta"))
+    except Exception as e:  # Py4J-wrapped AnalysisException
+        err = str(e)
+    assert err is not None and (
+        "DATA_SOURCE_NOT_FOUND" in err or "Failed to find" in err), err
