@@ -171,6 +171,10 @@ def main(out_path: str | None = None) -> None:
             _force(fn(spark, SF_DIR))
             runs.append(time.perf_counter() - t0)
         times[name] = round(statistics.median(runs), 3)
+        # free localCheckpoint blocks the entry created while building
+        # (bm25 base, AQE dim) — otherwise a 100+-query loop holds every
+        # checkpoint until the ContextCleaner gets around to it
+        qcat.release_pending_checkpoints()
 
     recall = _recall(spark, catalog)
 

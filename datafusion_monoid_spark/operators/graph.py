@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_monoid_spark.plans.inspect import release_local_checkpoint
+
 
 def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
                          max_iter: int = 20) -> DataFrame:
@@ -64,6 +66,12 @@ def connected_components(edges: DataFrame, src: str = "id_a", dst: str = "id_b",
         ).localCheckpoint(eager=True)
         fp = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))).first()[0]
+        # the PREVIOUS round's checkpoint blocks are dead once the new
+        # round is materialized — release them instead of letting 20
+        # rounds of label tables pile up until the ContextCleaner GCs
+        # (ADVICE r4; at scale each round's table is corpus-sized)
+        if labels is not new_labels:
+            release_local_checkpoint(labels)
         labels = new_labels
         if fp == prev_fp:
             break

@@ -28,3 +28,24 @@ def codegen_stages(df: DataFrame) -> int:
 
 def broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin", explain_str(df, "simple")))
+
+
+def release_local_checkpoint(df: DataFrame) -> bool:
+    """Free the storage blocks behind a ``localCheckpoint``-ed DataFrame.
+
+    ``localCheckpoint`` persists an internal RDD (MEMORY_AND_DISK) that
+    ``DataFrame.unpersist`` does NOT reach — without an explicit release
+    the blocks sit on executors until the ContextCleaner happens to GC
+    the LogicalRDD (ADVICE r4).  Long-lived sessions running many
+    checkpointing queries (bench loops, iterative algorithms) should
+    release eagerly.  Returns False when ``df`` is not a bare
+    checkpoint scan (nothing to release).  The DataFrame is NOT usable
+    afterwards — release only when every consumer is done."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        if plan.getClass().getName().endswith("LogicalRDD"):
+            plan.rdd().unpersist(False)
+            return True
+    except Exception:
+        pass
+    return False

@@ -44,6 +44,31 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+#: localCheckpoint-ed DataFrames created while BUILDING catalog entries
+#: (bm25's tokenized base, the AQE demo's persisted dim).  Their storage
+#: blocks outlive the entry's action and are otherwise reclaimed only
+#: when the ContextCleaner GCs the plan (ADVICE r4) — long-lived
+#: sessions (bench loops) call :func:`release_pending_checkpoints`
+#: between queries.
+_PENDING_CHECKPOINTS: list[DataFrame] = []
+
+
+def _track_ckpt(df: DataFrame) -> DataFrame:
+    _PENDING_CHECKPOINTS.append(df)
+    return df
+
+
+def release_pending_checkpoints() -> int:
+    """Free blocks of every tracked checkpoint; call only when prior
+    catalog DataFrames are fully consumed.  Returns the release count."""
+    from datafusion_monoid_spark.plans.inspect import release_local_checkpoint
+    n = 0
+    while _PENDING_CHECKPOINTS:
+        if release_local_checkpoint(_PENDING_CHECKPOINTS.pop()):
+            n += 1
+    return n
+
+
 def _row_groups(path: str) -> int | None:
     """Total parquet row groups under ``path`` (file or directory),
     read from footers on the driver — the effective upper bound on
@@ -2986,10 +3011,10 @@ def skew_aqe_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("value") < 250, F.lit(0).cast("bigint"))
          .otherwise(F.col("event_id")).alias("hot_key"),
         F.round(F.col("value") * 1000).cast("bigint").alias("mv"))
-    dim = (fact.groupBy("hot_key")
-           .agg(F.expr("CAST(sum(mv) AS BIGINT) DIV count(*)")
-                .alias("avg_milli"))
-           .localCheckpoint(eager=True))
+    dim = _track_ckpt(fact.groupBy("hot_key")
+                      .agg(F.expr("CAST(sum(mv) AS BIGINT) DIV count(*)")
+                           .alias("avg_milli"))
+                      .localCheckpoint(eager=True))
     joined = fact.join(dim.hint("merge"), "hot_key")
     return (joined.groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n"),
@@ -4160,10 +4185,10 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenizer over the corpus.  Eager: a lazy checkpoint inside a
     # single action does not split the DAG, so both consumers would
     # still compile the full tokenize lineage.
-    base = docs.select(
+    base = _track_ckpt(docs.select(
         "doc_id", F.size("toks").cast("bigint").alias("dl"),
         F.filter("toks", lambda x: x.isin(*_BM25_TERMS)).alias("qt")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True))
     tot = base.agg(F.sum("dl").cast("bigint").alias("total_dl"),
                    F.count(F.lit(1)).cast("bigint").alias("n"))
     tf = (base.select("doc_id", "dl", F.explode("qt").alias("token"))
