@@ -4350,36 +4350,31 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: the same window, instead of depending on which CORRECTNESS_r*.json
 #: artifacts happen to exist at call time.
 #:
-#: Composition: a SENTINEL head (headline queries + every query whose
-#: code or oracle changed this round, so regressions and this round's
-#: edits get an official driver row immediately) followed by the
-#: least-recently-driver-checked queries (r1-checked before r2-checked,
-#: registration order within a round) so the window keeps rotating over
-#: the whole catalog across rounds.  Union of rounds 1-3 = 106/106
-#: checked at least once.
-_DRIVER_WINDOW_R4 = [
-    # sentinels: headline + changed-this-round + NEW this round
-    "text_pii_scan", "bm25_rank_topk", "semdedup_prune",
-    "tpch_q1", "monoid_sum_double", "sim_topk_ivf_kmeans",
-    "skew_salted_event_stats", "skew_salted_join_deviation",
-    "streaming_sessionize", "streaming_windowed_monoid",
-    "dedup_minhash_lsh_pairs",
-    # least-recently-checked rotation (r1 then r2, registration order)
-    "cms_token_sketch", "cms_heavy_hitters", "window_functions_smoke",
-    "q17_small_quantity_revenue", "dedup_clusters", "sample_token_stats",
-    "monoid_min_double", "monoid_max_double", "monoid_product_double",
-    "monoid_embedding_sum", "monoid_sum_ragged_int",
-    "monoid_sum_nullelems_double", "join_revenue_by_nation",
-    "window_topk_orders", "rollup_revenue", "distinct_types_per_brand",
-    "sort_limit_top_orders", "setop_fulfilled_customers", "events_hourly",
-    "events_moving_avg", "events_sessionize", "dedup_exact_stats",
-    "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
-    "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
-    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id", "text_quality",
-    "text_token_stats", "text_fingerprint", "multimodal_meta",
-    "multimodal_features", "events_vector_stats", "asof_purchase_click",
-    "range_join_price_tiers", "q3_shipping_priority", "q4_semi_join",
-    "q5_local_supplier_volume", "q10_returned_items",
+#: Composition: a SENTINEL head (this round's NEW entries, every query
+#: whose code or oracle changed this round, and the headliners) followed
+#: by the least-recently-driver-checked rotation (all 14 remaining
+#: r2-checked entries are in-window, so no query's last check predates
+#: r3 after this round — VERDICT r4 item 5; the tail rotation is
+#: r3-checked, registration order).  Exactly 50 names — the documented
+#: driver gate size (ADVICE r4: the r4 list had 53, silently dropping 3).
+_DRIVER_WINDOW_R5 = [
+    "monoid_sql_routed_hugegroup", "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
+    "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats", "skew_aqe_join_deviation",
+    "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
+    "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
+    "tpch_q1", "monoid_sum_double", "q4_semi_join",
+    "q5_local_supplier_volume", "q10_returned_items", "anti_join_silent_customers",
+    "left_join_customer_orders", "full_outer_join_activity", "cube_order_stats",
+    "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
+    "percentile_prices", "scalar_functions_smoke", "events_json_extract",
+    "hll_registers", "hll_distinct_tokens", "bloom_token_bits",
+    "bloom_token_membership", "train_test_split_sizes", "pack_sequences_stats",
+    "stratified_sample_mix", "doc_chunk_windows", "decontam_ngram_overlap",
+    "quality_repetition_filters", "tfidf_top_terms", "vocab_topk_coverage",
+    "q6_forecast_revenue", "q14_promo_revenue", "q18_large_volume_customer",
+    "q19_disjunctive_revenue", "embedding_quantize_int8", "zorder_layout_stats",
+    "fuzzy_customer_matches", "per_group_sample", "hist_quantile_prices",
+    "bpe_top_merges", "funnel_view_click_purchase",
 ]
 
 
@@ -4388,7 +4383,7 @@ def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R4 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R5 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}
