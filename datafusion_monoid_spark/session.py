@@ -36,7 +36,11 @@ def get_spark(app_name: str = "datafusion-monoid-spark",
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = one JVM doing driver AND executor work: size the
+        # heap to the box (this container: 128 GiB).  8g survived sf1 but
+        # OOMed the sf10 dedup tier (25M candidate pairs carrying 64-long
+        # signatures); on a real cluster this is spark.executor.memory.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
         .getOrCreate()
