@@ -614,9 +614,9 @@ def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _minhash_candidates_cte() -> str:
+def _minhash_candidates_cte(src: str = "documents") -> str:
     """Shared DuckDB CTE chain: shingles -> minhash sigs -> bands ->
-    candidate pairs (named ``cand``)."""
+    candidate pairs (named ``cand``), over the ``src`` relation."""
     mins = ",\n         ".join(
         f"min((h * {dd._minhash_params(i)[0]} + {dd._minhash_params(i)[1]}) "
         f"% {dd.MINHASH_P}) AS mh{i}"
@@ -630,7 +630,7 @@ def _minhash_candidates_cte() -> str:
     band_list = "[" + ", ".join(f"b{j}" for j in range(dd.MINHASH_BANDS)) + "]"
     return f"""
 WITH msh AS (
-  SELECT doc_id, unnest({dd.shingles_sql('text')}) AS s FROM documents
+  SELECT doc_id, unnest({dd.shingles_sql('text')}) AS s FROM {src}
 ),
 hashed AS (SELECT doc_id, {dd.md5_long_sql('s')} % 4294967296 AS h FROM msh),
 sigs AS (
@@ -819,6 +819,58 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (dd.bucket_occupancy_stats(buckets, "band_idx", "band_hash")
             .select(F.col("band_idx").cast("int").alias("band_idx"),
                     "n_buckets", "max_occ", "p99_occ", "n_rows"))
+
+
+_CASCADE_EST = f"""len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+                   i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM}"""
+
+
+@register("pipeline_dedup_cascade", f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5({dd.NORMALIZE_SQL.format(expr='text')})
+),
+survivors AS (
+  SELECT d.* FROM documents d JOIN reps USING (doc_id)
+),{_minhash_candidates_cte('survivors').replace('WITH msh AS', 'msh AS', 1)},
+near AS (SELECT id_a, id_b FROM cand WHERE {_CASCADE_EST} >= 0.35)
+SELECT (SELECT count(*) FROM documents) AS n_docs,
+       (SELECT count(*) FROM reps) AS n_exact_unique,
+       (SELECT count(*) FROM cand) AS n_candidate_pairs,
+       (SELECT count(*) FROM near) AS n_near_pairs
+""")
+def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup-FIRST near-dup cascade — the composition that makes
+    the near-dup tier survive a duplication-heavy corpus at 100 TB.
+
+    Candidate-pair volume is quadratic in per-bucket occupancy, and
+    EXACT duplicates are the worst offender: a doc with c exact copies
+    puts all c in every one of its LSH buckets (c(c-1)/2 guaranteed
+    pairs that exact dedup would have removed for one cheap hash
+    shuffle).  Measured at the x100 tier (every doc has 100 copies by
+    construction): the direct near-dup entry materializes ~25M
+    signature-carrying pairs — it OOMed an 8 GB heap — while this
+    cascade's candidate stage sees only the ~1/100 exact-unique
+    survivors.  Order of operations IS the scale story: hash dedup
+    (one shuffle) -> MinHash banding over survivors -> est-Jaccard
+    filter, reporting per-stage counts so the reduction is visible.
+
+    Plan: min-id representative per content hash (partial agg), a
+    LEFT SEMI join to keep survivor rows, then the standard banded-LSH
+    candidate join — every stage partial-agg or bucketed, nothing
+    quadratic in the raw corpus."""
+    docs = _docs(spark, sf_dir)
+    keyed = dd.exact_dedup_keys(docs, "text")
+    reps = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    sigs = dd.minhash_signatures(survivors, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id")
+    near = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.35)
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    n_uniq = reps.agg(F.count(F.lit(1)).alias("n_exact_unique"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
+    n_near = near.agg(F.count(F.lit(1)).alias("n_near_pairs"))
+    return (n_docs.crossJoin(n_uniq).crossJoin(n_cand).crossJoin(n_near))
 
 
 from datafusion_monoid_spark.operators import similarity as sim
