@@ -164,13 +164,23 @@ def main(out_path: str | None = None) -> None:
     # warm-up: JVM + codegen + parquet footer caches
     _force(qcat.catalog()["tpch_q1"][0](spark, SF_DIR))
 
+    errors: dict[str, str] = {}
     for name, (fn, _) in catalog.items():
         runs = []
         for _ in range(REPEATS):
             t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
+            try:
+                _force(fn(spark, SF_DIR))
+            except Exception as e:
+                # one failing query must not zero the whole bench (e.g.
+                # the Complete-mode group-size guard firing at a scale
+                # tier) — record and move on
+                errors[name] = str(e).splitlines()[-1][:300]
+                runs = []
+                break
             runs.append(time.perf_counter() - t0)
-        times[name] = round(statistics.median(runs), 3)
+        if runs:
+            times[name] = round(statistics.median(runs), 3)
         # free localCheckpoint blocks the entry created while building
         # (bm25 base, AQE dim) — otherwise a 100+-query loop holds every
         # checkpoint until the ContextCleaner gets around to it
@@ -192,6 +202,8 @@ def main(out_path: str | None = None) -> None:
         "stream_processing_sec": stream_proc,
         "sf": sf,
     }
+    if errors:
+        result["errors"] = errors
     if RUN_DUCKDB:
         duck, timed_out = _duckdb_times(catalog)
         result["duckdb"] = {"value": round(sum(duck.values()), 3),
