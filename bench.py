@@ -19,5 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from datafusion_monoid_spark.bench import main
 
 if __name__ == "__main__":
-    main(out_path=os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_result.json"))
+    # $SPARK_GRAFT_BENCH_OUT wins when set (scale-tier runs redirect the
+    # artifact); the driver default stays bench_result.json next to this
+    # script
+    main(out_path=os.environ.get("SPARK_GRAFT_BENCH_OUT")
+         or os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                         "bench_result.json"))

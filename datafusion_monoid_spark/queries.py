@@ -3042,7 +3042,7 @@ def skew_aqe_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     avoid the extra exchange) and asserts the split in the final
     adaptive plan.
 
-    Three deliberate plan shapes, each a finding about WHEN the AQE
+    Four deliberate plan shapes, each a finding about WHEN the AQE
     cure applies: (a) the ``merge`` hint pins SMJ — a broadcast would
     dodge the skew question (though at real scale a per-key dim over a
     10^9-key fact may genuinely not broadcast); (b) the dim is
@@ -3055,10 +3055,29 @@ def skew_aqe_join_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition by MAPPER RANGES — the single-row-group test parquet
     yields ONE map task, leaving nothing to split (a test-scale
     artifact: a 100 TB scan has thousands of mappers, making both this
-    repartition a no-op and the split always available).  Results equal
-    the plain join either way — hence the plain-SQL oracle."""
-    e = _events(spark, sf_dir).select("event_id", "event_type", "value")
-    fact = e.repartition(spark.sparkContext.defaultParallelism).select(
+    repartition a no-op and the split always available); (d) the entry
+    runs in its OWN ``spark.newSession()`` with the skew thresholds
+    sized to the corpus (~1/24 of the fact file per split target, the
+    same proportionality an operator applies to executor memory at
+    production scale) plus ``forceOptimizeSkewedJoin`` for the
+    downstream agg — SQLConf is per-session, so the tuning cannot leak
+    into other catalog entries, and without it Spark's 256 MB default
+    threshold never fires at local test sizes: measured 40.8 s at sf10
+    (one reducer sorts the 99 % partition) vs 4.5 s with the split.
+    Results equal the plain join either way — hence the plain-SQL
+    oracle."""
+    s2 = spark.newSession()
+    fact_bytes = _os_mod.path.getsize(f"{sf_dir}/events.parquet")
+    target = str(max(65536, fact_bytes // 24))
+    for k, v in {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": target,
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": target,
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }.items():
+        s2.conf.set(k, v)
+    e = _events(s2, sf_dir).select("event_id", "event_type", "value")
+    fact = e.repartition(s2.sparkContext.defaultParallelism).select(
         "event_type",
         F.when(F.col("value") < 250, F.lit(0).cast("bigint"))
          .otherwise(F.col("event_id")).alias("hot_key"),

@@ -127,49 +127,29 @@ def test_salted_join_catalog_plan(spark):
 
 def test_aqe_skew_catalog_entry_splits_and_matches_salted(spark):
     """VERDICT r4 item 8: the CATALOG hot-key join (skew_aqe_join_
-    deviation) executed with AQE skew handling on — thresholds scaled
-    to the test corpus the way production scales them to executors —
-    must show the skew split on the SMJ node in the FINAL adaptive
-    plan, and return exactly what the manually salted form returns.
-    forceOptimizeSkewedJoin is on because the entry aggregates on the
-    join key downstream, where AQE otherwise declines the split to
-    avoid the extra exchange (the documented knob for this shape)."""
+    deviation) must show the skew split on the SMJ node in the FINAL
+    adaptive plan and return exactly the plain-join results.  The entry
+    is self-contained: it runs in its own newSession() with thresholds
+    sized to the corpus (no conf juggling here, no leakage to other
+    entries) — this test just executes it and inspects the plan."""
     from datafusion_monoid_spark import queries as qcat
 
-    keys = (
-        "spark.sql.adaptive.enabled",
-        "spark.sql.adaptive.skewJoin.enabled",
-        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-        "spark.sql.adaptive.forceOptimizeSkewedJoin")
-    restore = {k: spark.conf.get(k, None) for k in keys}
-    try:
-        for k, v in {
-            "spark.sql.adaptive.enabled": "true",
-            "spark.sql.adaptive.skewJoin.enabled": "true",
-            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
-            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16384",
-            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8192",
-            "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
-        }.items():
-            spark.conf.set(k, v)
-        cat = qcat.catalog()
-        # sf0.01: the hot partition must clear the byte threshold
-        df = cat["skew_aqe_join_deviation"][0](spark, "/root/testdata/sf0.01")
-        aqe_rows = {tuple(r) for r in df.collect()}
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
-        assert "skewed" in plan        # AQEShuffleRead 'coalesced and skewed'
-    finally:
-        for k, v in restore.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
-    # same entry under default confs (no forced split): the skew split
-    # must not change results
+    cat = qcat.catalog()
+    # sf0.01: the hot partition must clear the corpus-scaled threshold
+    df = cat["skew_aqe_join_deviation"][0](spark, "/root/testdata/sf0.01")
+    aqe_rows = {tuple(r) for r in df.collect()}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    assert "skewed" in plan        # AQEShuffleRead 'coalesced and skewed'
+    # the split must not leak its conf into the parent session
+    assert spark.conf.get(
+        "spark.sql.adaptive.forceOptimizeSkewedJoin") == "false"
+    # plain-SQL ground truth via the shared oracle, computed in DuckDB
+    import duckdb
+    con = duckdb.connect()
+    con.sql("CREATE VIEW events AS FROM "
+            "'/root/testdata/sf0.01/events.parquet'")
     plain = {tuple(r) for r in
-             cat["skew_aqe_join_deviation"][0](
-                 spark, "/root/testdata/sf0.01").collect()}
+             con.sql(cat["skew_aqe_join_deviation"][1]).fetchall()}
+    con.close()
     assert aqe_rows == plain
