@@ -865,12 +865,19 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
     sigs = dd.minhash_signatures(survivors, "doc_id", "text")
     cand = dd.lsh_candidate_pairs(sigs, "doc_id")
-    near = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.35)
+    # ONE aggregate over the candidate stage: the near count is a
+    # conditional sum, not a second count plan.  (Wall-clock parity with
+    # the two-agg crossJoin at sf0.1 — AQE's ReuseExchange already
+    # deduplicated the shared subtree — but one scan is the honest plan
+    # and doesn't depend on the reuse optimization firing.)
+    est = dd.estimated_jaccard("sig_a", "sig_b")
+    cand_stats = cand.agg(
+        F.count(F.lit(1)).alias("n_candidate_pairs"),
+        F.sum(F.when(est >= 0.35, 1).otherwise(0)).cast("bigint")
+         .alias("n_near_pairs"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     n_uniq = reps.agg(F.count(F.lit(1)).alias("n_exact_unique"))
-    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidate_pairs"))
-    n_near = near.agg(F.count(F.lit(1)).alias("n_near_pairs"))
-    return (n_docs.crossJoin(n_uniq).crossJoin(n_cand).crossJoin(n_near))
+    return n_docs.crossJoin(n_uniq).crossJoin(cand_stats)
 
 
 from datafusion_monoid_spark.operators import similarity as sim
