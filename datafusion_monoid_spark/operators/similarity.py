@@ -337,6 +337,81 @@ def _cos_expr_sql(a: str, b: str) -> str:
             f"sqrt({_dot_sql(b, b)})))")
 
 
+def ivf_assign_pretrained(corpus: DataFrame,
+                          cent_list: list[tuple[int, list[float]]],
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """The INDEX half of the pretrained serve path: (cand_id, cvec,
+    cvn, cent_id) via the map-only literal-centroid assignment.  Build
+    once, persist/checkpoint, then serve many query batches against it
+    (:func:`ivf_search_pretrained`) — the corpus-side work leaves the
+    per-batch path entirely."""
+    return _pretrained_parts(corpus, cent_list, id_col, vec_col,
+                             side="corpus")
+
+
+def ivf_search_pretrained(assigned: DataFrame, queries: DataFrame,
+                          cent_list: list[tuple[int, list[float]]],
+                          k: int = 5, nprobe: int = 8,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """The SEARCH half: probe the ``nprobe`` nearest centroid
+    partitions of a prebuilt :func:`ivf_assign_pretrained` relation and
+    re-rank candidates with the carried norms.  Per query batch the
+    only corpus-side work is the broadcast-probe join."""
+    probes = _pretrained_parts(queries, cent_list, id_col, vec_col,
+                               side="query", nprobe=nprobe)
+    pairs = (
+        F.broadcast(probes).join(assigned, "cent_id")
+        .where(F.col("query_id") != F.col("cand_id"))
+        .select("query_id", "cand_id",
+                (F.expr(_dot_sql("qvec", "cvec"))
+                 / (F.col("qvn") * F.col("cvn"))).alias("sim"))
+    )
+    return _ranked_topk(pairs, k)
+
+
+def _pretrained_parts(df: DataFrame,
+                      cent_list: list[tuple[int, list[float]]],
+                      id_col: str, vec_col: str,
+                      side: str = "corpus", nprobe: int = 8) -> DataFrame:
+    """Shared literal-centroid projection for both halves — see
+    :func:`ivf_topk_pretrained` for the plan rationale."""
+    cent_ids = [int(c) for c, _ in cent_list]
+    assert cent_ids == sorted(cent_ids), "centroids must be sorted by id"
+    nprobe = min(nprobe, len(cent_list))
+
+    import math as _math
+
+    def _py_norm(vec: list[float]) -> float:
+        acc = 0.0
+        for x in vec:
+            acc += float(x) * float(x)
+        return _math.sqrt(acc)
+
+    structs = ", ".join(
+        f"struct(-(({_dot_sql('__v', _lit_arr_sql(vec))}) / "
+        f"(__vn * {_py_norm(vec)!r})) AS negsim, "
+        f"{int(cid)}L AS cid)"
+        for cid, vec in cent_list)
+    ranked = f"array_sort(array({structs}))"
+
+    cv_sql = f"cast({vec_col} as array<double>)"
+    base = df.select(
+        F.col(id_col).alias("__id"), F.expr(cv_sql).alias("__v"),
+        F.expr(f"sqrt({_dot_sql(cv_sql, cv_sql)})").alias("__vn"))
+    if side == "corpus":
+        return base.select(
+            F.col("__id").alias("cand_id"), F.col("__v").alias("cvec"),
+            F.col("__vn").alias("cvn"),
+            F.expr(f"element_at({ranked}, 1).cid").alias("cent_id"))
+    return base.select(
+        F.col("__id").alias("query_id"), F.col("__v").alias("qvec"),
+        F.col("__vn").alias("qvn"),
+        F.expr(f"explode(transform(slice({ranked}, 1, {nprobe}), "
+               f"s -> s.cid))").alias("cent_id"))
+
+
 def ivf_topk_pretrained(corpus: DataFrame, queries: DataFrame,
                         cent_list: list[tuple[int, list[float]]],
                         k: int = 5, nprobe: int = 8,
@@ -364,65 +439,25 @@ def ivf_topk_pretrained(corpus: DataFrame, queries: DataFrame,
     assert cent_ids == sorted(cent_ids), "centroids must be sorted by id"
     nprobe = min(nprobe, len(cent_list))
 
-    # centroid norms as Python constants: acc += x*x in list order is
-    # the identical IEEE left fold as the SQL aggregate, and sqrt is
-    # correctly rounded in both — bit-identical to computing
-    # sqrt(dot(c,c)) in-plan, at zero per-row cost
-    import math as _math
-
-    def _py_norm(vec: list[float]) -> float:
-        acc = 0.0
-        for x in vec:
-            acc += float(x) * float(x)
-        return _math.sqrt(acc)
-
-    def ranked_cids_sql(v_sql: str, vn_sql: str) -> str:
-        # sorted (-sim, cid) structs: lexicographic struct sort = sim
-        # desc then lowest cid — the exact ivf_assign / probe-window
-        # tie-break.  Built as ONE parser call: the 8 x 64-literal
-        # cosine trees through the py4j Column API cost ~2.7 s of plan
-        # build PER CALL (measured at sf0.1); the parsed string ~0.1 s
-        # (same economics as lsh _projection_sql above).  The row
-        # vector's norm is hoisted to ``vn_sql`` (a previous-select
-        # alias — CollapseProject keeps non-cheap aliases referenced
-        # k times un-inlined), so each centroid costs ONE fold (its
-        # dot), not three.
-        structs = ", ".join(
-            f"struct(-(({_dot_sql(v_sql, _lit_arr_sql(vec))}) / "
-            f"({vn_sql} * {_py_norm(vec)!r})) AS negsim, "
-            f"{int(cid)}L AS cid)"
-            for cid, vec in cent_list)
-        return f"array_sort(array({structs}))"
-
-    cv_sql = f"cast({vec_col} as array<double>)"
-    ranked = ranked_cids_sql("__v", "__vn")
-
-    def with_norm(df: DataFrame) -> DataFrame:
-        return df.select(
-            F.col(id_col).alias("__id"), F.expr(cv_sql).alias("__v"),
-            F.expr(f"sqrt({_dot_sql(cv_sql, cv_sql)})").alias("__vn"))
-
-    assigned = with_norm(corpus).select(
-        F.col("__id").alias("cand_id"), F.col("__v").alias("cvec"),
-        F.col("__vn").alias("cvn"),
-        F.expr(f"element_at({ranked}, 1).cid").alias("cent_id"))
-
-    probes = with_norm(queries).select(
-        F.col("__id").alias("query_id"), F.col("__v").alias("qvec"),
-        F.col("__vn").alias("qvn"),
-        F.expr(f"explode(transform(slice({ranked}, 1, {nprobe}), "
-               f"s -> s.cid))").alias("cent_id"))
-    # re-rank with the CARRIED norms: dot/(qvn*cvn) is the identical
-    # cosine (same fold, same operand order) at one fold per pair
-    # instead of three
-    pairs = (
-        F.broadcast(probes).join(assigned, "cent_id")
-        .where(F.col("query_id") != F.col("cand_id"))
-        .select("query_id", "cand_id",
-                (F.expr(_dot_sql("qvec", "cvec"))
-                 / (F.col("qvn") * F.col("cvn"))).alias("sim"))
-    )
-    return _ranked_topk(pairs, k)
+    # Implementation notes (shared by the split halves above):
+    # * centroid norms are Python constants — acc += x*x in list order
+    #   is the identical IEEE left fold as the SQL aggregate and sqrt
+    #   is correctly rounded in both, so the inlined |c| is
+    #   bit-identical to computing sqrt(dot(c,c)) in-plan at zero
+    #   per-row cost;
+    # * the sorted (-sim, cid) struct array replays the exact
+    #   ivf_assign / probe-window tie-break (sim desc, lowest cid);
+    # * everything is built as ONE parsed SQL string — the 8 x
+    #   64-literal cosine trees through the py4j Column API cost ~2.7 s
+    #   of plan build PER CALL (measured at sf0.1), the parsed string
+    #   ~0.1 s (the lsh _projection_sql economics);
+    # * the row vector's norm is hoisted to a previous-select alias
+    #   (CollapseProject keeps non-cheap aliases referenced k times
+    #   un-inlined), so each centroid costs ONE fold, and the re-rank
+    #   reuses the carried norms — dot/(qvn*cvn), one fold per pair.
+    assigned = ivf_assign_pretrained(corpus, cent_list, id_col, vec_col)
+    return ivf_search_pretrained(assigned, queries, cent_list, k, nprobe,
+                                 id_col, vec_col)
 
 
 # ---------------------------------------------------------------------------

@@ -4109,6 +4109,12 @@ trg AS (SELECT doc_id, {_GH} AS gram_hash
 SELECT DISTINCT doc_id FROM trg JOIN ev USING (gram_hash)
 """)(sq.streaming_decontam_alerts)
 
+# streaming ANN serve: per-micro-batch inference against the prebuilt
+# IVF index; each query is answered in exactly one batch, so the stream
+# output equals the batch search and the fused entry's oracle replays it
+register("streaming_ann_serve", _ivf_kmeans_oracle_sql())(
+    sq.streaming_ann_serve)
+
 
 # ---------------------------------------------------------------------------
 # Round-4 pipeline additions: PII scan/redaction, BM25 ranking, SemDeDup

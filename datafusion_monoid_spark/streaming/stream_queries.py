@@ -210,3 +210,79 @@ def streaming_decontam_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     alerts = streaming_contamination_alerts(
         doc_stream, cu.ngram_hashes(ev, "doc_id", "text", 4))
     return _drain_to_df(alerts, "streaming_decontam_alerts", mode="append")
+
+
+def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming ANN SERVE: query vectors arrive as a stream; each
+    micro-batch is answered against a PREBUILT IVF index — the
+    production inference loop (index built once by the fit job, query
+    traffic served per batch), streamed end to end.
+
+    Shape: the corpus is assigned to its literal (persisted) centroids
+    ONCE and locally checkpointed — that relation IS the index, and no
+    corpus-side work remains on the per-batch path.  Incoming query
+    batches (file source, one file per trigger to force multiple
+    micro-batches) run ``ivf_search_pretrained``: map-only probe
+    projection, broadcast join into the index, carried-norm re-rank,
+    per-query top-k.  Each query's vectors arrive in exactly one batch,
+    so the union of per-batch answers equals the batch search — which
+    is why the fused entry's oracle replays this stream bit-for-bit,
+    and the driver's gate covers a streaming inference path with a full
+    hash check.  Results append to a parquet sink (the serve log);
+    state is EMPTY — serving is stateless, the index carries it all."""
+    import tempfile as _tf
+
+    from datafusion_monoid_spark import queries as _qcat
+    from datafusion_monoid_spark.operators import similarity as sim
+    from datafusion_monoid_spark.plans.inspect import release_local_checkpoint
+
+    cent_path = _qcat._fit_centroids_persisted(spark, sf_dir,
+                                               overwrite=False)
+    cent_list = _qcat._load_centroids_cached(spark, cent_path)
+    corpus = _qcat._emb(spark, sf_dir)
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    try:
+        index = sim.ivf_assign_pretrained(corpus, cent_list) \
+            .localCheckpoint(eager=True)
+
+        stage = _tf.mkdtemp(prefix="ann_queries_", dir=_CKPT_ROOT or None)
+        sink = _tf.mkdtemp(prefix="ann_results_", dir=_CKPT_ROOT or None)
+        # 4 query files -> 4 micro-batches of ~5 queries each
+        corpus.where(F.col("vec_id") < 20).repartition(4) \
+            .write.mode("overwrite").parquet(stage)
+
+        qstream = (spark.readStream.schema(corpus.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
+            sim.ivf_search_pretrained(index, batch_df, cent_list,
+                                      k=5, nprobe=7) \
+               .write.mode("append").parquet(sink)
+
+        ckpt = _ckpt_dir("streaming_ann_serve")
+        q = (qstream.writeStream.foreachBatch(serve_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            prog = q.recentProgress
+            LAST_STREAM_METRICS["streaming_ann_serve"] = {
+                "processing_sec": round(sum(
+                    (p.get("durationMs") or {}).get("triggerExecution", 0)
+                    for p in prog) / 1000.0, 3),
+                "batches": len(prog),
+            }
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        out = _qcat._track_ckpt(
+            spark.read.parquet(sink)
+            .select("query_id", "rank", "cand_id", "sim")
+            .localCheckpoint(eager=True))
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        release_local_checkpoint(index)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

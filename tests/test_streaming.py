@@ -351,3 +351,22 @@ def test_streaming_cms_matches_batch_sketch(spark, events_dir, tmp_path):
     want = {(r["ws"], r["depth"], r["bucket"]): r["cnt"]
             for r in cells.collect()}
     assert got == want and len(got) > 0
+
+
+def test_streaming_ann_serve_equals_batch_search(spark):
+    """The streamed serve loop (per-micro-batch inference against the
+    prebuilt IVF index) must return EXACTLY the batch search over the
+    same query set — the stream==batch contract for a stateless serve —
+    and must actually stream (multiple micro-batches)."""
+    from datafusion_monoid_spark import queries as qcat
+    from datafusion_monoid_spark.streaming import stream_queries as sq
+
+    cat = qcat.catalog()
+    cat["sim_ivf_fit_centroids"][0](spark, SF).collect()   # persist index
+    served = cat["streaming_ann_serve"][0](spark, SF).collect()
+    met = sq.LAST_STREAM_METRICS["streaming_ann_serve"]
+    assert met["batches"] >= 2, met     # several triggers, not one gulp
+    batch = cat["sim_topk_ivf_pretrained"][0](spark, SF).collect()
+    key = lambda rows: sorted(
+        (r["query_id"], r["rank"], r["cand_id"], r["sim"]) for r in rows)
+    assert key(served) == key(batch)
