@@ -4444,7 +4444,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_R5 = [
     "monoid_sql_routed_hugegroup", "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
     "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats", "skew_aqe_join_deviation",
-    "pipeline_dedup_cascade",
+    "pipeline_dedup_cascade", "streaming_ann_serve",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -4459,7 +4459,6 @@ _DRIVER_WINDOW_R5 = [
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_volume_customer",
     "q19_disjunctive_revenue", "embedding_quantize_int8", "zorder_layout_stats",
     "fuzzy_customer_matches", "per_group_sample", "hist_quantile_prices",
-    "bpe_top_merges",
 ]
 
 
