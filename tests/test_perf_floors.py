@@ -45,6 +45,11 @@ CEILINGS = {
     # map-only-assignment plan — a blown ceiling means the assignment
     # shuffle (or the per-call artifact re-read) came back
     "sim_topk_ivf_pretrained": 5.0,
+    # r5 additions (~4x quiet sf0.01 best-of-3 on local[8])
+    "streaming_ann_serve": 16.0,
+    "pipeline_dedup_cascade": 12.0,
+    "dedup_simhash_bucket_stats": 4.0,
+    "dedup_lsh_bucket_stats": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(
