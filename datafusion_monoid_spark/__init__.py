@@ -25,6 +25,7 @@ from datafusion_monoid_spark.monoid import (
     ELEMENT_TYPES,
 )
 from datafusion_monoid_spark.session import get_spark
+from datafusion_monoid_spark.sql_route import route_monoid_sql
 from datafusion_monoid_spark.operators.array_reduce import (
     array_reduce,
     array_reduce_exploded,
@@ -42,6 +43,7 @@ __all__ = [
     "array_reduce_exploded",
     "array_reduce_pandas",
     "register_all",
+    "route_monoid_sql",
 ]
 
 __version__ = "0.1.0"

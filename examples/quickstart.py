@@ -36,6 +36,14 @@ def main() -> None:
     print("reference query:")
     spark.sql("SELECT array_reduce_sum(arrays) AS result FROM test").show()
 
+    # 1b. The same SQL on an UNBOUNDED group: route it (the registered
+    # name is Complete-mode and guarded past 1M rows per group; the
+    # router executes the identical statement as a partial-agg plan)
+    from datafusion_monoid_spark.sql_route import route_monoid_sql
+    print("routed form (same SQL text, partial-agg plan):")
+    route_monoid_sql(
+        spark, "SELECT array_reduce_sum(arrays) AS result FROM test").show()
+
     # 2. Expression form on real data: per-returnflag vector sums
     li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
     vecs = li.select("l_returnflag",
