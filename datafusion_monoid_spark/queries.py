@@ -2350,6 +2350,79 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                      .alias("n_contaminated")))
 
 
+@register("curation_token_budget_mix", f"""
+WITH t AS (
+  SELECT doc_id, source, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents
+),
+f AS (
+  SELECT doc_id, source, len(toks) AS n_tokens,
+         length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         len(list_filter(toks, t -> list_contains(
+             ['the','and','of','to','a','in','is','that'], t)))::DOUBLE
+           / greatest(len(toks), 1) AS stopword_ratio,
+         length(regexp_replace(norm, ' ', '', 'g'))
+           / greatest(len(toks), 1)::DOUBLE AS mean_token_len
+  FROM t
+),
+s AS (
+  SELECT doc_id, source, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(round((0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 1000
+                                 THEN 1.0 ELSE 0.3 END)
+                   + 0.3 * (CASE WHEN mean_token_len BETWEEN 2 AND 12
+                                 THEN 1.0 ELSE 0.4 END)
+                   + 0.2 * least(stopword_ratio * 4, 1.0)
+                   + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)))
+                   * 1000000) AS BIGINT) AS score_micro
+  FROM f
+),
+r AS (
+  SELECT *, sum(n_tokens) OVER (PARTITION BY source
+                                ORDER BY score_micro DESC, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum
+  FROM s
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(n_tokens) AS BIGINT) AS tokens_kept,
+       CAST(min(score_micro) AS BIGINT) AS admission_micro
+FROM r WHERE cum <= 20000 GROUP BY source
+""")
+def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget data mixing: each source contributes at most a
+    fixed token budget (20k here), admitting its highest-quality
+    documents first — the mixing step that turns a curated pool into a
+    training corpus with controlled source proportions.  Admission
+    order is (quality-score micro-units DESC, doc_id) — the score is
+    quantized to integers so the ordering (and therefore the kept set)
+    is bit-identical in any engine; output reports per-source kept
+    counts, kept tokens, and the admission threshold (min admitted
+    score — the number an operator watches to see how deep into the
+    quality tail the budget reaches).
+
+    Scale: the per-source ordered running sum is one shuffle on
+    ``source`` + an in-partition sort — exact-admission semantics.  At
+    100 TB-per-source, flip to the two-pass threshold form (per-source
+    token-weighted score histogram -> admission score at the budget
+    quantile -> stateless filter), which trades exact ties at the
+    threshold for a sort-free plan; the windowed form here IS the
+    oracle for that approximation."""
+    d = _docs(spark, sf_dir)
+    base = d.select(
+        "doc_id", "source",
+        F.size(dd.tokens("text")).cast("bigint").alias("n_tokens"),
+        F.round(tx.quality_score("text") * 1_000_000).cast("bigint")
+         .alias("score_micro"))
+    w = (Window.partitionBy("source")
+         .orderBy(F.col("score_micro").desc(), "doc_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kept = base.withColumn("cum", F.sum("n_tokens").over(w)) \
+               .where(F.col("cum") <= 20000)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.sum("n_tokens").cast("bigint").alias("tokens_kept"),
+        F.min("score_micro").cast("bigint").alias("admission_micro"))
+
+
 @register("quality_repetition_filters", f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 uc AS (SELECT doc_id, term, count(*) AS c
@@ -4447,7 +4520,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DRIVER_WINDOW_R5 = [
     "monoid_sql_routed_hugegroup", "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
     "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats", "skew_aqe_join_deviation",
-    "pipeline_dedup_cascade", "streaming_ann_serve",
+    "pipeline_dedup_cascade", "streaming_ann_serve", "curation_token_budget_mix",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -4461,7 +4534,7 @@ _DRIVER_WINDOW_R5 = [
     "quality_repetition_filters", "tfidf_top_terms", "vocab_topk_coverage",
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_volume_customer",
     "q19_disjunctive_revenue", "embedding_quantize_int8", "zorder_layout_stats",
-    "fuzzy_customer_matches", "per_group_sample", "hist_quantile_prices",
+    "fuzzy_customer_matches", "hist_quantile_prices",
 ]
 
 
