@@ -173,3 +173,46 @@ def test_routed_hugegroup_at_sf1(spark):
     # ~6M rows x 3 elems through a 3-cell partial agg: generous ceiling,
     # fails only on a genuine plan regression (e.g. losing the partial)
     assert wall < 60, f"huge-group routed reduce took {wall:.1f}s"
+
+
+# ---------------------------------------------------------------------------
+# 5. property fuzz of the parser (pure Python — no Spark session)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    _idents = st.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,10}", fullmatch=True) \
+        .filter(lambda s: s.lower() not in
+                {"select", "from", "group", "by", "as", "where"})
+    _ops = st.sampled_from(["sum", "product", "max", "min"])
+    _elems = st.sampled_from([None, "int", "bigint", "double", "uint8"])
+
+    @given(op=_ops, elem=_elems, arg=_idents, alias=st.one_of(st.none(), _idents),
+           groups=st.lists(_idents, max_size=3, unique_by=str.lower),
+           table=_idents, where=st.booleans())
+    @settings(max_examples=300, deadline=None)
+    def test_parser_roundtrips_generated_statements(op, elem, arg, alias,
+                                                    groups, table, where):
+        """Any statement BUILT from the documented grammar must parse
+        back to its components — the parser accepts its whole language,
+        not just the handwritten examples."""
+        suffix = f"_{elem}" if elem else ""
+        call = f"array_reduce_{op}{suffix}({arg})"
+        if alias:
+            call += f" AS {alias}"
+        sel = ", ".join([*groups, call])
+        sql = f"SELECT {sel} FROM {table}"
+        if where:
+            sql += f" WHERE {arg} IS NOT NULL"
+        if groups:
+            sql += " GROUP BY " + ", ".join(groups)
+        p = parse_monoid_sql(sql)
+        assert p["op"] == op
+        assert p["elem"] == elem
+        assert p["arg"] == arg
+        assert p["alias"] == (alias or "result")
+        assert p["group_cols"] == groups
+        assert p["from_sql"].startswith(table)
+except ImportError:  # pragma: no cover - hypothesis is baked in here
+    pass
