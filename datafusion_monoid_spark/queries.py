@@ -2140,6 +2140,102 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
+@register("dedup_cluster_keep_best", f"""
+{_minhash_candidates_cte()},
+strong AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+                        i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM} >= 0.5
+),
+bidir AS (SELECT id_a AS u, id_b AS v FROM strong
+          UNION SELECT id_b, id_a FROM strong),
+nodes AS (SELECT DISTINCT u AS node FROM bidir),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, v FROM bidir
+    UNION
+    SELECT r.src, b.v FROM r JOIN bidir b ON r.dst = b.u
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT n.node AS doc_id,
+         least(n.node, min(coalesce(r.dst, n.node))) AS component
+  FROM nodes n LEFT JOIN reach r ON r.src = n.node
+  GROUP BY n.node
+),
+qt AS (SELECT doc_id, text, {_NORM} AS norm, {_TOKS} AS toks FROM documents),
+qf AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         length(regexp_replace(norm, '[a-z0-9 ]', '', 'g'))
+           / greatest(length(text), 1)::DOUBLE AS punct_ratio,
+         len(list_filter(toks, t -> list_contains(
+             ['the','and','of','to','a','in','is','that'], t)))::DOUBLE
+           / greatest(len(toks), 1) AS stopword_ratio,
+         length(regexp_replace(norm, ' ', '', 'g'))
+           / greatest(len(toks), 1)::DOUBLE AS mean_token_len
+  FROM qt
+),
+qs AS (
+  SELECT doc_id,
+         CAST(round((0.4 * (CASE WHEN n_tokens BETWEEN 5 AND 1000
+                                 THEN 1.0 ELSE 0.3 END)
+                   + 0.3 * (CASE WHEN mean_token_len BETWEEN 2 AND 12
+                                 THEN 1.0 ELSE 0.4 END)
+                   + 0.2 * least(stopword_ratio * 4, 1.0)
+                   + 0.1 * (1.0 - least(punct_ratio * 5, 1.0)))
+                   * 1000000) AS BIGINT) AS score_micro
+  FROM qf
+),
+ranked AS (
+  SELECT comp.component, comp.doc_id, qs.score_micro,
+         row_number() OVER (PARTITION BY comp.component
+                            ORDER BY qs.score_micro DESC, comp.doc_id) AS rn,
+         count(*) OVER (PARTITION BY comp.component) AS n_members
+  FROM comp JOIN qs USING (doc_id)
+)
+SELECT CAST(component AS BIGINT) AS component,
+       CAST(doc_id AS BIGINT) AS kept_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(score_micro AS BIGINT) AS kept_score_micro
+FROM ranked WHERE rn = 1
+""")
+def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative SELECTION POLICY over near-dup clusters: instead
+    of the min-id convention, each cluster keeps its highest-QUALITY
+    member (integer micro-unit quality score, ties to the lowest
+    doc_id) — what a curation pipeline actually wants: when 30 scraped
+    copies of a page survive near-dup detection, keep the cleanest one,
+    not the one with the smallest crawl id.
+
+    Plan: connected components over strong MinHash candidates (the
+    dedup_clusters machinery), broadcast-joined to per-doc quality,
+    then per-cluster argmax via ``max_by`` over a (score, -id) struct —
+    a partial-aggregation-capable reduction, no window shuffle+sort.
+    The oracle replays the closure recursively plus the identical
+    quantized score."""
+    _, cand = _minhash_shared(spark, sf_dir)
+    strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
+                 .select("id_a", "id_b")
+    cc = connected_components(strong)
+    score = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.round(tx.quality_score("text") * 1_000_000).cast("bigint")
+         .alias("score_micro"))
+    j = cc.join(score, cc.node == score.doc_id)
+    best = F.max_by(
+        F.struct(F.col("doc_id").alias("kept_id"),
+                 F.col("score_micro").alias("kept_score_micro")),
+        F.struct(F.col("score_micro"), (-F.col("doc_id")).alias("neg")))
+    return (j.groupBy("component")
+            .agg(best.alias("__b"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_members"))
+            .select(F.col("component").cast("bigint").alias("component"),
+                    F.col("__b.kept_id").cast("bigint").alias("kept_id"),
+                    "n_members",
+                    F.col("__b.kept_score_micro").cast("bigint")
+                     .alias("kept_score_micro")))
+
+
 # ---------------------------------------------------------------------------
 # Deterministic sampling / splits / sequence packing
 # ---------------------------------------------------------------------------
@@ -4521,6 +4617,7 @@ _DRIVER_WINDOW_R5 = [
     "monoid_sql_routed_hugegroup", "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
     "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats", "skew_aqe_join_deviation",
     "pipeline_dedup_cascade", "streaming_ann_serve", "curation_token_budget_mix",
+    "dedup_cluster_keep_best",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -4534,7 +4631,7 @@ _DRIVER_WINDOW_R5 = [
     "quality_repetition_filters", "tfidf_top_terms", "vocab_topk_coverage",
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_volume_customer",
     "q19_disjunctive_revenue", "embedding_quantize_int8", "zorder_layout_stats",
-    "fuzzy_customer_matches", "hist_quantile_prices",
+    "fuzzy_customer_matches",
 ]
 
 
