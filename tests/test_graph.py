@@ -28,3 +28,17 @@ def test_long_chain_converges(spark):
     got = _cc(spark, [(i, i + 1) for i in range(n)])
     assert set(got.values()) == {0}
     assert len(got) == n + 1
+
+
+def test_keep_best_plan_is_partial_argmax(spark):
+    """The per-cluster representative selection must plan as a
+    partial-aggregation max_by (map-side combine), not a window
+    sort — the shape that survives clusters of any size."""
+    from datafusion_monoid_spark import queries as qcat
+
+    df = qcat.catalog()["dedup_cluster_keep_best"][0](
+        spark, "/root/testdata/sf0.001")
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "partial_max_by" in p
+    assert "Window" not in p
