@@ -2519,6 +2519,58 @@ def curation_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("score_micro").cast("bigint").alias("admission_micro"))
 
 
+@register("dedup_incremental_newbatch", f"""
+{_minhash_candidates_cte()},
+est AS (
+  SELECT id_a, id_b,
+         len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+             i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM} AS ej
+  FROM cand
+)
+SELECT CASE WHEN id_a % 11 = 0 THEN id_a ELSE id_b END AS new_id,
+       CASE WHEN id_a % 11 = 0 THEN id_b ELSE id_a END AS old_id,
+       round(ej, 3) AS est_jacc
+FROM est
+WHERE (id_a % 11 = 0) <> (id_b % 11 = 0) AND ej >= 0.35
+""")
+def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest near-dup check: a NEW batch of documents
+    (doc_id % 11 = 0 stands in for today's crawl) is screened against
+    the EXISTING corpus — the operation a 100 TB pipeline actually runs
+    daily, where re-deduplicating the whole corpus per ingest is not an
+    option.
+
+    The scale shape: the corpus side appears ONLY as its banded-LSH
+    bucket relation (in production a persisted, bucketed index table —
+    the MinHash analogue of the IVF centroid artifact), and the small
+    new-batch bucket relation is BROADCAST into the candidate join, so
+    the corpus is never shuffled; per-ingest work is O(|batch| x
+    bucket-occupancy).  Signature verification (est-Jaccard >= 0.35)
+    re-attaches signatures by id on the candidates only.  Output is
+    the reject/link list (new_id, old_id, est_jacc).  New-vs-new dups
+    are the FULL dedup pass's job (pipeline_dedup_cascade); this
+    entry's contract is strictly batch-vs-corpus."""
+    docs = _docs(spark, sf_dir)
+    new = docs.where(F.col("doc_id") % 11 == 0)
+    old = docs.where(F.col("doc_id") % 11 != 0)
+    sig_new = dd.minhash_signatures(new, "doc_id", "text")
+    sig_old = dd.minhash_signatures(old, "doc_id", "text")
+    b_new = dd.minhash_band_buckets(sig_new, "doc_id") \
+        .withColumnRenamed("doc_id", "new_id")
+    b_old = dd.minhash_band_buckets(sig_old, "doc_id") \
+        .withColumnRenamed("doc_id", "old_id")
+    pairs = (F.broadcast(b_new).join(b_old, ["band_idx", "band_hash"])
+             .select("new_id", "old_id").dropDuplicates())
+    sa = sig_new.select(F.col("doc_id").alias("new_id"),
+                        F.col("sig").alias("sig_a"))
+    sb = sig_old.select(F.col("doc_id").alias("old_id"),
+                        F.col("sig").alias("sig_b"))
+    est = dd.estimated_jaccard("sig_a", "sig_b")
+    return (pairs.join(F.broadcast(sa), "new_id").join(sb, "old_id")
+            .where(est >= 0.35)
+            .select("new_id", "old_id", F.round(est, 3).alias("est_jacc")))
+
+
 @register("quality_repetition_filters", f"""
 WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 uc AS (SELECT doc_id, term, count(*) AS c
@@ -4617,7 +4669,7 @@ _DRIVER_WINDOW_R5 = [
     "monoid_sql_routed_hugegroup", "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
     "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats", "skew_aqe_join_deviation",
     "pipeline_dedup_cascade", "streaming_ann_serve", "curation_token_budget_mix",
-    "dedup_cluster_keep_best",
+    "dedup_cluster_keep_best", "dedup_incremental_newbatch",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -4626,7 +4678,7 @@ _DRIVER_WINDOW_R5 = [
     "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
     "hll_registers", "hll_distinct_tokens", "bloom_token_bits",
-    "bloom_token_membership", "train_test_split_sizes", "pack_sequences_stats",
+    "train_test_split_sizes", "pack_sequences_stats",
     "stratified_sample_mix", "doc_chunk_windows", "decontam_ngram_overlap",
     "quality_repetition_filters", "tfidf_top_terms", "vocab_topk_coverage",
     "q6_forecast_revenue", "q14_promo_revenue", "q18_large_volume_customer",
