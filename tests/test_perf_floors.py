@@ -50,6 +50,8 @@ CEILINGS = {
     "pipeline_dedup_cascade": 12.0,
     "dedup_simhash_bucket_stats": 4.0,
     "dedup_lsh_bucket_stats": 3.0,
+    "dedup_cluster_keep_best": 12.0,
+    "dedup_incremental_newbatch": 12.0,
 }
 
 pytestmark = pytest.mark.skipif(
