@@ -52,6 +52,10 @@ CEILINGS = {
     "dedup_lsh_bucket_stats": 3.0,
     "dedup_cluster_keep_best": 12.0,
     "dedup_incremental_newbatch": 12.0,
+    # serve half of the SemDeDup split: map-only literal-centroid
+    # assignment + one cid shuffle — a blown ceiling means the fused
+    # entry's crossJoin/argmin exchange (or a per-call re-fit) came back
+    "semdedup_prune_pretrained": 5.0,
 }
 
 pytestmark = pytest.mark.skipif(

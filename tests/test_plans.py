@@ -196,6 +196,22 @@ def test_semdedup_pandas_kernel_single_shuffle(spark, catalog):
     assert "CartesianProduct" not in p
 
 
+def test_semdedup_pretrained_serve_map_only_assignment(spark, catalog):
+    """The SERVE half of the SemDeDup split: literal persisted
+    centroids make nearest-centroid assignment a pure projection, so
+    the plan is scan -> project -> ONE exchange (the cid shuffle into
+    the per-cluster kernel) -> FlatMapGroupsInPandas.  No join of any
+    kind — the fused entry's crossJoin + per-vector argmin exchange
+    must be gone."""
+    p = _explain(
+        catalog["semdedup_prune_pretrained"][0](spark, SF), "simple")
+    assert "FlatMapGroupsInPandas" in p
+    assert "Join" not in p and "CartesianProduct" not in p
+    # the repartition guard (single-row-group test file) + the cid
+    # shuffle; at scale the guard no-ops and ONE exchange remains
+    assert p.count("Exchange") <= 2
+
+
 def test_pii_scan_partial_aggregation(spark, catalog):
     """The PII audit is one linear scan + groupBy(source): partial
     (map-side) aggregation before the exchange, no joins at all."""
