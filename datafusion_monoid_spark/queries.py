@@ -4719,6 +4719,472 @@ def semdedup_prune_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_kept bigint, sum_pruned_ids bigint"))
 
 
+_DQ_ORACLE = """
+WITH fk AS (
+  SELECT 'fk_orders_customer' AS check_name,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN k.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_violations
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) k
+    ON o.o_custkey = k.c_custkey
+  UNION ALL
+  SELECT 'fk_lineitem_orders', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN k.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) k
+    ON l.l_orderkey = k.o_orderkey
+  UNION ALL
+  SELECT 'fk_lineitem_part', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN k.p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) k
+    ON l.l_partkey = k.p_partkey
+  UNION ALL
+  SELECT 'fk_lineitem_supplier', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN k.s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) k
+    ON l.l_suppkey = k.s_suppkey
+),
+pk AS (
+  SELECT 'pk_orders_orderkey' AS check_name,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS n_violations
+  FROM orders
+  UNION ALL
+  SELECT 'pk_customer_custkey', CAST(count(*) AS BIGINT),
+         CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT)
+  FROM customer
+),
+dom AS (
+  SELECT 'dom_lineitem_quantity' AS check_name,
+         CAST(count(*) AS BIGINT) AS n_checked,
+         CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+  FROM lineitem
+  UNION ALL
+  SELECT 'dom_lineitem_discount', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem
+  UNION ALL
+  SELECT 'dom_orders_totalprice', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS BIGINT)
+  FROM orders
+  UNION ALL
+  SELECT 'null_events_value', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN value IS NULL OR isnan(value)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM events
+  UNION ALL
+  SELECT 'doc_nchars_matches_text', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n_chars IS DISTINCT FROM length(text)
+                       THEN 1 ELSE 0 END) AS BIGINT)
+  FROM documents
+)
+SELECT * FROM fk UNION ALL SELECT * FROM pk UNION ALL SELECT * FROM dom
+"""
+
+
+@register("dq_integrity_report", _DQ_ORACLE)
+def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations report — the admission gate a training
+    pipeline runs before a corpus snapshot is allowed downstream: one
+    row per check, ``(check_name, n_checked, n_violations)``.  Checks:
+    referential integrity (4 FK edges of the star schema), primary-key
+    uniqueness, domain ranges (quantity/discount/price), NaN/null audit
+    on the metric column, and derived-column consistency (``n_chars``
+    must equal the text's character length).
+
+    Scale shapes, per check family:
+
+    * **FK orphans** — the fact side is pre-aggregated to
+      ``(key, cnt)`` per DISTINCT key before any join (partial agg, the
+      shuffle carries |distinct keys| rows, not the fact table), then
+      left-joined against the dimension's distinct-key relation and
+      orphan multiplicities summed.  At 100 TB the distinct-key
+      relation is orders of magnitude smaller than the fact table and
+      frequently broadcast-able where the raw join is not.
+    * **PK uniqueness** — same per-key partial agg;
+      violations = sum(cnt) - n_keys, no distinct-count shuffle of raw
+      rows.
+    * **Domain / null / consistency** — single linear scans with
+      conditional partial aggregation; no joins, pushdown-friendly.
+
+    Each check is an independent job over a different table, so the
+    union has no cross-check barrier to optimize away."""
+
+    def _one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(F.lit(name).alias("check_name"),
+                         F.col("n_checked").cast("long").alias("n_checked"),
+                         F.col("n_violations").cast("long")
+                         .alias("n_violations"))
+
+    def _fk(name: str, fact: DataFrame, fkey: str,
+            dim: DataFrame, dkey: str) -> DataFrame:
+        per_key = fact.groupBy(F.col(fkey).alias("__k")) \
+                      .agg(F.count(F.lit(1)).alias("cnt"))
+        dim_keys = dim.select(F.col(dkey).cast("long").alias("__k")) \
+                      .distinct().withColumn("__hit", F.lit(1))
+        agg = per_key.join(dim_keys, "__k", "left").agg(
+            F.sum("cnt").alias("n_checked"),
+            F.sum(F.when(F.col("__hit").isNull(), F.col("cnt"))
+                  .otherwise(F.lit(0))).alias("n_violations"))
+        return _one(name, agg)
+
+    def _pk(name: str, df: DataFrame, key: str) -> DataFrame:
+        per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+        agg = per_key.agg(
+            F.sum("cnt").alias("n_checked"),
+            (F.sum("cnt") - F.count(F.lit(1))).alias("n_violations"))
+        return _one(name, agg)
+
+    def _scan(name: str, df: DataFrame, bad: F.Column) -> DataFrame:
+        agg = df.agg(F.count(F.lit(1)).alias("n_checked"),
+                     F.sum(F.when(bad, 1).otherwise(0))
+                     .alias("n_violations"))
+        return _one(name, agg)
+
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    customer = _t(spark, sf_dir, "customer")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    events = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    checks = [
+        _fk("fk_orders_customer", orders, "o_custkey",
+            customer, "c_custkey"),
+        _fk("fk_lineitem_orders", lineitem, "l_orderkey",
+            orders, "o_orderkey"),
+        _fk("fk_lineitem_part", lineitem, "l_partkey", part, "p_partkey"),
+        _fk("fk_lineitem_supplier", lineitem, "l_suppkey",
+            supplier, "s_suppkey"),
+        _pk("pk_orders_orderkey", orders, "o_orderkey"),
+        _pk("pk_customer_custkey", customer, "c_custkey"),
+        _scan("dom_lineitem_quantity", lineitem,
+              (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+        _scan("dom_lineitem_discount", lineitem,
+              (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        _scan("dom_orders_totalprice", orders, F.col("o_totalprice") <= 0),
+        _scan("null_events_value", events,
+              F.col("value").isNull() | F.isnan("value")),
+        _scan("doc_nchars_matches_text", docs,
+              ~F.col("n_chars").eqNullSafe(F.length("text"))),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+_GAPFILL_ORACLE = """
+WITH hourly AS (
+  SELECT event_type, CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb,
+         count(*) AS n,
+         CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS v
+  FROM events GROUP BY event_type, hb),
+bounds AS (
+  SELECT CAST(min(floor(epoch(ts) / 3600)) AS BIGINT) AS lo,
+         CAST(max(floor(epoch(ts) / 3600)) AS BIGINT) AS hi
+  FROM events),
+grid AS (
+  SELECT t.event_type, g.hb
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (SELECT unnest(generate_series(lo, hi)) AS hb FROM bounds) g)
+SELECT g.event_type, g.hb AS hour_bucket,
+       CAST(coalesce(h.n, 0) AS BIGINT) AS n_events,
+       CAST(CASE WHEN h.n IS NULL THEN 1 ELSE 0 END AS INT) AS is_gap,
+       CAST(coalesce(last_value(h.v IGNORE NULLS) OVER (
+              PARTITION BY g.event_type ORDER BY g.hb
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), -1)
+            AS BIGINT) AS v_filled_milli
+FROM grid g LEFT JOIN hourly h ON g.event_type = h.event_type
+                              AND g.hb = h.hb
+"""
+
+
+@register("events_gapfill_ffill", _GAPFILL_ORACLE)
+def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill + forward-fill (resample-to-hourly): every
+    (event_type, hour) cell of the dense grid between the corpus's
+    first and last hour, with missing hours materialized as
+    ``is_gap=1`` rows carrying the LAST OBSERVED value forward
+    (``-1`` before the first observation).  The per-hour metric is the
+    exact milli-unit integer sum, so fill values replay bit-for-bit in
+    any engine.
+
+    Scale: the raw table is aggregated FIRST (partial agg on
+    (type, hour) — the only pass over the data); the dense grid is
+    ``distinct types x sequence(lo, hi)`` — SCHEMA-bounded, not
+    data-bounded (a year is 8.8k hours regardless of corpus size), so
+    the grid join and the per-type ordered forward-fill window run on a
+    relation whose size is independent of the 100 TB input.  For
+    grids that DO grow with data (per-user series), the same shape
+    range-partitions on (series, time-chunk) and carries fill state
+    across chunk boundaries with a second tiny boundary pass."""
+    e = _events(spark, sf_dir)
+    hourly = (e.groupBy("event_type",
+                        F.floor(F.col("sec") / 3600).cast("bigint")
+                        .alias("hb"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                   .alias("v")))
+    bounds = e.agg(
+        F.floor(F.min("sec") / 3600).cast("bigint").alias("lo"),
+        F.floor(F.max("sec") / 3600).cast("bigint").alias("hi"))
+    grid = (e.select("event_type").distinct()
+            .crossJoin(F.broadcast(bounds))
+            .select("event_type",
+                    F.explode(F.sequence("lo", "hi")).alias("hb")))
+    joined = grid.join(hourly, ["event_type", "hb"], "left")
+    w = (Window.partitionBy("event_type").orderBy("hb")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        "event_type", F.col("hb").alias("hour_bucket"),
+        F.coalesce("n", F.lit(0)).cast("bigint").alias("n_events"),
+        F.when(F.col("n").isNull(), 1).otherwise(0).cast("int")
+        .alias("is_gap"),
+        F.coalesce(F.last("v", ignorenulls=True).over(w), F.lit(-1))
+        .cast("bigint").alias("v_filled_milli"))
+
+
+_SCD2_ORACLE = """
+WITH latest AS (
+  SELECT o_custkey AS k,
+         CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS change_day,
+         CAST(round(o_totalprice * 1000) AS BIGINT) AS new_bal_milli
+  FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                  ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+        FROM orders)
+  WHERE rn = 1)
+SELECT c.c_custkey, CAST(1 AS INT) AS version,
+       CAST(0 AS BIGINT) AS valid_from_day,
+       ch.change_day AS valid_to_day,
+       CAST(round(c.c_acctbal * 1000) AS BIGINT) AS acctbal_milli,
+       c.c_mktsegment AS segment, CAST(0 AS INT) AS is_current
+FROM customer c JOIN latest ch ON c.c_custkey = ch.k
+UNION ALL
+SELECT c.c_custkey, CAST(2 AS INT), ch.change_day,
+       CAST(9999999 AS BIGINT), ch.new_bal_milli, c.c_mktsegment,
+       CAST(1 AS INT)
+FROM customer c JOIN latest ch ON c.c_custkey = ch.k
+UNION ALL
+SELECT c.c_custkey, CAST(1 AS INT), CAST(0 AS BIGINT),
+       CAST(9999999 AS BIGINT), CAST(round(c.c_acctbal * 1000) AS BIGINT),
+       c.c_mktsegment, CAST(1 AS INT)
+FROM customer c LEFT JOIN latest ch ON c.c_custkey = ch.k
+WHERE ch.k IS NULL
+UNION ALL
+SELECT ch.k + 1000000, CAST(1 AS INT), ch.change_day,
+       CAST(9999999 AS BIGINT), ch.new_bal_milli, 'UNKNOWN',
+       CAST(1 AS INT)
+FROM latest ch WHERE ch.k % 50 = 0
+"""
+
+
+@register("cdc_scd2_customer", _SCD2_ORACLE)
+def cdc_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC -> SCD2 merge: apply a change batch to the customer
+    dimension with type-2 effective dating.  The change batch is
+    derived deterministically from the fact table (each customer's
+    LATEST order, ties broken on orderkey, sets a new balance effective
+    that order's day); customers with a change emit a CLOSED v1 row
+    (valid_to = change day) plus an open v2 row, untouched customers
+    keep their open v1 row, and change-batch keys with no dimension
+    match (simulated here as every 50th key, re-keyed +1e6) take the
+    late-arriving-member INSERT path.  Balances travel as exact
+    milli-unit integers; the open-ended validity is the 9999999
+    sentinel day.
+
+    Scale: the change batch is reduced to one row per key BEFORE
+    touching the dimension (``max_by`` partial agg over the facts —
+    the classic CDC compaction), then ONE left join against the
+    dimension; both version rows of an updated key are emitted from
+    that single joined row via ``explode`` (no second join, no union
+    re-scan of the dimension).  At 100 TB the compacted daily batch is
+    the small side and broadcasts; the dimension is never shuffled
+    twice.  Inserts come from the batch alone (no scan).  This is the
+    MERGE INTO shape lake formats run, expressed engine-neutrally."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    bal = F.round(F.col("o_totalprice") * 1000).cast("bigint")
+    ch = (orders.groupBy(F.col("o_custkey").alias("k"))
+          .agg(F.max_by(F.struct(day.alias("change_day"),
+                                 bal.alias("new_bal_milli")),
+                        F.struct("o_orderdate", "o_orderkey")).alias("m"))
+          .select("k", "m.change_day", "m.new_bal_milli"))
+    j = customer.join(ch, customer.c_custkey == ch.k, "left")
+    old_bal = F.round(F.col("c_acctbal") * 1000).cast("bigint")
+    v_open1 = F.struct(
+        F.lit(1).alias("version"), F.lit(0).cast("bigint")
+        .alias("valid_from_day"),
+        F.lit(9999999).cast("bigint").alias("valid_to_day"),
+        old_bal.alias("acctbal_milli"), F.lit(1).alias("is_current"))
+    v_closed1 = F.struct(
+        F.lit(1).alias("version"), F.lit(0).cast("bigint")
+        .alias("valid_from_day"),
+        F.col("change_day").alias("valid_to_day"),
+        old_bal.alias("acctbal_milli"), F.lit(0).alias("is_current"))
+    v_open2 = F.struct(
+        F.lit(2).alias("version"), F.col("change_day")
+        .alias("valid_from_day"),
+        F.lit(9999999).cast("bigint").alias("valid_to_day"),
+        F.col("new_bal_milli").alias("acctbal_milli"),
+        F.lit(1).alias("is_current"))
+    versions = (j.select(
+        "c_custkey", "c_mktsegment",
+        F.explode(F.when(F.col("k").isNull(), F.array(v_open1))
+                  .otherwise(F.array(v_closed1, v_open2))).alias("v"))
+        .select("c_custkey", F.col("v.version").alias("version"),
+                F.col("v.valid_from_day").alias("valid_from_day"),
+                F.col("v.valid_to_day").alias("valid_to_day"),
+                F.col("v.acctbal_milli").alias("acctbal_milli"),
+                F.col("c_mktsegment").alias("segment"),
+                F.col("v.is_current").alias("is_current")))
+    inserts = (ch.where(F.col("k") % 50 == 0)
+               .select((F.col("k") + 1000000).alias("c_custkey"),
+                       F.lit(1).alias("version"),
+                       F.col("change_day").alias("valid_from_day"),
+                       F.lit(9999999).cast("bigint").alias("valid_to_day"),
+                       F.col("new_bal_milli").alias("acctbal_milli"),
+                       F.lit("UNKNOWN").alias("segment"),
+                       F.lit(1).alias("is_current")))
+    return versions.unionByName(inserts)
+
+
+_MAD_ORACLE = """
+WITH v AS (
+  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS vm
+  FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
+med AS (
+  SELECT event_type, quantile_cont(vm, 0.5) AS med
+  FROM v GROUP BY event_type),
+d AS (
+  SELECT v.event_type, vm, med, abs(vm - med) AS dev
+  FROM v JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, quantile_cont(dev, 0.5) AS mad
+  FROM d GROUP BY event_type)
+SELECT d.event_type, count(*) AS n,
+       CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       max(d.med) AS med_milli, max(mad.mad) AS mad_milli
+FROM d JOIN mad USING (event_type)
+GROUP BY d.event_type
+"""
+
+
+@register("events_anomaly_mad", _MAD_ORACLE)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per event type: median / MAD (median
+    absolute deviation) outlier counts — the robust twin of z-scoring,
+    immune to the outliers it is hunting.  Values are milli-unit
+    integers, and the interpolated median of integers is exact in
+    doubles (midpoint of two int64s), so both engines compute
+    bit-identical medians, deviations, and the ``dev > 3*MAD`` verdict.
+
+    Scale: two grouped EXACT percentiles + two broadcast joins of the
+    per-type stats (the type keyspace is schema-bounded).  Exact
+    percentile buffers each group's values, which is the documented
+    trade for oracle replay at test scale; the 100 TB path swaps both
+    ``percentile`` calls for ``approx_percentile`` (t-digest — a
+    mergeable sketch, partial-agg safe) with the identical plan shape,
+    changing only the quantile estimator."""
+    e = _events(spark, sf_dir)
+    v = (e.where(F.col("value").isNotNull() & ~F.isnan("value"))
+         .select("event_type",
+                 F.round(F.col("value") * 1000).cast("bigint").alias("vm")))
+    med = v.groupBy("event_type").agg(
+        F.expr("percentile(vm, 0.5)").alias("med"))
+    d = (v.join(F.broadcast(med), "event_type")
+         .withColumn("dev", F.abs(F.col("vm") - F.col("med"))))
+    mad = d.groupBy("event_type").agg(
+        F.expr("percentile(dev, 0.5)").alias("mad"))
+    return (d.join(F.broadcast(mad), "event_type")
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("dev") > 3 * F.col("mad"), 1)
+                       .otherwise(0)).cast("bigint").alias("n_outliers"),
+                 F.max("med").alias("med_milli"),
+                 F.max("mad").alias("mad_milli")))
+
+
+_GDPR_ORACLE = """
+WITH victims AS (
+  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+o_del AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM victims)),
+l_del AS (
+  SELECT l_orderkey, l_linenumber FROM lineitem
+  WHERE l_orderkey IN (SELECT o_orderkey FROM o_del))
+SELECT 'customer' AS table_name,
+       (SELECT count(*) FROM victims) AS n_deleted,
+       (SELECT count(*) FROM customer) - (SELECT count(*) FROM victims)
+         AS n_remaining,
+       (SELECT CAST(coalesce(sum(c_custkey), 0) AS BIGINT) FROM victims)
+         AS key_checksum
+UNION ALL
+SELECT 'orders', (SELECT count(*) FROM o_del),
+       (SELECT count(*) FROM orders) - (SELECT count(*) FROM o_del),
+       (SELECT CAST(coalesce(sum(o_orderkey), 0) AS BIGINT) FROM o_del)
+UNION ALL
+SELECT 'lineitem', (SELECT count(*) FROM l_del),
+       (SELECT count(*) FROM lineitem) - (SELECT count(*) FROM l_del),
+       (SELECT CAST(coalesce(sum(l_orderkey * 10 + l_linenumber), 0)
+               AS BIGINT) FROM l_del)
+"""
+
+
+@register("gdpr_delete_cascade", _GDPR_ORACLE)
+def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-erasure cascade audit: given a deterministic victim set
+    (every 97th customer key — the stand-in for a deletion-request
+    batch), count the rows each table must drop when the delete
+    propagates along the FK chain customer -> orders -> lineitem, plus
+    a deleted-key checksum per table so the actual delete job can be
+    verified against this audit.
+
+    Scale: the victim set is always tiny relative to the corpus, so
+    every hop is a BROADCAST semi-join — the victim keys broadcast
+    into orders, and the matched order keys (still small: per-victim
+    fan-out) broadcast into lineitem; no fact table is ever shuffled.
+    The same two-hop semi-join chain, with ``_del`` frames written as
+    anti-join survivors, IS the delete job."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    victims = customer.where(F.col("c_custkey") % 97 == 0) \
+                      .select("c_custkey")
+    o_del = orders.join(F.broadcast(victims),
+                        orders.o_custkey == victims.c_custkey, "semi") \
+                  .select("o_orderkey")
+    l_del = lineitem.join(F.broadcast(o_del),
+                          lineitem.l_orderkey == o_del.o_orderkey,
+                          "semi") \
+                    .select("l_orderkey", "l_linenumber")
+
+    def _audit(name: str, deleted: DataFrame, key: F.Column,
+               total: DataFrame) -> DataFrame:
+        d = deleted.agg(F.count(F.lit(1)).alias("nd"),
+                        F.coalesce(F.sum(key), F.lit(0)).cast("bigint")
+                        .alias("ck"))
+        t = total.agg(F.count(F.lit(1)).alias("nt"))
+        return d.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            F.col("nd").alias("n_deleted"),
+            (F.col("nt") - F.col("nd")).alias("n_remaining"),
+            F.col("ck").alias("key_checksum"))
+
+    return (_audit("customer", victims, F.col("c_custkey"), customer)
+            .unionByName(_audit("orders", o_del, F.col("o_orderkey"),
+                                orders))
+            .unionByName(_audit(
+                "lineitem", l_del,
+                F.col("l_orderkey") * 10 + F.col("l_linenumber"),
+                lineitem)))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
