@@ -5185,6 +5185,93 @@ def gdpr_delete_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lineitem)))
 
 
+_PAGERANK_SCALE = 10 ** 12
+_PAGERANK_ITERS = 3
+
+
+def _pagerank_oracle_sql() -> str:
+    jacc = (f"len(list_filter(range(1, {dd.MINHASH_NUM + 1}), "
+            f"i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM}")
+    prev = "pr0"
+    iters = ""
+    for t in range(1, _PAGERANK_ITERS + 1):
+        iters += f""",
+pr{t} AS (
+  SELECT e.dst AS id,
+         (SELECT t FROM tele) + (85 * sum(p.pr // e.deg)) // 100 AS pr
+  FROM ewd e JOIN {prev} p ON e.src = p.id
+  GROUP BY e.dst)"""
+        prev = f"pr{t}"
+    return f"""
+{_minhash_candidates_cte()},
+pairs AS (SELECT id_a, id_b FROM cand WHERE {jacc} >= 0.35),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+tele AS (SELECT (15 * ({_PAGERANK_SCALE} // n)) // 100 AS t FROM nn),
+ewd AS (SELECT e.src, e.dst, d.deg FROM edges e JOIN deg d
+        ON e.src = d.src),
+pr0 AS (SELECT src AS id, (SELECT {_PAGERANK_SCALE} // n FROM nn) AS pr
+        FROM deg){iters}
+SELECT p.id AS doc_id, d.deg AS degree, CAST(p.pr AS BIGINT) AS pr_scaled
+FROM {prev} p JOIN deg d ON p.id = d.src
+"""
+
+
+@register("pagerank_neardup_graph", _pagerank_oracle_sql())
+def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the near-duplicate graph (MinHash-LSH candidate
+    pairs at est-Jaccard >= 0.35, undirected): three fixed power
+    iterations with damping 0.85 — the centrality signal that
+    ranks duplicate-cluster "hubs" (documents near-dup to many others)
+    for curation triage.  EVERY step is exact integer math at the
+    1e-12 rank scale — per-edge contribution is ``pr div deg`` (exact
+    floor division), the in-neighbor sum is an order-independent BIGINT
+    sum, and the damped update is ``tele + (85 * s) div 100`` — so an
+    engine unrolling the same iterations reproduces ranks bit-for-bit
+    (the quantized-Lloyd reproducibility trade; float PageRank is
+    sum-order-dependent).
+
+    Scale: the iteration state is ``(node, rank)`` — the corpus itself
+    leaves the loop after candidate generation (banded LSH, never
+    all-pairs).  Degrees are attached to the edge relation ONCE before
+    the loop, so each iteration is a single equi-join of edges with
+    the current ranks on ``src`` + one partial-agg sum on ``dst``; at
+    cluster scale edges and ranks hash-partition on the same key, and
+    every iteration is checkpointable (the connected-components
+    release pattern).  Node count (one scalar) is the only driver
+    value.  No dangling mass: the graph is undirected, so every node
+    has out-degree >= 1."""
+    _, cand = _minhash_shared(spark, sf_dir)
+    est = dd.estimated_jaccard("sig_a", "sig_b")
+    pairs = cand.where(est >= 0.35).select("id_a", "id_b")
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
+             .unionAll(pairs.select(F.col("id_b").alias("src"),
+                                    F.col("id_a").alias("dst"))))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = deg.count()   # ONE scalar (graph node count) — bounded
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id bigint, degree bigint, pr_scaled bigint")
+    tele = (15 * (_PAGERANK_SCALE // n)) // 100
+    ewd = edges.join(deg, "src")
+    pr = deg.select(F.col("src").alias("id"),
+                    F.lit(_PAGERANK_SCALE // n).cast("bigint").alias("pr"))
+    for _ in range(_PAGERANK_ITERS):
+        contrib = (ewd.join(pr, ewd.src == pr.id)
+                   .select("dst", F.expr("pr div deg").alias("c")))
+        pr = (contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+              .select(F.col("dst").alias("id"),
+                      (F.lit(tele) + F.expr("(85 * s) div 100"))
+                      .cast("bigint").alias("pr")))
+    return (pr.join(deg, pr.id == deg.src)
+            .select(F.col("id").alias("doc_id"),
+                    F.col("deg").cast("bigint").alias("degree"),
+                    F.col("pr").alias("pr_scaled")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
