@@ -5292,6 +5292,10 @@ _DRIVER_WINDOW_R5 = [
     "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats", "skew_aqe_join_deviation",
     "pipeline_dedup_cascade", "streaming_ann_serve", "curation_token_budget_mix",
     "dedup_cluster_keep_best", "dedup_incremental_newbatch",
+    # second-session additions (new entries -> sentinels)
+    "semdedup_prune_pretrained", "dq_integrity_report",
+    "events_gapfill_ffill", "cdc_scd2_customer", "events_anomaly_mad",
+    "gdpr_delete_cascade", "pagerank_neardup_graph",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5303,9 +5307,9 @@ _DRIVER_WINDOW_R5 = [
     "train_test_split_sizes", "pack_sequences_stats",
     "stratified_sample_mix", "doc_chunk_windows", "decontam_ngram_overlap",
     "quality_repetition_filters", "tfidf_top_terms", "vocab_topk_coverage",
-    "q6_forecast_revenue", "q14_promo_revenue", "q18_large_volume_customer",
-    "q19_disjunctive_revenue", "embedding_quantize_int8", "zorder_layout_stats",
-    "fuzzy_customer_matches",
+    # (7 r3-checked rotation names dropped to make room for the
+    # second-session sentinels — their latest check stays r3, so the
+    # "no query staler than r3 after this round" property holds)
 ]
 
 

@@ -56,6 +56,13 @@ CEILINGS = {
     # assignment + one cid shuffle — a blown ceiling means the fused
     # entry's crossJoin/argmin exchange (or a per-call re-fit) came back
     "semdedup_prune_pretrained": 5.0,
+    # second-session r5 entries (~4x quiet sf0.01 best-of-3, local[8])
+    "dq_integrity_report": 8.0,
+    "events_gapfill_ffill": 3.0,
+    "cdc_scd2_customer": 3.0,
+    "events_anomaly_mad": 3.0,
+    "gdpr_delete_cascade": 3.0,
+    "pagerank_neardup_graph": 14.0,
 }
 
 pytestmark = pytest.mark.skipif(
