@@ -63,6 +63,7 @@ CEILINGS = {
     "events_anomaly_mad": 3.0,
     "gdpr_delete_cascade": 3.0,
     "pagerank_neardup_graph": 14.0,
+    "incremental_rollup_merge": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(

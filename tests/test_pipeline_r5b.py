@@ -142,6 +142,32 @@ def test_gdpr_cascade_counts_and_broadcast_semi_plan(spark, cat):
     assert "SortMergeJoin" not in p
 
 
+# -- incremental_rollup_merge -------------------------------------------------
+
+def test_incremental_merge_equals_full_recompute(spark, cat):
+    """Monoid merge of persisted history partials + new-tail partials
+    must equal the full recompute — the associativity contract."""
+    from datafusion_monoid_spark.queries import (
+        _events,
+        _hourly_partials,
+    )
+    merged = (cat["incremental_rollup_merge"][0](spark, SF)
+              .orderBy("event_type", "hour_bucket").collect())
+    full = (_hourly_partials(_events(spark, SF))
+            .orderBy("event_type", "hour_bucket").collect())
+    assert [tuple(r) for r in merged] == [tuple(r) for r in full]
+
+
+def test_incremental_serve_prunes_history_from_the_fact_scan(spark, cat):
+    """After the artifact exists, the serve plan's events scan must
+    carry the tail predicate on the RAW ts column (parquet min/max
+    pruning skips historical files at scale)."""
+    cat["incremental_rollup_merge"][0](spark, SF)   # ensure artifact
+    p = _explain(cat["incremental_rollup_merge"][0](spark, SF),
+                 "formatted")
+    assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts", p)
+
+
 # -- pagerank_neardup_graph ---------------------------------------------------
 
 def test_pagerank_mass_conservation_and_shape(spark, cat):
