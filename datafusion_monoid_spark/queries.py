@@ -5338,6 +5338,122 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("v_milli").cast("bigint").alias("v_milli")))
 
 
+_BASKET_ORACLE = """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS item
+  FROM lineitem JOIN part ON l_partkey = p_partkey),
+n_b AS (SELECT count(DISTINCT ok) AS n FROM baskets),
+item_n AS (SELECT item, count(*) AS cnt FROM baskets GROUP BY item),
+pairs AS (
+  SELECT a.item AS item_a, b.item AS item_b, count(*) AS pair_cnt
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.item < b.item
+  GROUP BY a.item, b.item),
+scored AS (
+  SELECT item_a, item_b, pair_cnt,
+         (pair_cnt * 1000000) // (SELECT n FROM n_b) AS support_micro,
+         (pair_cnt * (SELECT n FROM n_b) * 1000000)
+           // (ia.cnt * ib.cnt) AS lift_micro
+  FROM pairs JOIN item_n ia ON ia.item = pairs.item_a
+             JOIN item_n ib ON ib.item = pairs.item_b)
+SELECT item_a, item_b, CAST(pair_cnt AS BIGINT) AS pair_cnt,
+       CAST(support_micro AS BIGINT) AS support_micro,
+       CAST(lift_micro AS BIGINT) AS lift_micro
+FROM scored WHERE pair_cnt >= 20
+"""
+
+
+@register("basket_pair_lift", _BASKET_ORACLE)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket pair affinity: support and lift for brand pairs
+    co-occurring in an order, in exact micro-unit integer arithmetic
+    (``lift = P(a,b) / (P(a)P(b))`` computed as one integer floor
+    division — both engines replay it bit-for-bit), reported above a
+    minimum pair support.
+
+    Scale: the classic a-priori first pass.  Baskets are DISTINCT
+    (order, item) — one dedup shuffle; the pair generation is a
+    self-equi-join ON THE ORDER KEY, so fan-out is quadratic only in
+    per-basket item count (bounded by order size, ~7 here), never in
+    corpus size; per-item counts and the basket total are tiny
+    relations joined broadcast.  The support filter is the a-priori
+    prune that keeps the pair relation sparse at 100 TB."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    baskets = (lineitem.join(F.broadcast(part),
+                             lineitem.l_partkey == part.p_partkey)
+               .select(F.col("l_orderkey").alias("ok"),
+                       F.col("p_brand").alias("item"))
+               .distinct())
+    n_b = baskets.select("ok").distinct().agg(
+        F.count(F.lit(1)).alias("n"))
+    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
+    a = baskets.select(F.col("ok"), F.col("item").alias("item_a"))
+    b = baskets.select(F.col("ok").alias("ok_b"),
+                       F.col("item").alias("item_b"))
+    pairs = (a.join(b, (a.ok == b.ok_b) & (a.item_a < b.item_b))
+             .groupBy("item_a", "item_b")
+             .agg(F.count(F.lit(1)).alias("pair_cnt")))
+    ia = item_n.select(F.col("item").alias("item_a"),
+                       F.col("cnt").alias("cnt_a"))
+    ib = item_n.select(F.col("item").alias("item_b"),
+                       F.col("cnt").alias("cnt_b"))
+    return (pairs.where(F.col("pair_cnt") >= 20)
+            .join(F.broadcast(ia), "item_a")
+            .join(F.broadcast(ib), "item_b")
+            .crossJoin(F.broadcast(n_b))
+            .select("item_a", "item_b",
+                    F.col("pair_cnt").cast("bigint").alias("pair_cnt"),
+                    F.expr("(pair_cnt * 1000000) div n").cast("bigint")
+                    .alias("support_micro"),
+                    F.expr("(pair_cnt * n * 1000000) div (cnt_a * cnt_b)")
+                    .cast("bigint").alias("lift_micro")))
+
+
+_TRANSITION_ORACLE = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY floor(epoch(ts)), event_id) AS prev
+  FROM events),
+trans AS (
+  SELECT prev, event_type AS next, count(*) AS cnt
+  FROM seq WHERE prev IS NOT NULL GROUP BY prev, next),
+outdeg AS (SELECT prev, sum(cnt) AS total FROM trans GROUP BY prev)
+SELECT t.prev, t.next, CAST(t.cnt AS BIGINT) AS cnt,
+       CAST((t.cnt * 1000000) // o.total AS BIGINT) AS p_micro
+FROM trans t JOIN outdeg o ON t.prev = o.prev
+"""
+
+
+@register("events_transition_matrix", _TRANSITION_ORACLE)
+def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: ``P(next | prev)`` in exact micro-units, ties in the
+    ordering broken on event_id so the lag is deterministic.  The
+    behavioral-model counterpart of the funnel entry — transition
+    probabilities feed session simulation and anomaly scoring.
+
+    Scale: ONE shuffle partitions users, the ``lag`` window is linear
+    per user (no self-join on adjacent rows), and the transition
+    relation that leaves the window is (|types|^2)-bounded —
+    schema-sized, so the normalizing join is broadcast.  This is the
+    sequence-model shape: the corpus reduces to a transition sketch in
+    a single pass."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("sec", "event_id")
+    seq = e.select("user_id", "event_type",
+                   F.lag("event_type").over(w).alias("prev"))
+    trans = (seq.where(F.col("prev").isNotNull())
+             .groupBy("prev", F.col("event_type").alias("next"))
+             .agg(F.count(F.lit(1)).alias("cnt")))
+    outdeg = trans.groupBy("prev").agg(F.sum("cnt").alias("total"))
+    return (trans.join(F.broadcast(outdeg), "prev")
+            .select("prev", "next", F.col("cnt").cast("bigint")
+                    .alias("cnt"),
+                    F.expr("(cnt * 1000000) div total").cast("bigint")
+                    .alias("p_micro")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -5362,7 +5478,8 @@ _DRIVER_WINDOW_R5 = [
     "semdedup_prune_pretrained", "dq_integrity_report",
     "events_gapfill_ffill", "cdc_scd2_customer", "events_anomaly_mad",
     "gdpr_delete_cascade", "pagerank_neardup_graph",
-    "incremental_rollup_merge",
+    "incremental_rollup_merge", "basket_pair_lift",
+    "events_transition_matrix",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5373,8 +5490,7 @@ _DRIVER_WINDOW_R5 = [
     "hll_registers", "hll_distinct_tokens", "bloom_token_bits",
     "train_test_split_sizes", "pack_sequences_stats",
     "stratified_sample_mix", "doc_chunk_windows", "decontam_ngram_overlap",
-    "quality_repetition_filters", "tfidf_top_terms",
-    # (8 r3-checked rotation names dropped to make room for the
+    # (10 r3-checked rotation names dropped to make room for the
     # second-session sentinels — their latest check stays r3, so the
     # "no query staler than r3 after this round" property holds)
 ]

@@ -64,6 +64,8 @@ CEILINGS = {
     "gdpr_delete_cascade": 3.0,
     "pagerank_neardup_graph": 14.0,
     "incremental_rollup_merge": 3.0,
+    "basket_pair_lift": 5.0,
+    "events_transition_matrix": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -168,6 +168,34 @@ def test_incremental_serve_prunes_history_from_the_fact_scan(spark, cat):
     assert re.search(r"PushedFilters: \[.*GreaterThanOrEqual\(ts", p)
 
 
+# -- basket_pair_lift / events_transition_matrix ------------------------------
+
+def test_basket_pairs_join_on_order_key_only(spark, cat):
+    """Pair generation must be the ON-ORDER-KEY self-equi-join (fanout
+    bounded by basket size), never an item-item product; the part
+    dimension and the count relations broadcast."""
+    df = cat["basket_pair_lift"][0](spark, SF)
+    p = _explain(df)
+    assert "CartesianProduct" not in p
+    rows = df.collect()
+    for r in rows:
+        assert r["item_a"] < r["item_b"]          # canonical pair order
+        assert r["pair_cnt"] >= 20                # a-priori prune applied
+
+
+def test_transition_matrix_rows_are_probability_simplex(spark, cat):
+    import pandas as pd
+    pdf = cat["events_transition_matrix"][0](spark, SF).toPandas()
+    assert len(pdf) > 0
+    # each prev-row's probabilities sum to ~1 (floor-division loses
+    # < 1 micro-unit per cell)
+    for prev, g in pdf.groupby("prev"):
+        s = g["p_micro"].sum()
+        assert 1_000_000 - len(g) <= s <= 1_000_000
+    p = _explain(cat["events_transition_matrix"][0](spark, SF))
+    assert "CartesianProduct" not in p
+
+
 # -- pagerank_neardup_graph ---------------------------------------------------
 
 def test_pagerank_mass_conservation_and_shape(spark, cat):
