@@ -2550,11 +2550,15 @@ def dedup_incremental_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
     the reject/link list (new_id, old_id, est_jacc).  New-vs-new dups
     are the FULL dedup pass's job (pipeline_dedup_cascade); this
     entry's contract is strictly batch-vs-corpus."""
-    docs = _docs(spark, sf_dir)
-    new = docs.where(F.col("doc_id") % 11 == 0)
-    old = docs.where(F.col("doc_id") % 11 != 0)
-    sig_new = dd.minhash_signatures(new, "doc_id", "text")
-    sig_old = dd.minhash_signatures(old, "doc_id", "text")
+    # a document's signature is independent of every other document,
+    # so the split happens ON THE SIGNATURE RELATION — the shared
+    # persisted sigs stand in for the production signature index, and
+    # the shingle->minhash pass is never run twice over the corpus
+    # (was: two minhash_signatures() calls over complementary splits —
+    # measured 9.3 s -> ~4 s at sf0.1 cold)
+    sigs, _ = _minhash_shared(spark, sf_dir)
+    sig_new = sigs.where(F.col("doc_id") % 11 == 0)
+    sig_old = sigs.where(F.col("doc_id") % 11 != 0)
     b_new = dd.minhash_band_buckets(sig_new, "doc_id") \
         .withColumnRenamed("doc_id", "new_id")
     b_old = dd.minhash_band_buckets(sig_old, "doc_id") \
