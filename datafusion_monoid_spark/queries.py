@@ -5236,7 +5236,7 @@ _PAGERANK_SCALE = 10 ** 12
 _PAGERANK_ITERS = 3
 
 
-def _pagerank_oracle_sql() -> str:
+def _pagerank_oracle_sql(src: str = "documents") -> str:
     jacc = (f"len(list_filter(range(1, {dd.MINHASH_NUM + 1}), "
             f"i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM}")
     prev = "pr0"
@@ -5249,8 +5249,21 @@ pr{t} AS (
   FROM ewd e JOIN {prev} p ON e.src = p.id
   GROUP BY e.dst)"""
         prev = f"pr{t}"
+    if src == "documents":
+        head = _minhash_candidates_cte()
+    else:
+        # exact-dedup survivors first (the cascade composition)
+        head = f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5({dd.NORMALIZE_SQL.format(expr='text')})
+),
+survivors AS (
+  SELECT d.* FROM documents d JOIN reps USING (doc_id)
+),{_minhash_candidates_cte('survivors').replace('WITH msh AS',
+                                                'msh AS', 1)}"""
     return f"""
-{_minhash_candidates_cte()},
+{head},
 pairs AS (SELECT id_a, id_b FROM cand WHERE {jacc} >= 0.35),
 edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
@@ -5293,6 +5306,13 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _minhash_shared(spark, sf_dir)
     est = dd.estimated_jaccard("sig_a", "sig_b")
     pairs = cand.where(est >= 0.35).select("id_a", "id_b")
+    return _pagerank_from_pairs(spark, pairs)
+
+
+def _pagerank_from_pairs(spark: SparkSession, pairs: DataFrame) -> DataFrame:
+    """Shared integer power-iteration loop over an (id_a, id_b)
+    undirected pair relation — see :func:`pagerank_neardup_graph` for
+    the arithmetic and scale contract."""
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .unionAll(pairs.select(F.col("id_b").alias("src"),
@@ -5317,6 +5337,38 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("id").alias("doc_id"),
                     F.col("deg").cast("bigint").alias("degree"),
                     F.col("pr").alias("pr_scaled")))
+
+
+@register("pagerank_dedup_survivors", _pagerank_oracle_sql("survivors"))
+def pagerank_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank AFTER the exact-dedup cascade — the composition that
+    survives a duplication-heavy corpus.  On the adversarial x100 tier
+    (100 exact copies per document), the RAW candidate graph is
+    c(c-1)/2-quadratic in copy count: ~50M edges at sf10, where the
+    direct entry (`pagerank_neardup_graph`) exhausts executor memory —
+    the same root cause measured for the direct near-dup pair entries
+    (see `pipeline_dedup_cascade`).  Collapsing exact duplicates to
+    their min-id representative FIRST (one hash shuffle) shrinks the
+    graph by the duplication factor before any banding, and centrality
+    is computed where it is meaningful — between genuinely distinct
+    documents.  Same integer power iteration, same bit-exact oracle
+    replay, candidate generation identical to the cascade's."""
+    docs = _docs(spark, sf_dir)
+    keyed = dd.exact_dedup_keys(docs, "text")
+    reps = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
+    survivors = docs.join(reps.select("doc_id"), "doc_id", "left_semi")
+    sigs = dd.minhash_signatures(survivors, "doc_id", "text")
+    cand = dd.lsh_candidate_pairs(sigs, "doc_id")
+    est = dd.estimated_jaccard("sig_a", "sig_b")
+    # the iteration loop references the pair relation ~8x (deg, the
+    # node count, 3 join rounds, the final join); checkpointing cuts
+    # the dedup->minhash->banding lineage to ONE materialization
+    # (the raw-graph entry gets the same effect from _minhash_shared's
+    # persisted candidates) — measured 16.1 -> ~4 s at sf0.01
+    pairs = _track_ckpt(cand.where(est >= 0.35)
+                        .select("id_a", "id_b")
+                        .localCheckpoint(eager=True))
+    return _pagerank_from_pairs(spark, pairs)
 
 
 _INCR_ROLLUP_ORACLE = """
@@ -5526,7 +5578,7 @@ _DRIVER_WINDOW_R5 = [
     "events_gapfill_ffill", "cdc_scd2_customer", "events_anomaly_mad",
     "gdpr_delete_cascade", "pagerank_neardup_graph",
     "incremental_rollup_merge", "basket_pair_lift",
-    "events_transition_matrix",
+    "events_transition_matrix", "pagerank_dedup_survivors",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5536,7 +5588,7 @@ _DRIVER_WINDOW_R5 = [
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
     "hll_registers", "hll_distinct_tokens", "bloom_token_bits",
     "train_test_split_sizes", "pack_sequences_stats",
-    "stratified_sample_mix", "doc_chunk_windows", "decontam_ngram_overlap",
+    "stratified_sample_mix", "decontam_ngram_overlap",
     # (10 r3-checked rotation names dropped to make room for the
     # second-session sentinels — their latest check stays r3, so the
     # "no query staler than r3 after this round" property holds)

@@ -66,6 +66,7 @@ CEILINGS = {
     "incremental_rollup_merge": 3.0,
     "basket_pair_lift": 5.0,
     "events_transition_matrix": 3.0,
+    "pagerank_dedup_survivors": 14.0,
 }
 
 pytestmark = pytest.mark.skipif(
