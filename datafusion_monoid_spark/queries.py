@@ -5553,6 +5553,71 @@ def events_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("p_micro")))
 
 
+_RFM_ORACLE = """
+WITH mx AS (SELECT CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT)
+              AS now_day FROM orders),
+per_cust AS (
+  SELECT o_custkey AS k,
+         (SELECT now_day FROM mx)
+           - CAST(max(floor(epoch(o_orderdate) / 86400)) AS BIGINT)
+           AS recency_days,
+         count(*) AS frequency,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey),
+scored AS (
+  SELECT k,
+         CASE WHEN recency_days <= 30 THEN 3
+              WHEN recency_days <= 90 THEN 2 ELSE 1 END AS r,
+         CASE WHEN frequency >= 20 THEN 3
+              WHEN frequency >= 10 THEN 2 ELSE 1 END AS f,
+         CASE WHEN monetary_cents >= 300000000 THEN 3
+              WHEN monetary_cents >= 150000000 THEN 2 ELSE 1 END AS m
+  FROM per_cust)
+SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+       count(*) AS n_customers
+FROM scored GROUP BY r, f, m
+"""
+
+
+@register("orders_rfm_segments", _RFM_ORACLE)
+def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation: recency (days since last order,
+    relative to the corpus's latest order day), frequency (order
+    count) and monetary (exact cent-integer lifetime value), each
+    bucketed into fixed 1-3 tiers, reported as segment sizes — the
+    27-cell RFM cube every warehouse team maintains.
+
+    Scale: one partial-agg pass over the fact table (max-day, count,
+    exact integer sum are all monoids), the corpus-wide "now" anchor
+    is a one-row broadcast, and the segment roll-up aggregates a
+    per-customer relation that is orders of magnitude smaller than the
+    fact table.  Fixed thresholds (not in-data quantiles) keep the
+    scoring a pure projection — the quantile-tier variant would reuse
+    the `group_quantile_tokens` machinery."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint")
+    per_cust = (orders.groupBy(F.col("o_custkey").alias("k"))
+                .agg(F.max(day).alias("last_day"),
+                     F.count(F.lit(1)).alias("frequency"),
+                     F.sum(F.round(F.col("o_totalprice") * 100)
+                           .cast("bigint")).alias("monetary_cents")))
+    mx = orders.agg(F.max(day).alias("now_day"))
+    scored = (per_cust.crossJoin(F.broadcast(mx))
+              .select(
+                  F.when(F.col("now_day") - F.col("last_day") <= 30, 3)
+                  .when(F.col("now_day") - F.col("last_day") <= 90, 2)
+                  .otherwise(1).cast("int").alias("r"),
+                  F.when(F.col("frequency") >= 20, 3)
+                  .when(F.col("frequency") >= 10, 2)
+                  .otherwise(1).cast("int").alias("f"),
+                  F.when(F.col("monetary_cents") >= 300000000, 3)
+                  .when(F.col("monetary_cents") >= 150000000, 2)
+                  .otherwise(1).cast("int").alias("m")))
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers"))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -5579,6 +5644,7 @@ _DRIVER_WINDOW_R5 = [
     "gdpr_delete_cascade", "pagerank_neardup_graph",
     "incremental_rollup_merge", "basket_pair_lift",
     "events_transition_matrix", "pagerank_dedup_survivors",
+    "orders_rfm_segments",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5587,7 +5653,7 @@ _DRIVER_WINDOW_R5 = [
     "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
     "hll_registers", "hll_distinct_tokens", "bloom_token_bits",
-    "train_test_split_sizes", "pack_sequences_stats",
+    "train_test_split_sizes",
     "stratified_sample_mix", "decontam_ngram_overlap",
     # (10 r3-checked rotation names dropped to make room for the
     # second-session sentinels — their latest check stays r3, so the

@@ -67,6 +67,7 @@ CEILINGS = {
     "basket_pair_lift": 5.0,
     "events_transition_matrix": 3.0,
     "pagerank_dedup_survivors": 14.0,
+    "orders_rfm_segments": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(
