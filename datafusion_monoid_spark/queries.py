@@ -5437,6 +5437,13 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("v_milli").cast("bigint").alias("v_milli")))
 
 
+# the streaming twin (foreachBatch appends per-batch partials to the
+# durable artifact; merged read == full recompute) shares the SAME
+# full-recompute oracle — associativity makes stream == batch
+register("streaming_rollup_maintenance", _INCR_ROLLUP_ORACLE)(
+    sq.streaming_rollup_maintenance)
+
+
 _BASKET_ORACLE = """
 WITH baskets AS (
   SELECT DISTINCT l_orderkey AS ok, p_brand AS item
@@ -5644,7 +5651,7 @@ _DRIVER_WINDOW_R5 = [
     "gdpr_delete_cascade", "pagerank_neardup_graph",
     "incremental_rollup_merge", "basket_pair_lift",
     "events_transition_matrix", "pagerank_dedup_survivors",
-    "orders_rfm_segments",
+    "orders_rfm_segments", "streaming_rollup_maintenance",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5652,7 +5659,7 @@ _DRIVER_WINDOW_R5 = [
     "left_join_customer_orders", "full_outer_join_activity", "cube_order_stats",
     "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
-    "hll_registers", "hll_distinct_tokens", "bloom_token_bits",
+    "hll_distinct_tokens", "bloom_token_bits",
     "train_test_split_sizes",
     "stratified_sample_mix", "decontam_ngram_overlap",
     # (10 r3-checked rotation names dropped to make room for the

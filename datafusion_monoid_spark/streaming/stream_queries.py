@@ -286,3 +286,78 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         return out
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def streaming_rollup_maintenance(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance — the always-on twin of
+    ``incremental_rollup_merge``: events arrive as micro-batches (file
+    source, one file per trigger), each batch reduces to its hourly
+    PARTIAL aggregates (count + exact milli-int sum, both monoids) and
+    appends them to the durable rollup artifact; readers merge partials
+    on read (union -> re-agg).  Because the aggregation state is
+    associative, the merged read equals the full batch recompute no
+    matter how the stream was micro-batched — which is why this entry
+    shares the batch entry's full-recompute DuckDB oracle, hash-checked.
+
+    Scale: the sink grows O(groups x batches), not O(rows) — the
+    classic compaction input; a periodic merge job (the same union ->
+    re-agg) folds it back to O(groups).  foreachBatch writes are
+    idempotent per epoch via the checkpoint, the stream itself is
+    stateless (partials ARE the state, in the table, not the state
+    store) — the production pattern for exactly-once rollup sinks
+    without stateful-operator checkpoint growth."""
+    import tempfile as _tf
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    try:
+        from datafusion_monoid_spark import queries as _qcat
+
+        e = _qcat._events(spark, sf_dir) \
+            .select("event_type", "sec", "value")
+        stage = _tf.mkdtemp(prefix="mv_events_", dir=_CKPT_ROOT or None)
+        sink = _tf.mkdtemp(prefix="mv_partials_", dir=_CKPT_ROOT or None)
+        # 4 arrival files -> 4 micro-batches
+        e.repartition(4).write.mode("overwrite").parquet(stage)
+
+        estream = (spark.readStream
+                   .schema("event_type string, sec bigint, value double")
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def append_partials(batch_df: DataFrame, batch_id: int) -> None:
+            (batch_df.groupBy(
+                "event_type",
+                F.floor(F.col("sec") / 3600).cast("bigint")
+                .alias("hour_bucket"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                  .alias("v_milli"))
+             .write.mode("append").parquet(sink))
+
+        ckpt = _ckpt_dir("streaming_rollup_maintenance")
+        q = (estream.writeStream.foreachBatch(append_partials)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            prog = q.recentProgress
+            LAST_STREAM_METRICS["streaming_rollup_maintenance"] = {
+                "processing_sec": round(sum(
+                    (p.get("durationMs") or {}).get("triggerExecution", 0)
+                    for p in prog) / 1000.0, 3),
+                "batches": len(prog),
+            }
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        out = _qcat._track_ckpt(
+            spark.read.parquet(sink)
+            .groupBy("event_type", "hour_bucket")
+            .agg(F.sum("n").cast("bigint").alias("n"),
+                 F.sum("v_milli").cast("bigint").alias("v_milli"))
+            .localCheckpoint(eager=True))
+        shutil.rmtree(stage, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
+        return out
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

@@ -68,6 +68,7 @@ CEILINGS = {
     "events_transition_matrix": 3.0,
     "pagerank_dedup_survivors": 14.0,
     "orders_rfm_segments": 3.0,
+    "streaming_rollup_maintenance": 10.0,
 }
 
 pytestmark = pytest.mark.skipif(

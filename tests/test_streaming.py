@@ -370,3 +370,22 @@ def test_streaming_ann_serve_equals_batch_search(spark):
     key = lambda rows: sorted(
         (r["query_id"], r["rank"], r["cand_id"], r["sim"]) for r in rows)
     assert key(served) == key(batch)
+
+
+def test_streaming_rollup_maintenance_equals_batch_recompute(spark):
+    """The streamed materialized view (per-batch partials appended,
+    merged on read) must equal the full batch recompute row-for-row,
+    and must actually stream (multiple micro-batches)."""
+    from datafusion_monoid_spark import queries as qcat
+    from datafusion_monoid_spark.streaming import stream_queries as sq
+
+    cat = qcat.catalog()
+    streamed = cat["streaming_rollup_maintenance"][0](spark, SF).collect()
+    met = sq.LAST_STREAM_METRICS["streaming_rollup_maintenance"]
+    assert met["batches"] >= 2, met
+    full = (qcat._hourly_partials(qcat._events(spark, SF))
+            .withColumnRenamed("v_milli", "v_milli").collect())
+    key = lambda rows: sorted(
+        (r["event_type"], r["hour_bucket"], r["n"], r["v_milli"])
+        for r in rows)
+    assert key(streamed) == key(full)
