@@ -5444,6 +5444,63 @@ register("streaming_rollup_maintenance", _INCR_ROLLUP_ORACLE)(
     sq.streaming_rollup_maintenance)
 
 
+_SCHEMA_EVO_ORACLE = """
+WITH unified AS (
+  SELECT o_orderkey,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents,
+         CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority END
+           AS o_orderpriority
+  FROM orders)
+SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+       count(*) AS n,
+       CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_missing,
+       CAST(sum(price_cents) AS BIGINT) AS price_cents_sum
+FROM unified GROUP BY priority
+"""
+
+
+@register("schema_evolution_read", _SCHEMA_EVO_ORACLE)
+def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across parquet generations: an OLD-schema file
+    (orderkey, price) and a NEW-schema file (+ priority column) live in
+    the same table directory — the shape every long-lived lake table
+    reaches — and a ``mergeSchema`` read unifies them, with the added
+    column NULL for pre-evolution rows.  The report aggregates across
+    the schema boundary (per-priority counts, missing-column tally,
+    exact cent sums); the oracle replays the union from the base table
+    with a CASE simulating the missing column.
+
+    Scale: ``mergeSchema`` is a FOOTER-ONLY operation (schema union
+    over file footers at planning time; per-file readers project into
+    the unified schema with constant-NULL columns), so the read cost
+    is identical to a homogeneous table — no rewrite of old files, the
+    property that makes additive evolution free at 100 TB.  The
+    generation split here is deterministic (orderkey parity) so the
+    artifact is reproducible per sf_dir."""
+    path = _artifact_path(sf_dir, "schema_evo")
+    if not _os_mod.path.isdir(path):
+        orders = _t(spark, sf_dir, "orders")
+        cents = F.round(F.col("o_totalprice") * 100).cast("bigint") \
+                 .alias("price_cents")
+        (orders.where(F.col("o_orderkey") % 2 == 0)
+         .select("o_orderkey", cents)
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/gen=old"))
+        (orders.where(F.col("o_orderkey") % 2 == 1)
+         .select("o_orderkey", cents, "o_orderpriority")
+         .coalesce(1).write.mode("overwrite").parquet(f"{path}/gen=new"))
+    unified = spark.read.option("mergeSchema", "true") \
+                   .option("recursiveFileLookup", "true").parquet(path)
+    return (unified.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>"))
+        .alias("priority"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.when(F.col("o_orderpriority").isNull(), 1)
+                   .otherwise(0)).cast("bigint").alias("n_missing"),
+             F.sum("price_cents").cast("bigint")
+             .alias("price_cents_sum")))
+
+
 _BASKET_ORACLE = """
 WITH baskets AS (
   SELECT DISTINCT l_orderkey AS ok, p_brand AS item
@@ -5652,6 +5709,7 @@ _DRIVER_WINDOW_R5 = [
     "incremental_rollup_merge", "basket_pair_lift",
     "events_transition_matrix", "pagerank_dedup_survivors",
     "orders_rfm_segments", "streaming_rollup_maintenance",
+    "schema_evolution_read",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5659,7 +5717,7 @@ _DRIVER_WINDOW_R5 = [
     "left_join_customer_orders", "full_outer_join_activity", "cube_order_stats",
     "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
-    "hll_distinct_tokens", "bloom_token_bits",
+    "hll_distinct_tokens",
     "train_test_split_sizes",
     "stratified_sample_mix", "decontam_ngram_overlap",
     # (10 r3-checked rotation names dropped to make room for the

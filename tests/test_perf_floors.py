@@ -69,6 +69,7 @@ CEILINGS = {
     "pagerank_dedup_survivors": 14.0,
     "orders_rfm_segments": 3.0,
     "streaming_rollup_maintenance": 10.0,
+    "schema_evolution_read": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(
