@@ -5682,6 +5682,80 @@ def orders_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"))
 
 
+_DRIFT_ORACLE = """
+WITH q AS (
+  SELECT vec_id, label,
+         CASE WHEN vec_id % 2 = 0 THEN 'old' ELSE 'new' END AS half,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+  FROM embeddings),
+s AS (SELECT label, half, pos, sum(x) AS s, count(*) AS n FROM (
+        SELECT label, half, unnest(v) AS x,
+               unnest(range(0, len(v))) AS pos FROM q)
+      GROUP BY label, half, pos),
+m AS (SELECT label, half, pos,
+             CAST((s - s % n) // n AS BIGINT) AS val FROM s),
+d AS (SELECT o.label,
+             sum((o.val - n.val) * (o.val - n.val)) AS drift_sq
+      FROM m o JOIN m n ON o.label = n.label AND o.pos = n.pos
+                       AND o.half = 'old' AND n.half = 'new'
+      GROUP BY o.label),
+c AS (SELECT label,
+             CAST(sum(CASE WHEN half = 'old' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_old,
+             CAST(sum(CASE WHEN half = 'new' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_new
+      FROM q GROUP BY label)
+SELECT CAST(c.label AS INT) AS label, n_old, n_new,
+       CAST(d.drift_sq AS BIGINT) AS drift_sq
+FROM c JOIN d ON c.label = d.label
+"""
+
+
+@register("embedding_drift_by_label", _DRIFT_ORACLE)
+def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding drift monitoring: per label, the exact squared L2
+    distance between the centroid of the OLD corpus half and the NEW
+    half (vec_id parity stands in for the generation split) — the
+    signal a pipeline watches to decide when downstream indexes and
+    models need refitting.  Micro-unit quantization + the kmeans-tier
+    exact-divisible mean ``(s - s%n)/n`` keep every step in BIGINT, so
+    both engines produce identical drift values.
+
+    Scale: one posexplode partial-agg pass per half (the monoid
+    two-phase shape — the shuffle carries labels x dims rows, not
+    vectors), then a labels x dims join of two tiny centroid
+    relations.  At 100 TB the halves are separate partitions/snapshots
+    and the centroid relations are broadcast-sized by construction."""
+    e = _emb(spark, sf_dir)
+    q = e.select(
+        F.col("label").cast("int").alias("label"),
+        F.when(F.col("vec_id") % 2 == 0, "old").otherwise("new")
+        .alias("half"),
+        F.posexplode(sim.quantize_micro("embedding")).alias("pos", "x"))
+    s = q.groupBy("label", "half", "pos").agg(
+        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+    m = s.select("label", "half", "pos",
+                 ((F.col("s") - F.col("s") % F.col("n")) / F.col("n"))
+                 .cast("bigint").alias("val"))
+    mo = m.where(F.col("half") == "old") \
+          .select("label", "pos", F.col("val").alias("vo"))
+    mn = m.where(F.col("half") == "new") \
+          .select("label", "pos", F.col("val").alias("vn"))
+    d = (mo.join(mn, ["label", "pos"])
+         .groupBy("label")
+         .agg(F.sum((F.col("vo") - F.col("vn"))
+                    * (F.col("vo") - F.col("vn"))).alias("drift_sq")))
+    c = (e.groupBy(F.col("label").cast("int").alias("label"))
+         .agg(F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+              .cast("bigint").alias("n_old"),
+              F.sum(F.when(F.col("vec_id") % 2 == 0, 0).otherwise(1))
+              .cast("bigint").alias("n_new")))
+    return (c.join(d, "label")
+            .select("label", "n_old", "n_new",
+                    F.col("drift_sq").cast("bigint").alias("drift_sq")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -5709,7 +5783,7 @@ _DRIVER_WINDOW_R5 = [
     "incremental_rollup_merge", "basket_pair_lift",
     "events_transition_matrix", "pagerank_dedup_survivors",
     "orders_rfm_segments", "streaming_rollup_maintenance",
-    "schema_evolution_read",
+    "schema_evolution_read", "embedding_drift_by_label",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5718,9 +5792,8 @@ _DRIVER_WINDOW_R5 = [
     "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
     "hll_distinct_tokens",
-    "train_test_split_sizes",
     "stratified_sample_mix", "decontam_ngram_overlap",
-    # (10 r3-checked rotation names dropped to make room for the
+    # (14 r3-checked rotation names dropped to make room for the
     # second-session sentinels — their latest check stays r3, so the
     # "no query staler than r3 after this round" property holds)
 ]

@@ -70,6 +70,7 @@ CEILINGS = {
     "orders_rfm_segments": 3.0,
     "streaming_rollup_maintenance": 10.0,
     "schema_evolution_read": 3.0,
+    "embedding_drift_by_label": 4.0,
 }
 
 pytestmark = pytest.mark.skipif(
