@@ -140,6 +140,23 @@ def main() -> None:
     print(f"entity resolution: {fuzz.count()} customer-name pairs "
           "within 1 edit")
 
+    # 8. warehouse operations around the corpus: the expectations
+    # gate, time-series repair, and incremental-view maintenance
+    from datafusion_monoid_spark import queries as qcat
+
+    cat = qcat.catalog()
+    bad = (cat["dq_integrity_report"][0](spark, SF_DIR)
+           .where(F.col("n_violations") > 0).count())
+    print(f"data quality: {bad} failing checks (FK/PK/domain/NaN)")
+
+    gaps = (cat["events_gapfill_ffill"][0](spark, SF_DIR)
+            .where(F.col("is_gap") == 1).count())
+    print(f"gap-fill: {gaps} missing hours materialized + forward-filled")
+
+    mv = cat["incremental_rollup_merge"][0](spark, SF_DIR).count()
+    print(f"incremental rollup: {mv} hourly cells from persisted "
+          "partials + new-tail merge")
+
     spark.stop()
 
 
