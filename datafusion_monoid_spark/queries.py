@@ -3763,14 +3763,22 @@ def sim_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CENTROID_CACHE: dict[tuple[str, float], list] = {}
 
 
-def _load_centroids_cached(spark: SparkSession, path: str) -> list:
-    key = (path, _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS")))
+def _load_centroids_cached(spark: SparkSession, path: str,
+                           micro: bool = False) -> list:
+    """Load the persisted (cid, pos, val) centroid artifact once per
+    (path, mtime): de-quantized doubles by default (the IVF serve
+    path), or the RAW micro-unit BIGINTs with ``micro=True`` (the
+    SemDeDup serve path, whose assignment is exact integer squared-L2
+    and must replay the artifact's ints)."""
+    key = (path + ("#micro" if micro else ""),
+           _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS")))
     if key not in _CENTROID_CACHE:
         by_cid: dict[int, list[tuple[int, int]]] = {}
         for r in spark.read.parquet(path).collect():   # k x dim rows
             by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
+        conv = (lambda v: int(v)) if micro else (lambda v: v / 1e6)
         _CENTROID_CACHE[key] = [
-            (int(cid), [v / 1e6 for _, v in sorted(pv)])
+            (int(cid), [conv(v) for _, v in sorted(pv)])
             for cid, pv in sorted(by_cid.items())]
     return _CENTROID_CACHE[key]
 
@@ -4654,23 +4662,6 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_kept bigint, sum_pruned_ids bigint"))
 
 
-def _load_centroids_micro_cached(spark: SparkSession, path: str) -> list:
-    """Like :func:`_load_centroids_cached` but keeps the RAW micro-unit
-    BIGINT values (the exact integers the quantized Lloyd fit wrote) —
-    the SemDeDup assignment is exact integer squared-L2, so the serve
-    path must replay the artifact's ints, not a de-quantized double."""
-    key = (path + "#micro",
-           _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS")))
-    if key not in _CENTROID_CACHE:
-        by_cid: dict[int, list[tuple[int, int]]] = {}
-        for r in spark.read.parquet(path).collect():   # k x dim rows
-            by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
-        _CENTROID_CACHE[key] = [
-            (int(cid), [int(v) for _, v in sorted(pv)])
-            for cid, pv in sorted(by_cid.items())]
-    return _CENTROID_CACHE[key]
-
-
 def _semdedup_assign_sql(cent_list: list) -> str:
     """Map-only nearest-centroid assignment against LITERAL micro-int
     centroids, as one parsed SQL string (the ``_projection_sql``
@@ -4708,7 +4699,7 @@ def semdedup_prune_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     refit and this entry shares ``semdedup_prune``'s oracle
     bit-for-bit."""
     path = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
-    cent_list = _load_centroids_micro_cached(spark, path)
+    cent_list = _load_centroids_cached(spark, path, micro=True)
     e = _emb(spark, sf_dir)
     base = e.select(
         "vec_id", sim.quantize_micro("embedding").alias("__v"),
@@ -4812,26 +4803,19 @@ def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     * **Domain / null / consistency** — single linear scans with
       conditional partial aggregation; no joins, pushdown-friendly.
 
-    Each check is an independent job over a different table, so the
-    union has no cross-check barrier to optimize away."""
+    EVERY fact table is scanned exactly ONCE regardless of how many
+    checks it carries: each row fans out to (check, key, bad) branch
+    rows, partial-aggregates per (check, key), and FK branches
+    left-join one tagged union of the dimensions' distinct keys — the
+    audit is scan-bound at 100 TB, and this fusion is what keeps it
+    one pass per table (lineitem: 3 FK + 2 domain in one scan;
+    orders: FK + PK + domain in one scan)."""
 
     def _one(name: str, df: DataFrame) -> DataFrame:
         return df.select(F.lit(name).alias("check_name"),
                          F.col("n_checked").cast("long").alias("n_checked"),
                          F.col("n_violations").cast("long")
                          .alias("n_violations"))
-
-    def _fk(name: str, fact: DataFrame, fkey: str,
-            dim: DataFrame, dkey: str) -> DataFrame:
-        per_key = fact.groupBy(F.col(fkey).alias("__k")) \
-                      .agg(F.count(F.lit(1)).alias("cnt"))
-        dim_keys = dim.select(F.col(dkey).cast("long").alias("__k")) \
-                      .distinct().withColumn("__hit", F.lit(1))
-        agg = per_key.join(dim_keys, "__k", "left").agg(
-            F.sum("cnt").alias("n_checked"),
-            F.sum(F.when(F.col("__hit").isNull(), F.col("cnt"))
-                  .otherwise(F.lit(0))).alias("n_violations"))
-        return _one(name, agg)
 
     def _pk(name: str, df: DataFrame, key: str) -> DataFrame:
         per_key = df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
@@ -4854,64 +4838,78 @@ def dq_integrity_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = _t(spark, sf_dir, "events")
     docs = _t(spark, sf_dir, "documents")
 
-    # All five lineitem checks (3 FK edges + 2 domain ranges) fuse
-    # into ONE scan: each row fans out to a (check, key, bad) branch
-    # row, partial-aggregates to per-(check, key) counts, and the FK
-    # branches left-join ONE tagged union of the dimensions'
-    # distinct-key relations.  The biggest fact table is read once,
-    # not five times — at 100 TB the audit is scan-bound and this is
-    # the dominant cost.  Domain branches collapse to a single key
-    # per check; map-side combine absorbs the skew.
+    # One-scan-per-fact-table fusion: each row fans out to a
+    # (check, key, bad) branch row; partial agg per (check, key); FK
+    # branches left-join ONE tagged union of dimension distinct keys.
+    # PK violations fall out of the same per-key relation
+    # (sum(cnt) - n_keys); domain branches collapse to a single key
+    # per check (map-side combine absorbs the skew).
     def _b(ct: str, k, bad) -> F.Column:
         return F.struct(F.lit(ct).alias("ct"),
                         k.cast("long").alias("k"),
                         bad.cast("int").alias("bad"))
 
-    li_branches = lineitem.select(F.explode(F.array(
-        _b("fk_lineitem_orders", F.col("l_orderkey"), F.lit(0)),
-        _b("fk_lineitem_part", F.col("l_partkey"), F.lit(0)),
-        _b("fk_lineitem_supplier", F.col("l_suppkey"), F.lit(0)),
-        _b("dom_lineitem_quantity", F.lit(0),
-           (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
-        _b("dom_lineitem_discount", F.lit(0),
-           (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
-    )).alias("x")).select("x.ct", "x.k", "x.bad")
-    per_key = li_branches.groupBy("ct", "k").agg(
-        F.count(F.lit(1)).alias("cnt"), F.sum("bad").alias("bad_cnt"))
-    dim_keys = (
-        orders.select(F.lit("fk_lineitem_orders").alias("ct"),
-                      F.col("o_orderkey").cast("long").alias("k"))
-        .unionByName(part.select(
-            F.lit("fk_lineitem_part").alias("ct"),
-            F.col("p_partkey").cast("long").alias("k")))
-        .unionByName(supplier.select(
-            F.lit("fk_lineitem_supplier").alias("ct"),
-            F.col("s_suppkey").cast("long").alias("k")))
-        .distinct().withColumn("__hit", F.lit(1)))
-    li_checks = (per_key.join(dim_keys, ["ct", "k"], "left")
-                 .groupBy("ct")
-                 .agg(F.sum("cnt").alias("n_checked"),
-                      F.sum(F.when(
-                          F.col("ct").startswith("fk_")
-                          & F.col("__hit").isNull(), F.col("cnt"))
-                          .otherwise(F.col("bad_cnt") * 0))
-                      .alias("fk_viol"),
-                      F.sum("bad_cnt").alias("dom_viol"))
-                 .select(F.col("ct").alias("check_name"),
-                         F.col("n_checked").cast("long")
-                         .alias("n_checked"),
-                         F.when(F.col("ct").startswith("fk_"),
-                                F.col("fk_viol"))
-                         .otherwise(F.col("dom_viol")).cast("long")
-                         .alias("n_violations")))
+    def _dim(ct: str, dim: DataFrame, dkey: str) -> DataFrame:
+        return dim.select(F.lit(ct).alias("ct"),
+                          F.col(dkey).cast("long").alias("k"))
+
+    def _fused(branches: DataFrame,
+               dim_keys: DataFrame | None) -> DataFrame:
+        per_key = branches.groupBy("ct", "k").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("bad").alias("bad_cnt"))
+        if dim_keys is not None:
+            per_key = per_key.join(
+                dim_keys.distinct().withColumn("__hit", F.lit(1)),
+                ["ct", "k"], "left")
+        else:
+            per_key = per_key.withColumn("__hit", F.lit(1))
+        return (per_key.groupBy("ct")
+                .agg(F.sum("cnt").alias("n_checked"),
+                     F.sum(F.when(F.col("__hit").isNull(),
+                                  F.col("cnt")).otherwise(F.lit(0)))
+                     .alias("fk_viol"),
+                     (F.sum("cnt") - F.count(F.lit(1)))
+                     .alias("pk_viol"),
+                     F.sum("bad_cnt").alias("dom_viol"))
+                .select(F.col("ct").alias("check_name"),
+                        F.col("n_checked").cast("long")
+                        .alias("n_checked"),
+                        F.when(F.col("ct").startswith("fk_"),
+                               F.col("fk_viol"))
+                        .when(F.col("ct").startswith("pk_"),
+                              F.col("pk_viol"))
+                        .otherwise(F.col("dom_viol")).cast("long")
+                        .alias("n_violations")))
+
+    li_checks = _fused(
+        lineitem.select(F.explode(F.array(
+            _b("fk_lineitem_orders", F.col("l_orderkey"), F.lit(0)),
+            _b("fk_lineitem_part", F.col("l_partkey"), F.lit(0)),
+            _b("fk_lineitem_supplier", F.col("l_suppkey"), F.lit(0)),
+            _b("dom_lineitem_quantity", F.lit(0),
+               (F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+            _b("dom_lineitem_discount", F.lit(0),
+               (F.col("l_discount") < 0) | (F.col("l_discount") > 1)),
+        )).alias("x")).select("x.ct", "x.k", "x.bad"),
+        _dim("fk_lineitem_orders", orders, "o_orderkey")
+        .unionByName(_dim("fk_lineitem_part", part, "p_partkey"))
+        .unionByName(_dim("fk_lineitem_supplier", supplier,
+                          "s_suppkey")))
+
+    o_checks = _fused(
+        orders.select(F.explode(F.array(
+            _b("fk_orders_customer", F.col("o_custkey"), F.lit(0)),
+            _b("pk_orders_orderkey", F.col("o_orderkey"), F.lit(0)),
+            _b("dom_orders_totalprice", F.lit(0),
+               F.col("o_totalprice") <= 0),
+        )).alias("x")).select("x.ct", "x.k", "x.bad"),
+        _dim("fk_orders_customer", customer, "c_custkey"))
 
     checks = [
-        _fk("fk_orders_customer", orders, "o_custkey",
-            customer, "c_custkey"),
+        o_checks,
         li_checks,
-        _pk("pk_orders_orderkey", orders, "o_orderkey"),
         _pk("pk_customer_custkey", customer, "c_custkey"),
-        _scan("dom_orders_totalprice", orders, F.col("o_totalprice") <= 0),
         _scan("null_events_value", events,
               F.col("value").isNull() | F.isnan("value")),
         _scan("doc_nchars_matches_text", docs,
@@ -4969,12 +4967,11 @@ def events_gapfill_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
     range-partitions on (series, time-chunk) and carries fill state
     across chunk boundaries with a second tiny boundary pass."""
     e = _events(spark, sf_dir)
-    hourly = (e.groupBy("event_type",
-                        F.floor(F.col("sec") / 3600).cast("bigint")
-                        .alias("hb"))
-              .agg(F.count(F.lit(1)).alias("n"),
-                   F.sum(F.round(F.col("value") * 1000).cast("bigint"))
-                   .alias("v")))
+    # the one pass over the data is the SAME hourly monoid partial
+    # aggregation the incremental-rollup entry persists
+    hourly = (_hourly_partials(e)
+              .withColumnRenamed("hour_bucket", "hb")
+              .withColumnRenamed("v_milli", "v"))
     bounds = e.agg(
         F.floor(F.min("sec") / 3600).cast("bigint").alias("lo"),
         F.floor(F.max("sec") / 3600).cast("bigint").alias("hi"))
@@ -5021,7 +5018,8 @@ SELECT c.c_custkey, CAST(1 AS INT), CAST(0 AS BIGINT),
 FROM customer c LEFT JOIN latest ch ON c.c_custkey = ch.k
 WHERE ch.k IS NULL
 UNION ALL
-SELECT ch.k + 1000000, CAST(1 AS INT), ch.change_day,
+SELECT ch.k + (SELECT 1 + max(c_custkey) FROM customer),
+       CAST(1 AS INT), ch.change_day,
        CAST(9999999 AS BIGINT), ch.new_bal_milli, 'UNKNOWN',
        CAST(1 AS INT)
 FROM latest ch WHERE ch.k % 50 = 0
@@ -5088,8 +5086,14 @@ def cdc_scd2_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("v.acctbal_milli").alias("acctbal_milli"),
                 F.col("c_mktsegment").alias("segment"),
                 F.col("v.is_current").alias("is_current")))
+    # the re-key offset comes from the DATA (1 + max dimension key), so
+    # simulated late-arriving keys can never collide with a real
+    # customer at any scale tier (a constant offset breaks the
+    # one-open-row-per-key invariant once the dimension outgrows it)
+    off = customer.agg((F.max("c_custkey") + 1).alias("off"))
     inserts = (ch.where(F.col("k") % 50 == 0)
-               .select((F.col("k") + 1000000).alias("c_custkey"),
+               .crossJoin(F.broadcast(off))
+               .select((F.col("k") + F.col("off")).alias("c_custkey"),
                        F.lit(1).alias("version"),
                        F.col("change_day").alias("valid_from_day"),
                        F.lit(9999999).cast("bigint").alias("valid_to_day"),
@@ -5410,9 +5414,26 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     The artifact refresh appends the tail partials back — the same
     associativity makes compaction order-free."""
     e = _events(spark, sf_dir)
-    row = e.agg(F.min("sec").alias("lo"), F.max("sec").alias("hi")).first()
-    lo, hi = int(row["lo"]), int(row["hi"])
-    split = lo + ((hi - lo) * 4) // 5
+    path = _artifact_path(sf_dir, "hourly_rollup")
+    split_marker = _os_mod.path.join(path, "_split_sec.txt")
+
+    # The split is FROZEN with the artifact: recomputing it from live
+    # min/max would silently drop rows landing between the frozen and
+    # recomputed split once the table grows (the exact scenario an
+    # incremental rollup exists for).  The bounds job (one full-scan
+    # min/max) runs ONLY on first build; serve runs read the persisted
+    # split and touch just the artifact + the tail partition.
+    if _os_mod.path.isfile(split_marker) and _os_mod.path.isfile(
+            _os_mod.path.join(path, "_SUCCESS")):
+        with open(split_marker) as fh:
+            split = int(fh.read().strip())
+        build = False
+    else:
+        row = e.agg(F.min("sec").alias("lo"),
+                    F.max("sec").alias("hi")).first()
+        lo, hi = int(row["lo"]), int(row["hi"])
+        split = lo + ((hi - lo) * 4) // 5
+        build = True
 
     # the split filter goes on the RAW column so it reaches the scan
     # (parquet min/max pruning) — `sec` is a derived expression
@@ -5425,10 +5446,11 @@ def incremental_rollup_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         hist_f = F.col("ts") < cut
         tail_f = F.col("ts") >= cut
 
-    path = _artifact_path(sf_dir, "hourly_rollup")
-    if not _os_mod.path.isfile(_os_mod.path.join(path, "_SUCCESS")):
+    if build:
         _hourly_partials(e.where(hist_f)).write.mode("overwrite") \
             .parquet(path)
+        with open(split_marker, "w") as fh:   # after the data: a kill
+            fh.write(str(split))              # in between -> rebuild
     hist = spark.read.parquet(path)
     tail = _hourly_partials(e.where(tail_f))
     return (hist.unionByName(tail)
@@ -5479,7 +5501,13 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation split here is deterministic (orderkey parity) so the
     artifact is reproducible per sf_dir."""
     path = _artifact_path(sf_dir, "schema_evo")
-    if not _os_mod.path.isdir(path):
+    # completion = BOTH generations' _SUCCESS markers: a bare isdir()
+    # guard would wedge the entry forever after an interrupted first
+    # build (old file present, new missing -> mergeSchema read lacks
+    # the evolved column on every later run)
+    if not all(_os_mod.path.isfile(
+            _os_mod.path.join(path, f"gen={g}", "_SUCCESS"))
+            for g in ("old", "new")):
         orders = _t(spark, sf_dir, "orders")
         cents = F.round(F.col("o_totalprice") * 100).cast("bigint") \
                  .alias("price_cents")
@@ -5793,7 +5821,7 @@ _DRIVER_WINDOW_R5 = [
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
     "hll_distinct_tokens",
     "stratified_sample_mix", "decontam_ngram_overlap",
-    # (14 r3-checked rotation names dropped to make room for the
+    # (15 r3-checked rotation names dropped to make room for the 15
     # second-session sentinels — their latest check stays r3, so the
     # "no query staler than r3 after this round" property holds)
 ]

@@ -305,12 +305,17 @@ def streaming_rollup_maintenance(spark: SparkSession,
     re-agg) folds it back to O(groups).  foreachBatch writes are
     idempotent per epoch via the checkpoint, the stream itself is
     stateless (partials ARE the state, in the table, not the state
-    store) — the production pattern for exactly-once rollup sinks
-    without stateful-operator checkpoint growth."""
+    store) — writes are made IDEMPOTENT per epoch by keying the sink
+    on batch_id with overwrite (Spark's documented foreachBatch
+    recipe: a replayed epoch overwrites its own partition instead of
+    double-appending), which together with the checkpointed offsets
+    gives exactly-once merged reads without stateful-operator
+    checkpoint growth."""
     import tempfile as _tf
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
     try:
         from datafusion_monoid_spark import queries as _qcat
 
@@ -325,7 +330,7 @@ def streaming_rollup_maintenance(spark: SparkSession,
                    .schema("event_type string, sec bigint, value double")
                    .option("maxFilesPerTrigger", "1").parquet(stage))
 
-        def append_partials(batch_df: DataFrame, batch_id: int) -> None:
+        def write_partials(batch_df: DataFrame, batch_id: int) -> None:
             (batch_df.groupBy(
                 "event_type",
                 F.floor(F.col("sec") / 3600).cast("bigint")
@@ -333,10 +338,11 @@ def streaming_rollup_maintenance(spark: SparkSession,
              .agg(F.count(F.lit(1)).alias("n"),
                   F.sum(F.round(F.col("value") * 1000).cast("bigint"))
                   .alias("v_milli"))
-             .write.mode("append").parquet(sink))
+             # idempotent replay: epoch N owns sink/batch=N exclusively
+             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
 
         ckpt = _ckpt_dir("streaming_rollup_maintenance")
-        q = (estream.writeStream.foreachBatch(append_partials)
+        q = (estream.writeStream.foreachBatch(write_partials)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
@@ -350,14 +356,14 @@ def streaming_rollup_maintenance(spark: SparkSession,
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
-        out = _qcat._track_ckpt(
-            spark.read.parquet(sink)
+        return _qcat._track_ckpt(
+            spark.read.option("recursiveFileLookup", "true").parquet(sink)
             .groupBy("event_type", "hour_bucket")
             .agg(F.sum("n").cast("bigint").alias("n"),
                  F.sum("v_milli").cast("bigint").alias("v_milli"))
             .localCheckpoint(eager=True))
-        shutil.rmtree(stage, ignore_errors=True)
-        shutil.rmtree(sink, ignore_errors=True)
-        return out
     finally:
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
