@@ -219,3 +219,24 @@ def test_pagerank_iteration_is_equi_join_partial_agg(spark, cat):
     p = _explain(cat["pagerank_neardup_graph"][0](spark, SF01))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_incremental_rollup_survives_table_growth(spark, tmp_path, cat):
+    """The split must be FROZEN with the artifact: after the events
+    table grows, the merged read still covers every row (a recomputed
+    split would silently drop rows between the frozen and new split)."""
+    import pandas as pd
+
+    src = pd.read_parquet(f"{SF}/events.parquet").sort_values("ts")
+    cut = int(len(src) * 0.9)
+    d = tmp_path / "grow"
+    (d / "events.parquet").mkdir(parents=True)
+    src.iloc[:cut].to_parquet(d / "events.parquet" / "part0.parquet")
+    fn = cat["incremental_rollup_merge"][0]
+    import pyspark.sql.functions as SF_
+    first = fn(spark, str(d)).agg(SF_.sum("n")).first()[0]
+    assert first == cut
+    # the table GROWS (strictly later rows) and the artifact is reused
+    src.iloc[cut:].to_parquet(d / "events.parquet" / "part1.parquet")
+    second = fn(spark, str(d)).agg(SF_.sum("n")).first()[0]
+    assert second == len(src)          # nothing dropped after growth
