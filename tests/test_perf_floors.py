@@ -71,6 +71,7 @@ CEILINGS = {
     "streaming_rollup_maintenance": 10.0,
     "schema_evolution_read": 3.0,
     "embedding_drift_by_label": 4.0,
+    "dpp_partition_pruning": 4.0,
 }
 
 pytestmark = pytest.mark.skipif(

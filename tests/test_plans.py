@@ -212,6 +212,15 @@ def test_semdedup_pretrained_serve_map_only_assignment(spark, catalog):
     assert p.count("Exchange") <= 2
 
 
+def test_dpp_prunes_fact_partitions_at_runtime(spark, catalog):
+    """The month-partitioned fact scan must carry a
+    dynamicpruningexpression in its PartitionFilters — fact IO
+    proportional to qualifying months, decided at runtime from the
+    dim side, not plan time."""
+    p = _explain(catalog["dpp_partition_pruning"][0](spark, SF))
+    assert "dynamicpruningexpression" in p
+
+
 def test_pii_scan_partial_aggregation(spark, catalog):
     """The PII audit is one linear scan + groupBy(source): partial
     (map-side) aggregation before the exchange, no joins at all."""
