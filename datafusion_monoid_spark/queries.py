@@ -5832,6 +5832,57 @@ def dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .cast("bigint")).alias("revenue_cents")))
 
 
+_USER_GAP_ORACLE = """
+WITH active AS (
+  SELECT DISTINCT user_id,
+         CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hb
+  FROM events),
+gaps AS (
+  SELECT user_id, hb,
+         hb - lag(hb) OVER (PARTITION BY user_id ORDER BY hb) - 1 AS gap
+  FROM active)
+SELECT user_id, count(*) AS active_hours,
+       CAST(max(hb) - min(hb) + 1 AS BIGINT) AS span_hours,
+       CAST(coalesce(sum(gap), 0) AS BIGINT) AS missing_hours,
+       CAST(coalesce(max(gap), 0) AS BIGINT) AS longest_gap
+FROM gaps GROUP BY user_id
+"""
+
+
+@register("events_user_gap_stats", _USER_GAP_ORACLE)
+def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series gap statistics WITHOUT materializing the dense grid
+    — the per-user companion to ``events_gapfill_ffill``.  The global
+    gap-fill's grid is schema-bounded, but a per-USER grid is
+    users x hours and explodes with the corpus; the gap *statistics*
+    (missing hours, longest outage, active/span ratio) need only the
+    ACTIVE hour set: distinct (user, hour), one ordered ``lag`` per
+    user, and the gaps fall out as differences — O(active hours)
+    state, never O(grid).
+
+    Scale: dedup-to-active is a partial-agg shuffle on (user, hour);
+    the lag window and final roll-up reuse the same user partitioning.
+    When a series' active set is itself huge, this is the shape that
+    range-partitions by (user, time-chunk) with one boundary row
+    carried per chunk — the two-pass variant the gap-fill docstring
+    sketches, here unnecessary because state is already sub-linear."""
+    e = _events(spark, sf_dir)
+    active = e.select(
+        "user_id",
+        F.floor(F.col("sec") / 3600).cast("bigint").alias("hb")).distinct()
+    w = Window.partitionBy("user_id").orderBy("hb")
+    gaps = active.withColumn(
+        "gap", F.col("hb") - F.lag("hb").over(w) - 1)
+    return (gaps.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("active_hours"),
+                 (F.max("hb") - F.min("hb") + 1).cast("bigint")
+                 .alias("span_hours"),
+                 F.coalesce(F.sum("gap"), F.lit(0)).cast("bigint")
+                 .alias("missing_hours"),
+                 F.coalesce(F.max("gap"), F.lit(0)).cast("bigint")
+                 .alias("longest_gap")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -5860,7 +5911,7 @@ _DRIVER_WINDOW_R5 = [
     "events_transition_matrix", "pagerank_dedup_survivors",
     "orders_rfm_segments", "streaming_rollup_maintenance",
     "schema_evolution_read", "embedding_drift_by_label",
-    "dpp_partition_pruning",
+    "dpp_partition_pruning", "events_user_gap_stats",
     "sim_topk_ivf_kmeans", "dedup_simhash_hamming", "dedup_minhash_lsh_pairs",
     "bm25_rank_topk", "dedup_clusters", "monoid_sql_udaf",
     "tpch_q1", "monoid_sum_double", "q4_semi_join",
@@ -5869,8 +5920,7 @@ _DRIVER_WINDOW_R5 = [
     "pivot_status_by_priority", "events_multi_rollup", "pipeline_clean_corpus",
     "percentile_prices", "scalar_functions_smoke", "events_json_extract",
     "hll_distinct_tokens",
-    "stratified_sample_mix",
-    # (16 r3-checked rotation names dropped to make room for the 16
+    # (17 r3-checked rotation names dropped to make room for the 17
     # second-session sentinels — their latest check stays r3, so the
     # "no query staler than r3 after this round" property holds)
 ]

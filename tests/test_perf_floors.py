@@ -72,6 +72,7 @@ CEILINGS = {
     "schema_evolution_read": 3.0,
     "embedding_drift_by_label": 4.0,
     "dpp_partition_pruning": 4.0,
+    "events_user_gap_stats": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(
