@@ -3694,6 +3694,21 @@ _REPO_ROOT = _os_mod.path.dirname(
     _os_mod.path.dirname(_os_mod.path.abspath(__file__)))
 
 
+def _artifact_fresh(path: str, src: str,
+                    marker: str = "_SUCCESS") -> bool:
+    """True when the artifact's completion marker exists AND is newer
+    than the source it was derived from — regenerating a testdata tier
+    invalidates derived artifacts instead of serving stale copies
+    (which would surface as a baffling oracle mismatch)."""
+    m = _os_mod.path.join(path, marker)
+    if not _os_mod.path.isfile(m):
+        return False
+    try:
+        return _os_mod.path.getmtime(m) >= _os_mod.path.getmtime(src)
+    except OSError:
+        return False
+
+
 def _artifact_path(sf_dir: str, name: str) -> str:
     """Deterministic per-sf-tier artifact location under the repo's
     (gitignored) ``.artifacts/`` — the stand-in for the object-store
@@ -3710,8 +3725,8 @@ def _fit_centroids_persisted(spark: SparkSession, sf_dir: str,
     512-row write — the artifact is always broadcast-sized by
     construction (k x dim)."""
     path = _artifact_path(sf_dir, "ivf_centroids")
-    if not overwrite and _os_mod.path.isfile(
-            _os_mod.path.join(path, "_SUCCESS")):
+    if not overwrite and _artifact_fresh(
+            path, f"{sf_dir}/embeddings.parquet"):
         return path
     e = _emb(spark, sf_dir)
     cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
@@ -5501,13 +5516,13 @@ def schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation split here is deterministic (orderkey parity) so the
     artifact is reproducible per sf_dir."""
     path = _artifact_path(sf_dir, "schema_evo")
-    # completion = BOTH generations' _SUCCESS markers: a bare isdir()
-    # guard would wedge the entry forever after an interrupted first
-    # build (old file present, new missing -> mergeSchema read lacks
-    # the evolved column on every later run)
-    if not all(_os_mod.path.isfile(
-            _os_mod.path.join(path, f"gen={g}", "_SUCCESS"))
-            for g in ("old", "new")):
+    # completion = BOTH generations' _SUCCESS markers, each newer than
+    # the source (a bare isdir() guard would wedge the entry forever
+    # after an interrupted first build, and a stale artifact after a
+    # tier regeneration would mismatch the live-reading oracle)
+    if not all(_artifact_fresh(_os_mod.path.join(path, f"gen={g}"),
+                               f"{sf_dir}/orders.parquet")
+               for g in ("old", "new")):
         orders = _t(spark, sf_dir, "orders")
         cents = F.round(F.col("o_totalprice") * 100).cast("bigint") \
                  .alias("price_cents")
@@ -5815,7 +5830,7 @@ def dpp_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly in the oracle's month-recomputed join because partition
     values are derived deterministically from ``o_orderdate``."""
     path = _artifact_path(sf_dir, "orders_by_month")
-    if not _os_mod.path.isfile(_os_mod.path.join(path, "_SUCCESS")):
+    if not _artifact_fresh(path, f"{sf_dir}/orders.parquet"):
         orders = _t(spark, sf_dir, "orders")
         (orders.withColumn("o_month",
                            F.date_format("o_orderdate", "yyyy-MM"))

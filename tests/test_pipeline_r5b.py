@@ -227,6 +227,10 @@ def test_incremental_rollup_survives_table_growth(spark, tmp_path, cat):
     split would silently drop rows between the frozen and new split)."""
     import pandas as pd
 
+    import shutil
+
+    from datafusion_monoid_spark.queries import _artifact_path
+
     src = pd.read_parquet(f"{SF}/events.parquet").sort_values("ts")
     cut = int(len(src) * 0.9)
     d = tmp_path / "grow"
@@ -234,9 +238,16 @@ def test_incremental_rollup_survives_table_growth(spark, tmp_path, cat):
     src.iloc[:cut].to_parquet(d / "events.parquet" / "part0.parquet")
     fn = cat["incremental_rollup_merge"][0]
     import pyspark.sql.functions as SF_
-    first = fn(spark, str(d)).agg(SF_.sum("n")).first()[0]
-    assert first == cut
-    # the table GROWS (strictly later rows) and the artifact is reused
-    src.iloc[cut:].to_parquet(d / "events.parquet" / "part1.parquet")
-    second = fn(spark, str(d)).agg(SF_.sum("n")).first()[0]
-    assert second == len(src)          # nothing dropped after growth
+    try:
+        first = fn(spark, str(d)).agg(SF_.sum("n")).first()[0]
+        assert first == cut
+        # table GROWS (strictly later rows) and the artifact is reused
+        src.iloc[cut:].to_parquet(d / "events.parquet" / "part1.parquet")
+        second = fn(spark, str(d)).agg(SF_.sum("n")).first()[0]
+        assert second == len(src)      # nothing dropped after growth
+    finally:
+        # the artifact is keyed by the pytest tmp path — clean it so
+        # runs never leak dirs under .artifacts/ or collide with a
+        # recycled basetemp name after a /tmp reset
+        shutil.rmtree(_artifact_path(str(d), "hourly_rollup"),
+                      ignore_errors=True)
