@@ -5898,6 +5898,182 @@ def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("longest_gap")))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: substring-level duplicate spans (Lee et al. 2022 shape)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 8  # token n-gram width for duplicate-span detection
+
+
+def _span_oracle_sql() -> str:
+    n = _SPAN_N
+    return f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, source,
+             unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS pos,
+             unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, 0)),
+                    i -> array_to_string(toks[i + 1 : i + {n}], ' '))) AS gram
+      FROM t),
+h AS (SELECT doc_id, source, pos, {dd.md5_long_sql('gram')} AS h FROM g),
+c AS (SELECT h, count(*) AS cnt FROM h GROUP BY h),
+d AS (SELECT doc_id, source, pos FROM h JOIN c USING (h) WHERE cnt > 1),
+i AS (SELECT doc_id, source, pos,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+      FROM d),
+s AS (SELECT doc_id, source, grp, count(*) AS n_grams,
+             max(pos) - min(pos) + {n} AS span_tokens
+      FROM i GROUP BY doc_id, source, grp)
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_dup,
+       CAST(count(*) AS BIGINT) AS n_spans,
+       CAST(sum(n_grams) AS BIGINT) AS dup_grams,
+       CAST(sum(span_tokens) AS BIGINT) AS span_tokens_sum,
+       CAST(max(span_tokens) AS BIGINT) AS span_tokens_max
+FROM s GROUP BY source
+"""
+
+
+@register("dedup_substring_spans", _span_oracle_sql())
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact-duplicate SPAN detection — the
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al. 2022) operation, re-expressed for a distributed
+    engine: instead of a corpus-wide suffix array (inherently
+    single-machine), slide a token 8-gram window over every
+    document, hash each gram, and call a position duplicated when its
+    gram occurs more than once ANYWHERE in the corpus (including
+    within the same document — self-repetition is still duplicated
+    training text).  Adjacent duplicated positions then merge into
+    maximal spans per document (gaps-and-islands: ``pos -
+    row_number()``), and the report aggregates per source: documents
+    touched, span count, total/max span length in tokens.
+
+    Scale shape: the only corpus-sized relations through the shuffles
+    are the narrow ``(doc_id, pos, h)`` gram table (one partial-agg
+    count on ``h``, one equi-join back on ``h``) — text itself never
+    shuffles.  The islands window partitions per document, bounded by
+    document length.  At 100 TB the gram-count relation is the big
+    side of the join; both sides hash-partition on ``h``, so AQE can
+    split any hot gram (the empty-string pathology is pre-filtered by
+    tokenization).  The suffix-array alternative finds arbitrary-length
+    duplicates but cannot shard; the n-gram window trades span
+    RESOLUTION (multiples of one token, minimum ``_SPAN_N`` = 8) for
+    linear distributed scaling — the standard production trade.
+    """
+    n = _SPAN_N
+    docs = _docs(spark, sf_dir)
+    toks = dd.tokens("text")
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (docs.select("doc_id", "source",
+                         F.posexplode(gram_arr).alias("pos", "gram"))
+             .select("doc_id", "source", "pos",
+                     dd.md5_long("gram").alias("h")))
+    counts = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+              .where(F.col("cnt") > 1))
+    dup = grams.join(counts, "h").select("doc_id", "source", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    spans = (dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+             .groupBy("doc_id", "source", "grp")
+             .agg(F.count(F.lit(1)).alias("n_grams"),
+                  (F.max("pos") - F.min("pos") + n).cast("bigint")
+                  .alias("span_tokens")))
+    return (spans.groupBy("source")
+            .agg(F.countDistinct("doc_id").alias("n_docs_dup"),
+                 F.count(F.lit(1)).alias("n_spans"),
+                 F.sum("n_grams").cast("bigint").alias("dup_grams"),
+                 F.sum("span_tokens").cast("bigint").alias("span_tokens_sum"),
+                 F.max("span_tokens").cast("bigint").alias("span_tokens_max")))
+
+
+_LM_LOW_QUALITY_MICRO = 50_000  # docs whose mean bigram prob < 5% flagged
+
+
+def _lm_bigram_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, source,
+             unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                    i -> toks[i + 1])) AS w1,
+             unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+      FROM t),
+bgc AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
+ctx AS (SELECT w1, count(*) AS c_ctx FROM b GROUP BY w1),
+p AS (SELECT doc_id, source,
+             (c_bg * 1000000) // c_ctx AS p_micro
+      FROM b JOIN bgc USING (bg) JOIN ctx USING (w1)),
+d AS (SELECT doc_id, source,
+             CAST(sum(p_micro) // count(*) AS BIGINT) AS score_micro
+      FROM p GROUP BY doc_id, source)
+SELECT source, count(*) AS n_docs_scored,
+       CAST(sum(score_micro) // count(*) AS BIGINT) AS avg_score_micro,
+       CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+       CAST(sum(CASE WHEN score_micro < {_LM_LOW_QUALITY_MICRO}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_low_quality
+FROM d GROUP BY source
+"""
+
+
+@register("lm_bigram_score", _lm_bigram_oracle_sql())
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality scoring — the
+    CCNet/KenLM perplexity-filter shape with the LM trained on the
+    corpus itself.  Train: one partial-agg pass counts every bigram
+    ``C(w1 w2)`` and every context ``C(w1)`` (occurrences of ``w1`` as
+    a bigram head).  Score: each document's mean conditional
+    probability ``mean_i C(w_i w_i+1)/C(w_i)`` in exact integer
+    micro-units (floor division, so verdicts are bit-identical across
+    engines — a log-prob would drag libm rounding into the gate; mean
+    raw probability ranks documents the same direction for filtering).
+    Report per source: scored docs, mean/min score, and how many fall
+    under the low-quality threshold.
+
+    Scale: the two count relations are MODEL-sized (bounded by vocab
+    and observed bigrams, not corpus rows) — at 100 TB they are the
+    broadcast-able small sides; here they flow through ordinary
+    hash-joins on ``bg`` / ``w1``.  The corpus-sized occurrence
+    relation is narrow ``(doc_id, w1, bg)``; text never shuffles.
+    Documents with fewer than two tokens have no bigrams and are
+    excluded from scoring (inner-join semantics, documented).  On a
+    production pipeline the train and score halves split exactly like
+    the IVF fit/serve pair: counts persist as the model artifact, and
+    scoring new batches is two broadcast joins — no retrain."""
+    docs = _docs(spark, sf_dir)
+    toks = dd.tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.concat_ws(" ", F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2)).alias("bg"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    b = (docs.select("doc_id", "source", F.explode(pairs).alias("p"))
+         .select("doc_id", "source", F.col("p.w1").alias("w1"),
+                 F.col("p.bg").alias("bg")))
+    bgc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    p = (b.join(bgc, "bg").join(ctx, "w1")
+         .select("doc_id", "source",
+                 cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                 .alias("p_micro")))
+    d = (p.groupBy("doc_id", "source")
+         .agg(_idiv(F.sum("p_micro"), F.count(F.lit(1)))
+              .alias("score_micro")))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs_scored"),
+                 _idiv(F.sum("score_micro"), F.count(F.lit(1)))
+                 .alias("avg_score_micro"),
+                 F.min("score_micro").cast("bigint").alias("min_score_micro"),
+                 F.sum((F.col("score_micro") < _LM_LOW_QUALITY_MICRO)
+                       .cast("int")).cast("bigint").alias("n_low_quality")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
