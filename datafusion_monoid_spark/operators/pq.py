@@ -1,0 +1,176 @@
+"""Product quantization (PQ) for embedding compression + ADC search.
+
+The 100 TB ANN memory story: a 64-dim float32 vector is 256 bytes; its
+PQ code — one centroid id per subspace — is m small integers (m=16,
+k=16 here: 8 bytes, a 32x compression; production uses k=256 for 1
+byte/subspace).  Training is m INDEPENDENT k-means problems over the
+subvector slices; search computes, per query, one k x m distance table
+against the codebooks and scores every code by TABLE LOOKUP — the
+asymmetric distance computation (ADC) of Jegou et al., "Product
+Quantization for Nearest Neighbor Search" (TPAMI 2011), followed by
+an exact re-rank of the ADC shortlist (their IVFADC+R refinement —
+on structureless near-uniform vectors the 4-bit codes alone rank
+coarsely; the shortlist recovers recall at the cost of fetching
+``shortlist`` real vectors per query).
+
+Everything here is the repo's exact-integer discipline (micro-unit
+quantization, BIGINT squared-L2, floor-division means, deterministic
+tie-breaks), so a SQL engine replays fit, encode, and search
+bit-for-bit — the quantized-Lloyd reproducibility trade extended to
+the compressed-domain search.
+
+Distributed shape:
+- fit: the per-subspace k-means runs as ONE grouped Lloyd chain — the
+  subspace id is a GROUP COLUMN, not a loop, so m=16 codebooks cost
+  the same number of shuffles as one k-means (the m x k x subdim
+  codebook relation, 1024 ints, broadcasts everywhere).
+- encode: map-side join against the broadcast codebook — the corpus
+  never shuffles to be encoded.
+- search: the per-query distance table is queries x m x k rows
+  (bounded by the query batch, not the corpus); ADC scoring is a
+  broadcast join + partial-agg sum per (query, vector).  A full-scan
+  ADC is shown here; at corpus scale it composes with the existing IVF
+  probe pruning (IVFADC) so only probed partitions are scored.
+
+Reference parity note: the reference engine (see
+/root/reference/src/monoid.rs) has no vector search; this extends the
+pipeline tier mandated by the build brief.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.operators.similarity import (
+    quantize_micro,
+    _sqdist_micro,
+)
+
+PQ_M = 16       # subspaces
+PQ_SUBDIM = 4   # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
+PQ_K = 16       # centroids per subspace (4-bit codes; prod uses 256)
+PQ_ITERS = 3    # fixed Lloyd rounds, matching the k-means tier
+PQ_SHORTLIST = 50  # ADC candidates kept for the exact re-rank stage
+
+
+def subvectors(df: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM,
+               id_col: str = "vec_id", vec_col: str = "embedding"
+               ) -> DataFrame:
+    """(vec_id, s, sv): micro-int subvector slices, one row per
+    (vector, subspace).  The slice list is built with literal offsets
+    (m is a constant), so this is a pure projection + posexplode."""
+    v = quantize_micro(vec_col)
+    slices = F.array(*[F.slice(v, i * subdim + 1, subdim)
+                       for i in range(m)])
+    return df.select(F.col(id_col).alias("vec_id"),
+                     F.posexplode(slices).alias("s", "sv"))
+
+
+def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
+           ) -> DataFrame:
+    """(s, cid, cv): per-subspace codebooks after ``iters`` grouped
+    Lloyd rounds, seeded per subspace from the first ``k`` vectors by
+    id.  One chained plan: per round, assignment joins the subvector
+    relation with the BROADCAST codebook on the subspace id (argmin
+    exact squared-L2, ties to the lower cid), and the update is a
+    posexplode partial-agg floor-division mean per (s, cid, pos) —
+    the monoid two-phase shape, grouped by subspace.  Empty clusters
+    keep their previous centroid."""
+    cents = (sub.where(F.col("vec_id") < k)
+             .select("s", F.col("vec_id").alias("cid"),
+                     F.col("sv").alias("cv")))
+    for _ in range(iters):
+        assigned = _assign(sub, cents)
+        sums = (assigned.select("s", "cid", F.posexplode("sv")
+                                .alias("pos", "x"))
+                .groupBy("s", "cid", "pos")
+                .agg(F.sum("x").alias("sm"), F.count(F.lit(1)).alias("n")))
+        means = sums.select(
+            "s", "cid", "pos",
+            ((F.col("sm") - F.col("sm") % F.col("n")) / F.col("n"))
+            .cast("bigint").alias("val"))
+        new_cents = (means.groupBy("s", "cid")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "val"))),
+                         lambda t: t["val"]).alias("cv")))
+        cents = (cents.select("s", "cid", F.col("cv").alias("__old"))
+                 .join(new_cents, ["s", "cid"], "left")
+                 .select("s", "cid", F.coalesce("cv", "__old").alias("cv")))
+    return cents
+
+
+def _assign(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, s, sv, cid): nearest codebook entry per (vector,
+    subspace) — broadcast codebook, argmin (d, cid) via struct-min."""
+    d = (sub.join(F.broadcast(cents), "s")
+         .select("vec_id", "s", "sv", "cid",
+                 _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
+    return (d.groupBy("vec_id", "s")
+            .agg(F.min(F.struct("d", "cid", "sv")).alias("m"))
+            .select("vec_id", "s", F.col("m.sv").alias("sv"),
+                    F.col("m.cid").alias("cid")))
+
+
+def pq_codes(sub: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, s, cid): the PQ code relation — the compressed corpus.
+    Map-side work only (broadcast codebook join + per-key argmin)."""
+    return _assign(sub, cents).select("vec_id", "s", "cid")
+
+
+def pq_adc_topk(sub: DataFrame, cents: DataFrame, queries_sub: DataFrame,
+                k: int = 5) -> DataFrame:
+    """(q_id, vec_id, adc_d, rk): exact-integer ADC top-k.
+
+    ``dt`` — the distance table — is queries x m x PQ_K rows (bounded
+    by the query batch); ADC scores every coded vector by joining its
+    m codes against the broadcast table and summing — one partial-agg
+    shuffle on (q_id, vec_id), then a per-query WindowGroupLimit
+    top-k.  Ties break on vec_id ascending."""
+    from pyspark.sql import Window
+
+    codes = pq_codes(sub, cents)
+    dt = (queries_sub.withColumnRenamed("vec_id", "q_id")
+          .join(F.broadcast(cents), "s")
+          .select("q_id", "s", "cid",
+                  _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
+    adc = (codes.join(F.broadcast(dt), ["s", "cid"])
+           .groupBy("q_id", "vec_id")
+           .agg(F.sum("d").cast("bigint").alias("adc_d")))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d"), F.asc("vec_id"))
+    return (adc.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))
+
+
+def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
+                       cents: DataFrame, queries: DataFrame, k: int = 5,
+                       shortlist: int = PQ_SHORTLIST,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """(q_id, vec_id, exact_d, rk): two-stage ADC + exact re-rank.
+
+    Stage 1 scores the compressed corpus (codes, not floats) and keeps
+    ``shortlist`` candidates per query; stage 2 fetches ONLY those
+    candidates' real vectors (an equi-join on vec_id — per-query I/O
+    is ``shortlist`` rows, not the corpus) and re-ranks by exact
+    micro-int squared-L2.  Final ties break on vec_id.  This is the
+    shape a 100 TB store runs: scans touch the 32x-compressed code
+    relation; full-precision vectors are only ever point-looked-up."""
+    from pyspark.sql import Window
+
+    qsub = sub.join(F.broadcast(queries.select(id_col)), "vec_id")
+    short = pq_adc_topk(sub, cents, qsub, k=shortlist)
+    vm = corpus.select(F.col(id_col).alias("vec_id"),
+                       quantize_micro(vec_col).alias("__vm"))
+    qm = queries.select(F.col(id_col).alias("q_id"),
+                        quantize_micro(vec_col).alias("__qm"))
+    joined = (short.select("q_id", "vec_id")
+              .where(F.col("vec_id") != F.col("q_id"))
+              .join(vm, "vec_id")
+              .join(F.broadcast(qm), "q_id")
+              .select("q_id", "vec_id",
+                      _sqdist_micro(F.col("__vm"), F.col("__qm"))
+                      .alias("exact_d")))
+    w = Window.partitionBy("q_id").orderBy(F.asc("exact_d"), F.asc("vec_id"))
+    return (joined.withColumn("rk", F.row_number().over(w).cast("int"))
+            .where(F.col("rk") <= k))

@@ -6159,6 +6159,161 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(len(bits)).cast("bigint").alias("n_bits_set"))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: product quantization — compressed-domain ANN (Jegou et al. 2011)
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import pq as pqm
+
+
+def _pq_ctes(m: int = pqm.PQ_M, subdim: int = pqm.PQ_SUBDIM,
+             k: int = pqm.PQ_K, iters: int = pqm.PQ_ITERS) -> str:
+    """Unrolled grouped Lloyd (subspace id as a group column) as
+    chained CTEs — the per-subspace twin of :func:`_kmeans_ctes`.
+    Ends at ``pcents{iters}``; composable."""
+    parts = [f"""pvecs AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
+               FROM embeddings),
+psub AS (SELECT vec_id, unnest(range(0, {m})) AS s,
+                unnest(list_transform(range(0, {m}),
+                       i -> v[i * {subdim} + 1 : i * {subdim} + {subdim}]))
+                  AS sv
+         FROM pvecs),
+pcents0 AS (SELECT s, vec_id AS cid, sv AS cv FROM psub
+            WHERE vec_id < {k})"""]
+    dist = (f"list_sum(list_transform(range(1, {subdim + 1}), "
+            f"j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))")
+    for i in range(iters):
+        parts.append(f""",
+pd{i} AS (SELECT vec_id, s, sv, cid, {dist} AS d
+          FROM psub JOIN pcents{i} USING (s)),
+pa{i} AS (SELECT vec_id, s, sv, cid FROM (
+            SELECT vec_id, s, sv, cid,
+                   row_number() OVER (PARTITION BY vec_id, s
+                                      ORDER BY d, cid) AS rn
+            FROM pd{i}) WHERE rn = 1),
+ps{i} AS (SELECT s, cid, pos, sum(x) AS sm, count(*) AS n FROM (
+            SELECT s, cid, unnest(sv) AS x,
+                   unnest(range(0, len(sv))) AS pos
+            FROM pa{i}) GROUP BY s, cid, pos),
+pm{i} AS (SELECT s, cid, pos,
+                 CAST((sm - sm % n) // n AS BIGINT) AS val FROM ps{i}),
+pcents{i + 1} AS (SELECT c.s, c.cid, coalesce(n.cv, c.cv) AS cv
+                  FROM pcents{i} c
+                  LEFT JOIN (SELECT s, cid, list(val ORDER BY pos) AS cv
+                             FROM pm{i} GROUP BY s, cid) n
+                  ON c.s = n.s AND c.cid = n.cid)""")
+    return "".join(parts)
+
+
+def _pq_fit_oracle_sql() -> str:
+    it = pqm.PQ_ITERS
+    return f"""
+WITH {_pq_ctes()}
+SELECT CAST(s AS INTEGER) AS s, CAST(cid AS BIGINT) AS cid,
+       CAST(pos AS INTEGER) AS pos, CAST(val AS BIGINT) AS val
+FROM (SELECT s, cid, unnest(cv) AS val, unnest(range(0, len(cv))) AS pos
+      FROM pcents{it})"""
+
+
+def _pq_adc_oracle_sql(k: int = 5) -> str:
+    it = pqm.PQ_ITERS
+    subdim = pqm.PQ_SUBDIM
+    short = pqm.PQ_SHORTLIST
+    dim = pqm.PQ_M * subdim
+    dist = (f"list_sum(list_transform(range(1, {subdim + 1}), "
+            f"j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))")
+    return f"""
+WITH {_pq_ctes()},
+pcodes AS (SELECT vec_id, s, cid FROM (
+             SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d, cid) AS rn
+             FROM (SELECT vec_id, s, cid, {dist} AS d
+                   FROM psub JOIN pcents{it} USING (s))) WHERE rn = 1),
+pdt AS (SELECT q.vec_id AS q_id, q.s, c.cid,
+               list_sum(list_transform(range(1, {subdim + 1}),
+                 j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j]))) AS d
+        FROM (SELECT * FROM psub WHERE vec_id < 20) q
+        JOIN pcents{it} c ON q.s = c.s),
+padc AS (SELECT q_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_d
+         FROM pcodes JOIN pdt USING (s, cid)
+         GROUP BY q_id, vec_id),
+pshort AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_d, vec_id) AS srk
+             FROM padc) WHERE srk <= {short}),
+prr AS (SELECT sh.q_id, sh.vec_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                 j -> (v.v[j] - qv.v[j]) * (v.v[j] - qv.v[j])))
+                 AS BIGINT) AS exact_d
+        FROM (SELECT * FROM pshort WHERE vec_id != q_id) sh
+        JOIN pvecs v ON sh.vec_id = v.vec_id
+        JOIN pvecs qv ON sh.q_id = qv.vec_id)
+SELECT q_id, vec_id, exact_d, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT q_id, vec_id, exact_d,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY exact_d, vec_id) AS rk
+  FROM prr) WHERE rk <= {k}
+"""
+
+
+@register("pq_fit_codebooks", _pq_fit_oracle_sql())
+def pq_fit_codebooks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization codebook training: 8 independent k-means
+    problems (one per 8-dim subspace, 16 centroids each) run as ONE
+    grouped Lloyd chain — the subspace id is a group column, so all
+    8 codebooks cost the same shuffles as a single k-means, and the
+    whole codebook is an m x k x subdim = 1024-integer relation that
+    broadcasts everywhere downstream.  Exact-integer arithmetic start
+    to finish (micro-units, BIGINT squared-L2, floor-division means,
+    ties to the lower cid): the oracle replays all three rounds
+    bit-for-bit.  This is the compression half of Jegou et al.'s PQ —
+    a 64x smaller corpus representation (4-bit codes here; production
+    k=256 gives 1 byte/subspace and 32x on float32)."""
+    e = _emb(spark, sf_dir)
+    sub = pqm.subvectors(e)
+    return (pqm.pq_fit(sub)
+            .select(F.col("s").cast("int").alias("s"),
+                    F.col("cid").cast("bigint").alias("cid"),
+                    F.posexplode("cv").alias("pos", "val"))
+            .select("s", "cid", F.col("pos").cast("int").alias("pos"),
+                    F.col("val").cast("bigint").alias("val")))
+
+
+@register("pq_adc_topk", _pq_adc_oracle_sql())
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN over the COMPRESSED corpus: asymmetric distance computation
+    with exact re-rank (ADC+R).  Encode: every vector's nearest
+    codebook entry per subspace (map-side broadcast join — the corpus
+    never shuffles to be encoded; its PQ code relation is the narrow
+    (vec_id, s, cid)).  Search stage 1: each query builds a k x m
+    distance TABLE (queries x 256 rows, bounded by the query batch)
+    and every coded vector scores by table lookup + sum — one
+    partial-agg shuffle on (query, vector), shortlist of 50 per query.
+    Stage 2: only the shortlist's real vectors are fetched (equi-join
+    on vec_id) and re-ranked by exact micro-int squared-L2.
+    Deterministic end to end, so the DuckDB oracle replays fit,
+    encode, both search stages, and the tie-breaks exactly.
+
+    Scale: ADC is why PQ wins at 100 TB — the SCANNED corpus is codes
+    (8 B/vector), not floats (256 B/vector), so the scan is 32x
+    lighter and the distance arithmetic is lookups; full-precision
+    vectors are only point-looked-up for 50 rows per query.  This
+    entry scores the full code relation (the honest recall baseline);
+    production composes the same codes with the existing IVF probe
+    pruning (IVFADC).  Measured recall@5 vs the exact float top-k is
+    pinned in tests/test_similarity.py — the 4-bit codes alone rank
+    near-uniform synthetic vectors coarsely (~0.2 recall), which is
+    exactly why the re-rank stage is the shipped shape."""
+    e = _emb(spark, sf_dir)
+    sub = pqm.subvectors(e)
+    cents = pqm.pq_fit(sub)
+    queries = e.where(F.col("vec_id") < 20)
+    return pqm.pq_adc_rerank_topk(e, sub, cents, queries, k=5)
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

@@ -147,3 +147,25 @@ def test_pretrained_serve_plan_is_map_only_assignment(spark):
     assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
     # partial top-k below the exchange: bounded rows move per query
     assert "WindowGroupLimit" in p
+
+
+def test_pq_adc_rerank_recall(spark, emb, brute):
+    """PQ ADC+R (4-bit codes, 16 subspaces, shortlist 50, exact
+    re-rank) must hold recall@5 >= 0.9 vs exact brute force — measured
+    0.95 at sf0.001 AND sf0.01 when pinned (round 6).  Pure ADC
+    without the re-rank measured ~0.22 on these structureless
+    near-uniform vectors, which is why the two-stage form is the
+    shipped entry; this floor guards both the codebook quality and the
+    shortlist width against parameter drift."""
+    from datafusion_monoid_spark.operators import pq as pqm
+
+    q = emb.where(F.col("vec_id") < 20)
+    sub = pqm.subvectors(emb)
+    cents = pqm.pq_fit(sub)
+    got = {}
+    for r in pqm.pq_adc_rerank_topk(emb, sub, cents, q, k=5).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    want = _as_sets(brute)
+    hits = sum(len(got.get(qid, set()) & want[qid]) for qid in want)
+    recall = hits / (len(want) * 5)
+    assert recall >= 0.9, f"PQ ADC+R recall {recall:.2f} below floor 0.9"
