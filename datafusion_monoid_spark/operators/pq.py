@@ -142,24 +142,16 @@ def pq_adc_topk(sub: DataFrame, cents: DataFrame, queries_sub: DataFrame,
             .where(F.col("rk") <= k))
 
 
-def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
-                       cents: DataFrame, queries: DataFrame, k: int = 5,
-                       shortlist: int = PQ_SHORTLIST,
-                       id_col: str = "vec_id", vec_col: str = "embedding"
-                       ) -> DataFrame:
-    """(q_id, vec_id, exact_d, rk): two-stage ADC + exact re-rank.
-
-    Stage 1 scores the compressed corpus (codes, not floats) and keeps
-    ``shortlist`` candidates per query; stage 2 fetches ONLY those
-    candidates' real vectors (an equi-join on vec_id — per-query I/O
-    is ``shortlist`` rows, not the corpus) and re-ranks by exact
-    micro-int squared-L2.  Final ties break on vec_id.  This is the
-    shape a 100 TB store runs: scans touch the 32x-compressed code
-    relation; full-precision vectors are only ever point-looked-up."""
+def pq_rerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
+              k: int = 5, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """(q_id, vec_id, exact_d, rk): exact re-rank of an ADC shortlist.
+    Fetches ONLY the shortlist's real vectors (equi-join on vec_id —
+    per-query I/O is the shortlist, not the corpus), exact micro-int
+    squared-L2, ties on vec_id; self-matches dropped (tier
+    convention)."""
     from pyspark.sql import Window
 
-    qsub = sub.join(F.broadcast(queries.select(id_col)), "vec_id")
-    short = pq_adc_topk(sub, cents, qsub, k=shortlist)
     vm = corpus.select(F.col(id_col).alias("vec_id"),
                        quantize_micro(vec_col).alias("__vm"))
     qm = queries.select(F.col(id_col).alias("q_id"),
@@ -174,3 +166,94 @@ def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
     w = Window.partitionBy("q_id").orderBy(F.asc("exact_d"), F.asc("vec_id"))
     return (joined.withColumn("rk", F.row_number().over(w).cast("int"))
             .where(F.col("rk") <= k))
+
+
+def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
+                       cents: DataFrame, queries: DataFrame, k: int = 5,
+                       shortlist: int = PQ_SHORTLIST,
+                       id_col: str = "vec_id", vec_col: str = "embedding"
+                       ) -> DataFrame:
+    """(q_id, vec_id, exact_d, rk): two-stage ADC + exact re-rank.
+
+    Stage 1 scores the compressed corpus (codes, not floats) and keeps
+    ``shortlist`` candidates per query; stage 2 is :func:`pq_rerank`.
+    This is the shape a 100 TB store runs: scans touch the
+    32x-compressed code relation; full-precision vectors are only ever
+    point-looked-up."""
+    qsub = sub.join(F.broadcast(queries.select(id_col)), "vec_id")
+    short = pq_adc_topk(sub, cents, qsub, k=shortlist)
+    return pq_rerank(short, corpus, queries, k, id_col, vec_col)
+
+
+# ---------------------------------------------------------------------------
+# Pretrained serve path: literal codebooks -> map-only encoding
+# ---------------------------------------------------------------------------
+
+def codes_expr_sql(codebooks: dict[int, list[tuple[int, list[int]]]],
+                   subdim: int = PQ_SUBDIM, vec_sql: str = "__vm"
+                   ) -> str:
+    """One SQL expression producing the PQ code ARRAY for a micro-int
+    vector column — the literal-codebook twin of :func:`pq_codes`.
+    Per subspace, the argmin over k centroids is an ``array_min`` of
+    (distance, cid) structs (lexicographic struct order = min distance
+    then lowest cid, matching the fit's tie-break).  Built as ONE
+    parsed SQL string: the Column-tree equivalent costs seconds of
+    plan-build time at m x k x subdim terms (the lsh
+    ``_projection_sql`` economics)."""
+    subs = []
+    for s in sorted(codebooks):
+        entries = []
+        for cid, cv in codebooks[s]:
+            terms = " + ".join(
+                f"(element_at({vec_sql}, {s * subdim + j + 1}) - "
+                f"{int(cv[j])}L) * "
+                f"(element_at({vec_sql}, {s * subdim + j + 1}) - "
+                f"{int(cv[j])}L)"
+                for j in range(subdim))
+            entries.append(
+                f"named_struct('d', {terms}, 'cid', {int(cid)}L)")
+        subs.append(f"array_min(array({', '.join(entries)})).cid")
+    return f"array({', '.join(subs)})"
+
+
+def pq_adc_pretrained(corpus: DataFrame, queries: DataFrame,
+                      codebooks: dict[int, list[tuple[int, list[int]]]],
+                      k: int = 5, shortlist: int = PQ_SHORTLIST,
+                      subdim: int = PQ_SUBDIM, id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Serve-only ADC+R against a PERSISTED codebook: encoding is a
+    map-only projection (the literal argmin expression — no fit, no
+    assignment shuffle, the corpus is scanned once), the per-query
+    distance table joins as a broadcast, and the shortlist re-ranks
+    exactly.  Bit-identical to the fused fit+search on the same
+    codebooks (same argmin tie-breaks), so it shares that oracle."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    codes = (corpus
+             .select(F.col(id_col).alias("vec_id"),
+                     quantize_micro(vec_col).alias("__vm"))
+             .select("vec_id",
+                     F.expr(codes_expr_sql(codebooks, subdim))
+                     .alias("__codes"))
+             .select("vec_id", F.posexplode("__codes").alias("s", "cid")))
+    cents = spark.createDataFrame(
+        [(s, int(cid), [int(x) for x in cv])
+         for s, entries in sorted(codebooks.items())
+         for cid, cv in entries],
+        "s int, cid bigint, cv array<bigint>")
+    qsub = (subvectors(queries, m=len(codebooks), subdim=subdim,
+                       id_col=id_col, vec_col=vec_col)
+            .withColumnRenamed("vec_id", "q_id"))
+    dt = (qsub.join(F.broadcast(cents), "s")
+          .select("q_id", "s", "cid",
+                  _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
+    from pyspark.sql import Window
+
+    adc = (codes.join(F.broadcast(dt), ["s", "cid"])
+           .groupBy("q_id", "vec_id")
+           .agg(F.sum("d").cast("bigint").alias("adc_d")))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adc_d"), F.asc("vec_id"))
+    short = (adc.withColumn("srk", F.row_number().over(w))
+             .where(F.col("srk") <= shortlist))
+    return pq_rerank(short, corpus, queries, k, id_col, vec_col)

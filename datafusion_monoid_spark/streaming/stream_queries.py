@@ -367,3 +367,70 @@ def streaming_rollup_maintenance(spark: SparkSession,
             if d:
                 shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LM-quality SERVE: documents arrive as micro-batches
+    and are scored against the PERSISTED corpus bigram model — the
+    quality-filter inference loop of a production ingest (CCNet's
+    KenLM stage as an always-on stream).  The model artifact (bigram +
+    context counts, model-sized, trained once by the fit job) joins
+    per micro-batch as a BROADCAST — serving is STATELESS, so there is
+    no state store to grow: the model carries all the state.
+
+    Each document lands in exactly one micro-batch and its score
+    depends only on (its own bigrams, the static model), so the union
+    of per-batch scores equals the batch computation — the per-doc
+    batch twin is this entry's DuckDB oracle, full hash check.  Sink
+    writes are idempotent per epoch (batch_id-keyed overwrite)."""
+    import tempfile as _tf
+
+    from datafusion_monoid_spark import queries as _qcat
+
+    bg_path, ctx_path = _qcat._fit_lm_persisted(spark, sf_dir,
+                                                overwrite=False)
+    bgc = spark.read.parquet(bg_path)
+    ctx = spark.read.parquet(ctx_path)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _tf.mkdtemp(prefix="lm_docs_", dir=_CKPT_ROOT or None)
+        sink = _tf.mkdtemp(prefix="lm_scores_", dir=_CKPT_ROOT or None)
+        # 4 arrival files -> 4 micro-batches
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+        dstream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+            b = _qcat._lm_doc_bigrams(batch_df)
+            (_qcat._lm_score_docs(b, bgc, ctx)
+             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
+
+        ckpt = _ckpt_dir("streaming_lm_score_serve")
+        q = (dstream.writeStream.foreachBatch(score_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            prog = q.recentProgress
+            LAST_STREAM_METRICS["streaming_lm_score_serve"] = {
+                "processing_sec": round(sum(
+                    (p.get("durationMs") or {}).get("triggerExecution", 0)
+                    for p in prog) / 1000.0, 3),
+                "batches": len(prog),
+            }
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return _qcat._track_ckpt(
+            spark.read.option("recursiveFileLookup", "true").parquet(sink)
+            .select("doc_id", "source", "n_bigrams", "score_micro")
+            .localCheckpoint(eager=True))
+    finally:
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
