@@ -190,53 +190,99 @@ def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
 # ---------------------------------------------------------------------------
 
 def codes_expr_sql(codebooks: dict[int, list[tuple[int, list[int]]]],
-                   subdim: int = PQ_SUBDIM, vec_sql: str = "__vm"
+                   subdim: int = PQ_SUBDIM, elem_prefix: str = "__x"
                    ) -> str:
-    """One SQL expression producing the PQ code ARRAY for a micro-int
-    vector column — the literal-codebook twin of :func:`pq_codes`.
+    """One SQL expression producing the PQ code ARRAY from HOISTED
+    element columns ``{elem_prefix}0..{elem_prefix}{dim-1}`` — the
+    literal-codebook twin of :func:`pq_codes`.
+
+    Two expression-size/speed tricks, both order-preserving:
+
+    * the squared distance is replaced by its LINEAR form
+      ``sum(c_j^2) - 2*sum(x_j*c_j)`` — the dropped ``sum(x_j^2)`` is
+      constant across the candidates of one (row, subspace), so every
+      pairwise comparison (including ties, hence the cid tie-break)
+      is unchanged while the per-candidate work halves;
+    * vector elements are projected to plain columns ONCE instead of
+      ``element_at`` per occurrence (2 per term x k x m otherwise).
+
     Per subspace, the argmin over k centroids is an ``array_min`` of
-    (distance, cid) structs (lexicographic struct order = min distance
-    then lowest cid, matching the fit's tie-break).  Built as ONE
-    parsed SQL string: the Column-tree equivalent costs seconds of
-    plan-build time at m x k x subdim terms (the lsh
-    ``_projection_sql`` economics)."""
+    (score, cid) structs (lexicographic = min score then lowest cid,
+    matching the fit's tie-break).  Built as ONE parsed SQL string:
+    the Column-tree equivalent costs seconds of plan-build at
+    m x k x subdim terms (the lsh ``_projection_sql`` economics)."""
     subs = []
     for s in sorted(codebooks):
         entries = []
         for cid, cv in codebooks[s]:
-            terms = " + ".join(
-                f"(element_at({vec_sql}, {s * subdim + j + 1}) - "
-                f"{int(cv[j])}L) * "
-                f"(element_at({vec_sql}, {s * subdim + j + 1}) - "
-                f"{int(cv[j])}L)"
+            c2 = sum(int(c) * int(c) for c in cv)
+            dot = " + ".join(
+                f"{elem_prefix}{s * subdim + j} * {int(cv[j])}L"
                 for j in range(subdim))
             entries.append(
-                f"named_struct('d', {terms}, 'cid', {int(cid)}L)")
+                f"named_struct('d', {c2}L - 2 * ({dot}), "
+                f"'cid', {int(cid)}L)")
         subs.append(f"array_min(array({', '.join(entries)})).cid")
     return f"array({', '.join(subs)})"
 
 
-def pq_adc_pretrained(corpus: DataFrame, queries: DataFrame,
-                      codebooks: dict[int, list[tuple[int, list[int]]]],
-                      k: int = 5, shortlist: int = PQ_SHORTLIST,
-                      subdim: int = PQ_SUBDIM, id_col: str = "vec_id",
-                      vec_col: str = "embedding") -> DataFrame:
-    """Serve-only ADC+R against a PERSISTED codebook: encoding is a
-    map-only projection (the literal argmin expression — no fit, no
-    assignment shuffle, the corpus is scanned once), the per-query
-    distance table joins as a broadcast, and the shortlist re-ranks
-    exactly.  Bit-identical to the fused fit+search on the same
-    codebooks (same argmin tie-breaks), so it shares that oracle."""
-    from pyspark.sql import SparkSession
+def hoisted_elems(vec_col, dim: int, elem_prefix: str = "__x") -> list:
+    """The element-column projection :func:`codes_expr_sql` expects:
+    per-ELEMENT scalar quantization (``round(x*1e6)`` cast bigint —
+    bit-identical to :func:`quantize_micro` element-wise) from the RAW
+    float vector.  Quantizing scalar-per-element matters: hoisting
+    from the array-valued ``transform`` instead lets CollapseProject
+    inline a full 64-element lambda into every one of the m x k x
+    subdim references downstream — the measured optimizer blow-up."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = v.cast("array<double>")
+    return [F.round(F.element_at(v, i + 1) * 1_000_000).cast("bigint")
+            .alias(f"{elem_prefix}{i}")
+            for i in range(dim)]
+
+
+def pq_encode_pretrained(corpus: DataFrame,
+                         codebooks: dict[int, list[tuple[int, list[int]]]],
+                         subdim: int = PQ_SUBDIM, id_col: str = "vec_id",
+                         vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, s, cid): encode the corpus against LITERAL codebooks —
+    a map-only projection, no fit stages, no assignment shuffle.
+
+    Returns the ARRAY form ``(vec_id, codes)`` — one giant-but-flat
+    Project.  CALLERS MUST MATERIALIZE it (localCheckpoint / persisted
+    parquet) before exploding or joining: a ``posexplode`` directly on
+    the expression duplicates the full m x k argmin tree into the
+    Generate's pushed-down size filter and every downstream rule pass
+    (measured: minutes of driver-side optimizer churn at 500 rows),
+    while the materialized array relation explodes for free.
+    Materializing is also the production semantics — the code relation
+    IS the published index; encode once, search many."""
+    dim = len(codebooks) * subdim
+    return (corpus
+            .select(F.col(id_col).alias("vec_id"),
+                    *hoisted_elems(vec_col, dim))
+            .select("vec_id",
+                    F.expr(codes_expr_sql(codebooks, subdim))
+                    .alias("codes")))
+
+
+def pq_adc_search(codes_arr: DataFrame, corpus: DataFrame,
+                  queries: DataFrame,
+                  codebooks: dict[int, list[tuple[int, list[int]]]],
+                  k: int = 5, shortlist: int = PQ_SHORTLIST,
+                  subdim: int = PQ_SUBDIM, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Serve-only ADC+R against a MATERIALIZED array-form code
+    relation (see :func:`pq_encode_pretrained`) and its codebooks: the
+    per-query distance table joins as a broadcast, one partial-agg
+    shuffle scores the codes, and the shortlist re-ranks exactly.
+    Bit-identical to the fused fit+search on the same codebooks (same
+    argmin tie-breaks), so it shares that oracle."""
+    from pyspark.sql import SparkSession, Window
 
     spark = SparkSession.getActiveSession()
-    codes = (corpus
-             .select(F.col(id_col).alias("vec_id"),
-                     quantize_micro(vec_col).alias("__vm"))
-             .select("vec_id",
-                     F.expr(codes_expr_sql(codebooks, subdim))
-                     .alias("__codes"))
-             .select("vec_id", F.posexplode("__codes").alias("s", "cid")))
+    codes = codes_arr.select(
+        "vec_id", F.posexplode("codes").alias("s", "cid"))
     cents = spark.createDataFrame(
         [(s, int(cid), [int(x) for x in cv])
          for s, entries in sorted(codebooks.items())
@@ -248,8 +294,6 @@ def pq_adc_pretrained(corpus: DataFrame, queries: DataFrame,
     dt = (qsub.join(F.broadcast(cents), "s")
           .select("q_id", "s", "cid",
                   _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
-    from pyspark.sql import Window
-
     adc = (codes.join(F.broadcast(dt), ["s", "cid"])
            .groupBy("q_id", "vec_id")
            .agg(F.sum("d").cast("bigint").alias("adc_d")))

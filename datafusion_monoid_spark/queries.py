@@ -6429,7 +6429,13 @@ def pq_adc_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     books = _load_pq_codebooks_cached(spark, path)
     e = _emb(spark, sf_dir)
     queries = e.where(F.col("vec_id") < 20)
-    return pqm.pq_adc_pretrained(e, queries, books, k=5)
+    # materialize the code relation (one map-only job) — the codes ARE
+    # the index; inlining the literal argmin into the search plan
+    # instead multiplies the m x k expression through every optimizer
+    # pass (measured: minutes of driver-side plan churn)
+    codes = _track_ckpt(pqm.pq_encode_pretrained(e, books)
+                        .localCheckpoint(eager=True))
+    return pqm.pq_adc_search(codes, e, queries, books, k=5)
 
 
 # ---------------------------------------------------------------------------
@@ -6504,6 +6510,79 @@ register("streaming_lm_score_serve", _lm_doc_oracle_sql())(
     sq.streaming_lm_score_serve)
 
 
+# ---------------------------------------------------------------------------
+# Round 6: bucketed tables — the shuffle-free co-located join
+# ---------------------------------------------------------------------------
+
+_BUCKETS = 8
+
+
+def _bucketed_table(spark: SparkSession, sf_dir: str, src: str,
+                    key: str, cols: list[str]) -> str:
+    """Materialize ``src`` as an external BUCKETED table (hash-bucketed
+    and sorted on ``key``, one file per bucket) and return its
+    session-catalog name.  Reuses the on-disk artifact when fresh AND
+    already registered; the one-time layout cost is the price of every
+    subsequent join on ``key`` running shuffle-free."""
+    import re as _re
+    tag = _re.sub(r"[^A-Za-z0-9]+", "_", sf_dir.strip("/"))
+    name = f"bkt_{src}_{tag}"
+    loc = _artifact_path(sf_dir, f"bucketed_{src}")
+    if (spark.catalog.tableExists(name)
+            and _artifact_fresh(loc, f"{sf_dir}/{src}.parquet")):
+        return name
+    df = _t(spark, sf_dir, src).select(*cols)
+    # numPartitions == numBuckets with the same hash -> each write task
+    # holds exactly one bucket: one file per bucket, sorted, so the
+    # join needs neither exchange nor (ideally) sort
+    (df.repartition(_BUCKETS, F.col(key))
+     .write.bucketBy(_BUCKETS, key).sortBy(key)
+     .option("path", loc).mode("overwrite").format("parquet")
+     .saveAsTable(name))
+    return name
+
+
+@register("bucketed_join_zero_shuffle", """
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS price_cents
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""")
+def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """The co-located fact-fact join: both sides live as BUCKETED
+    tables (hash-bucketed + sorted on the join key, equal bucket
+    counts), so the SortMergeJoin consumes the on-disk distribution
+    directly — ZERO exchanges under the join (plan-pinned), and with
+    one sorted file per bucket the sort nodes are satisfied by the
+    layout too.  The ``merge`` hint keeps the demo honest at test
+    scale (Catalyst would otherwise broadcast the 15k-row orders side
+    and never exercise the bucketed path; at 100 TB neither side
+    broadcasts and bucketing IS the plan).
+
+    This is the warehouse layout decision the z-order tier's cousin:
+    pay one layout shuffle at WRITE time, then every repeated join /
+    aggregation on the bucket key — the daily fact-to-fact
+    reconciliation, the incremental merge — runs shuffle-free.  The
+    bucketed artifacts re-materialize only when stale (mtime vs
+    source), mirroring a production table that is bucketed once at
+    ingest."""
+    lt = _bucketed_table(spark, sf_dir, "lineitem", "l_orderkey",
+                         ["l_orderkey", "l_extendedprice"])
+    ot = _bucketed_table(spark, sf_dir, "orders", "o_orderkey",
+                         ["o_orderkey", "o_orderpriority"])
+    li = spark.table(lt)
+    orders = spark.table(ot).hint("merge")
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.sum(F.round(F.col("l_extendedprice") * 100)
+                       .cast("bigint")).cast("bigint")
+                 .alias("price_cents")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -6546,13 +6625,43 @@ _DRIVER_WINDOW_R5 = [
     # "no query staler than r3 after this round" property holds)
 ]
 
+#: Round-6 window: the 8 new round-6 entries as sentinels, then the
+#: least-recently-driver-checked rotation.  CORRECTNESS_r05.json had
+#: not been written back into the checkout when this was generated, so
+#: the r5 manifest above stands in as "checked in r5" for the rotation
+#: ordering (the driver gate did run it); the rotation therefore lands
+#: on the 42 stalest r3-checked entries — after this round no query's
+#: latest check predates r4's window except entries still r3-current
+#: outside the 50-gate, which rotate next.  Exactly 50 names.
+_DRIVER_WINDOW_R6 = [
+    "dedup_substring_spans", "lm_bigram_score", "bloom_join_prefilter",
+    "pq_fit_codebooks", "pq_adc_topk", "pq_adc_pretrained",
+    "graph_triangle_stats", "streaming_lm_score_serve",
+    # least-recently-checked rotation (r3-era)
+    "hll_registers", "bloom_token_bits", "bloom_token_membership",
+    "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
+    "doc_chunk_windows", "decontam_ngram_overlap", "quality_repetition_filters",
+    "tfidf_top_terms", "vocab_topk_coverage", "q6_forecast_revenue",
+    "q14_promo_revenue", "q18_large_volume_customer", "q19_disjunctive_revenue",
+    "embedding_quantize_int8", "zorder_layout_stats", "fuzzy_customer_matches",
+    "per_group_sample", "hist_quantile_prices", "bpe_top_merges",
+    "funnel_view_click_purchase", "retention_cohorts", "pipeline_curation_full",
+    "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
+    "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
+    "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
+    "q16_supplier_part_counts", "q20_excess_supply", "q21_waiting_suppliers",
+    "q22_global_sales_opportunity", "streaming_cms_cells",
+    "streaming_dedup_redelivery",
+]
+
 
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R5 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R6 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}

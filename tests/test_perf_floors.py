@@ -73,6 +73,21 @@ CEILINGS = {
     "embedding_drift_by_label": 4.0,
     "dpp_partition_pruning": 4.0,
     "events_user_gap_stats": 3.0,
+    # round-6 entries (~4x quiet sf0.01 best-of-3, local[8])
+    "dedup_substring_spans": 5.0,
+    "lm_bigram_score": 6.0,
+    "bloom_join_prefilter": 7.0,
+    "pq_fit_codebooks": 12.0,
+    "pq_adc_topk": 18.0,
+    # serve half: literal-codebook map-only encode — a blown ceiling
+    # means the Lloyd chain came back into the serve plan, or the
+    # argmin expression got inlined past the materialization barrier
+    # (measured: MINUTES of optimizer churn when the posexplode sat
+    # directly on the expression)
+    "pq_adc_pretrained": 16.0,
+    "graph_triangle_stats": 20.0,
+    "streaming_lm_score_serve": 15.0,
+    "bucketed_join_zero_shuffle": 6.0,
 }
 
 pytestmark = pytest.mark.skipif(

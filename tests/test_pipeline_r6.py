@@ -152,15 +152,10 @@ def test_pq_codes_literal_matches_dataframe_assign(spark):
     for r in cents.collect():
         books.setdefault(r.s, []).append((r.cid, list(r.cv)))
     books = {s: sorted(v) for s, v in books.items()}
-    from datafusion_monoid_spark.operators.similarity import quantize_micro
     got = sorted(
-        (r.vec_id, r.s, r.cid)
-        for r in (e.select(F.col("vec_id"),
-                           quantize_micro("embedding").alias("__vm"))
-                  .select("vec_id",
-                          F.expr(pqm.codes_expr_sql(books)).alias("c"))
-                  .select("vec_id", F.posexplode("c").alias("s", "cid"))
-                  ).collect())
+        (r.vec_id, s, cid)
+        for r in pqm.pq_encode_pretrained(e, books).collect()
+        for s, cid in enumerate(r.codes))
     assert got == want
 
 

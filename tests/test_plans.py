@@ -266,3 +266,13 @@ def test_substring_spans_narrow_shuffles(spark, catalog):
     assert "SortMergeJoin" in p or "BroadcastHashJoin" in p
     assert "CartesianProduct" not in p
     assert "partial_count" in p  # gram counts are map-side combined
+
+
+def test_bucketed_join_has_zero_exchanges_under_join(spark, catalog):
+    """Round-6: both join inputs are bucketed+sorted on the key, so
+    the SortMergeJoin must consume the on-disk distribution — the only
+    exchange in the whole plan is the final groupBy agg."""
+    df = catalog["bucketed_join_zero_shuffle"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "SortMergeJoin" in p
+    assert p.count("Exchange hashpartitioning") == 1  # final agg only
