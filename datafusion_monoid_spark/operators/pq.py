@@ -301,3 +301,62 @@ def pq_adc_search(codes_arr: DataFrame, corpus: DataFrame,
     short = (adc.withColumn("srk", F.row_number().over(w))
              .where(F.col("srk") <= shortlist))
     return pq_rerank(short, corpus, queries, k, id_col, vec_col)
+
+
+def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
+                   coarse_cents: DataFrame, queries: DataFrame,
+                   k: int = 5, nprobe: int = 6,
+                   shortlist: int = PQ_SHORTLIST,
+                   id_col: str = "vec_id", vec_col: str = "embedding"
+                   ) -> DataFrame:
+    """IVFADC (Jegou et al. 2011, §IV): the coarse quantizer prunes
+    WHICH vectors are scored, the product quantizer compresses HOW
+    they are scored — composed, this is the production billion-scale
+    ANN index (FAISS IndexIVFPQ, without the residual encoding: codes
+    are of raw vectors, the documented simplification that keeps the
+    whole pipeline exactly replayable in SQL).
+
+    ``coarse_cents`` is a (s=0, cid, cv) micro-int relation (e.g. the
+    quantized-Lloyd centroids).  Corpus vectors assign to their
+    nearest coarse cell (broadcast, exact integer argmin — the
+    map-side :func:`_assign` on the whole vector); each query probes
+    its ``nprobe`` nearest cells, and ONLY vectors in probed cells
+    reach the ADC stage — at 100 TB this is what turns the full code
+    scan into a cells-proportional read.  ADC shortlist + exact
+    re-rank as in :func:`pq_adc_topk`."""
+    from pyspark.sql import Window
+
+    whole = corpus.select(F.col(id_col).alias("vec_id"),
+                          F.lit(0).alias("s"),
+                          quantize_micro(vec_col).alias("sv"))
+    assigned = (_assign(whole, coarse_cents)
+                .select("vec_id", F.col("cid").alias("ccid")))
+    qd = (whole.join(F.broadcast(queries.select(F.col(id_col)
+                                                .alias("vec_id"))),
+                     "vec_id")
+          .join(F.broadcast(coarse_cents), "s")
+          .select(F.col("vec_id").alias("q_id"), "cid",
+                  _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
+    wq = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("cid"))
+    probes = (qd.withColumn("rn", F.row_number().over(wq))
+              .where(F.col("rn") <= nprobe)
+              .select("q_id", F.col("cid").alias("ccid")))
+    cands = (assigned.join(F.broadcast(probes), "ccid")
+             .select("q_id", "vec_id"))
+    codes = pq_codes(sub, cents)
+    dt = (sub.join(F.broadcast(queries.select(F.col(id_col)
+                                              .alias("vec_id"))),
+                   "vec_id")
+          .withColumnRenamed("vec_id", "q_id")
+          .join(F.broadcast(cents), "s")
+          .select("q_id", "s", "cid",
+                  _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
+    adc = (cands.join(codes, "vec_id")
+           .join(F.broadcast(dt), ["q_id", "s", "cid"])
+           .groupBy("q_id", "vec_id")
+           .agg(F.sum("d").cast("bigint").alias("adc_d")))
+    ws = Window.partitionBy("q_id").orderBy(F.asc("adc_d"),
+                                            F.asc("vec_id"))
+    short = (adc.withColumn("srk", F.row_number().over(ws))
+             .where(F.col("srk") <= shortlist))
+    return pq_rerank(short, corpus, queries, k, id_col, vec_col)

@@ -6510,6 +6510,100 @@ register("streaming_lm_score_serve", _lm_doc_oracle_sql())(
     sq.streaming_lm_score_serve)
 
 
+def _pq_ivfadc_oracle_sql(k: int = 5, nprobe: int = 6) -> str:
+    it = pqm.PQ_ITERS
+    subdim = pqm.PQ_SUBDIM
+    short = pqm.PQ_SHORTLIST
+    dim = pqm.PQ_M * subdim
+    coarse_d = (f"list_sum(list_transform(range(1, {dim + 1}), "
+                f"j -> (v.v[j] - c.cv[j]) * (v.v[j] - c.cv[j])))")
+    sub_d = (f"list_sum(list_transform(range(1, {subdim + 1}), "
+             f"j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))")
+    return f"""
+WITH {_kmeans_ctes()},
+{_pq_ctes()},
+coarse AS (SELECT vec_id, cid AS ccid FROM (
+             SELECT v.vec_id, c.cid, {coarse_d} AS d,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY {coarse_d}, c.cid) AS rn
+             FROM vecs v CROSS JOIN cents{it} c) WHERE rn = 1),
+qprobe AS (SELECT vec_id AS q_id, cid AS ccid FROM (
+             SELECT v.vec_id, c.cid,
+                    row_number() OVER (PARTITION BY v.vec_id
+                                       ORDER BY {coarse_d}, c.cid) AS rn
+             FROM (SELECT * FROM vecs WHERE vec_id < 20) v
+             CROSS JOIN cents{it} c) WHERE rn <= {nprobe}),
+cands AS (SELECT q_id, vec_id FROM qprobe JOIN coarse USING (ccid)),
+icodes AS (SELECT vec_id, s, cid FROM (
+             SELECT vec_id, s, cid,
+                    row_number() OVER (PARTITION BY vec_id, s
+                                       ORDER BY d, cid) AS rn
+             FROM (SELECT vec_id, s, cid, {sub_d} AS d
+                   FROM psub JOIN pcents{it} USING (s))) WHERE rn = 1),
+idt AS (SELECT q.vec_id AS q_id, q.s, c.cid,
+               list_sum(list_transform(range(1, {subdim + 1}),
+                 j -> (q.sv[j] - c.cv[j]) * (q.sv[j] - c.cv[j]))) AS d
+        FROM (SELECT * FROM psub WHERE vec_id < 20) q
+        JOIN pcents{it} c ON q.s = c.s),
+iadc AS (SELECT ca.q_id, ca.vec_id, CAST(sum(d) AS BIGINT) AS adc_d
+         FROM cands ca
+         JOIN icodes USING (vec_id)
+         JOIN idt ON idt.q_id = ca.q_id AND idt.s = icodes.s
+                     AND idt.cid = icodes.cid
+         GROUP BY ca.q_id, ca.vec_id),
+ishort AS (SELECT q_id, vec_id FROM (
+             SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY adc_d, vec_id) AS srk
+             FROM iadc) WHERE srk <= {short}),
+irr AS (SELECT sh.q_id, sh.vec_id,
+               CAST(list_sum(list_transform(range(1, {dim + 1}),
+                 j -> (v.v[j] - qv.v[j]) * (v.v[j] - qv.v[j])))
+                 AS BIGINT) AS exact_d
+        FROM (SELECT * FROM ishort WHERE vec_id != q_id) sh
+        JOIN pvecs v ON sh.vec_id = v.vec_id
+        JOIN pvecs qv ON sh.q_id = qv.vec_id)
+SELECT q_id, vec_id, exact_d, CAST(rk AS INTEGER) AS rk FROM (
+  SELECT q_id, vec_id, exact_d,
+         row_number() OVER (PARTITION BY q_id
+                            ORDER BY exact_d, vec_id) AS rk
+  FROM irr) WHERE rk <= {k}
+"""
+
+
+@register("pq_ivfadc_topk", _pq_ivfadc_oracle_sql())
+def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC — the billion-scale production ANN composition (FAISS
+    IndexIVFPQ shape): the learned coarse quantizer (the catalog's
+    quantized-Lloyd k-means, k=8) prunes WHICH vectors are scored
+    (each query probes its 6 nearest cells), and the product quantizer
+    scores ONLY those candidates in the compressed domain, shortlist
+    50, exact re-rank.  Raw-vector codes rather than residual codes —
+    the documented simplification that keeps every stage exactly
+    SQL-replayable; the oracle composes the k-means CTE chain, the
+    grouped-Lloyd PQ chain, probe/assign, ADC, and both rank stages
+    bit-for-bit.
+
+    Scale: this entry is WHY the catalog has both halves.  Flat ADC
+    scans every code (32x lighter than floats but still O(corpus));
+    the coarse probe makes the scored set cells-proportional
+    (nprobe/k_coarse of the corpus on average), and both index
+    artifacts — centroids AND codes — persist ahead of time in the
+    serve deployment (`sim_ivf_fit_centroids`, `pq_adc_pretrained`
+    demonstrate the split halves).  Recall@5 vs exact is pinned in
+    tests/test_similarity.py with the probe-coverage rationale."""
+    e = _emb(spark, sf_dir)
+    sub = pqm.subvectors(e)
+    cents = pqm.pq_fit(sub)
+    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    ccr = (coarse.groupBy("cid")
+           .agg(F.transform(F.array_sort(F.collect_list(
+               F.struct("pos", "val"))), lambda t: t["val"]).alias("cv"))
+           .select(F.lit(0).alias("s"), "cid", "cv"))
+    queries = e.where(F.col("vec_id") < 20)
+    return pqm.pq_ivfadc_topk(e, sub, cents, ccr, queries, k=5, nprobe=6)
+
+
 # ---------------------------------------------------------------------------
 # Round 6: bucketed tables — the shuffle-free co-located join
 # ---------------------------------------------------------------------------

@@ -88,6 +88,8 @@ CEILINGS = {
     "graph_triangle_stats": 20.0,
     "streaming_lm_score_serve": 15.0,
     "bucketed_join_zero_shuffle": 6.0,
+    # IVFADC composition: coarse k-means + PQ chains fused in-plan
+    "pq_ivfadc_topk": 30.0,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -169,3 +169,25 @@ def test_pq_adc_rerank_recall(spark, emb, brute):
     hits = sum(len(got.get(qid, set()) & want[qid]) for qid in want)
     recall = hits / (len(want) * 5)
     assert recall >= 0.9, f"PQ ADC+R recall {recall:.2f} below floor 0.9"
+
+
+def test_pq_ivfadc_recall(spark, emb, brute):
+    """IVFADC (nprobe 6 of 8 + ADC shortlist 50 + exact re-rank) must
+    hold recall@5 >= 0.8 vs exact brute force — measured 0.91 at
+    sf0.01 / 0.83 at nprobe 4 when pinned (round 6).  On these
+    structureless near-uniform vectors a query's true neighbors spread
+    across coarse cells (the same effect that pushed the plain-IVF
+    tier to nprobe 7/8), so the composition keeps nprobe at 6 — still
+    skipping a quarter of the corpus — as the documented probe/recall
+    trade; clustered production embeddings probe far fewer cells for
+    the same recall."""
+    from datafusion_monoid_spark import queries as qcat
+
+    got = {}
+    fn, _ = qcat.catalog()["pq_ivfadc_topk"]
+    for r in fn(spark, SF).collect():
+        got.setdefault(r.q_id, set()).add(r.vec_id)
+    want = _as_sets(brute)
+    hits = sum(len(got.get(qid, set()) & want[qid]) for qid in want)
+    recall = hits / (len(want) * 5)
+    assert recall >= 0.8, f"IVFADC recall {recall:.2f} below floor 0.8"
