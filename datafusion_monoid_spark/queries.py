@@ -6730,6 +6730,7 @@ _DRIVER_WINDOW_R5 = [
 _DRIVER_WINDOW_R6 = [
     "dedup_substring_spans", "lm_bigram_score", "bloom_join_prefilter",
     "pq_fit_codebooks", "pq_adc_topk", "pq_adc_pretrained",
+    "pq_ivfadc_topk", "bucketed_join_zero_shuffle",
     "graph_triangle_stats", "streaming_lm_score_serve",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
@@ -6745,8 +6746,9 @@ _DRIVER_WINDOW_R6 = [
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_part_counts", "q20_excess_supply", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity", "streaming_cms_cells",
-    "streaming_dedup_redelivery",
+    "q22_global_sales_opportunity",
+    # (streaming_cms_cells / streaming_dedup_redelivery dropped to fit
+    # the 2 late sentinels; they stay r3-current and rotate next round)
 ]
 
 
