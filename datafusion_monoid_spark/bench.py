@@ -72,7 +72,9 @@ ONLY = {n for n in os.environ.get("SPARK_GRAFT_BENCH_ONLY", "").split(",")
 #: approximate top-k queries measured against this exact baseline
 _ANN_BASELINE = "sim_topk_bruteforce"
 _ANN_QUERIES = ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_kmeans",
-                "sim_topk_ivf_pretrained")
+                "sim_topk_ivf_pretrained",
+                # PQ tier (round 6): q_id/vec_id column names
+                "pq_adc_topk", "pq_adc_pretrained", "pq_ivfadc_topk")
 
 
 def _force(df) -> None:
@@ -80,10 +82,13 @@ def _force(df) -> None:
 
 
 def _topk_sets(df) -> dict:
-    """query_id -> set of returned cand_ids."""
+    """query_id -> set of returned cand_ids (PQ tier: q_id/vec_id)."""
+    cols = set(df.columns)
+    qc, cc = (("q_id", "vec_id") if "q_id" in cols
+              else ("query_id", "cand_id"))
     out: dict = {}
-    for row in df.select("query_id", "cand_id").collect():
-        out.setdefault(row["query_id"], set()).add(row["cand_id"])
+    for row in df.select(qc, cc).collect():
+        out.setdefault(row[qc], set()).add(row[cc])
     return out
 
 
