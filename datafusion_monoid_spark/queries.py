@@ -6605,6 +6605,114 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Round 6: dominant principal direction via exact-integer power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_DIM = 64
+_PCA_ITERS = 3
+
+
+def _pca_trunc_div_sql(a: str, b: str) -> str:
+    """Truncated integer division identical in Spark and DuckDB:
+    both engines' ``%`` truncates toward zero, so ``(a - a % b) / b``
+    is exact truncation in either (negative-safe — plain ``//``
+    FLOORS in DuckDB, which differs on negatives)."""
+    return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
+
+
+def _pca_oracle_sql() -> str:
+    dim, iters = _PCA_DIM, _PCA_ITERS
+    parts = [f"""
+WITH v AS (SELECT vec_id,
+                  list_transform(embedding::DOUBLE[],
+                    x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+el AS (SELECT vec_id, unnest(v) AS x,
+              unnest(range(0, len(v))) AS i FROM v),
+graw AS (SELECT a.i AS i, b.i AS j,
+                CAST(sum(a.x * b.x) AS BIGINT) AS gs
+         FROM el a JOIN el b USING (vec_id) GROUP BY a.i, b.i),
+g AS (SELECT i, j, {_pca_trunc_div_sql('gs', '1000')} AS gv FROM graw),
+b0 AS (SELECT i, CAST(1000000 AS BIGINT) AS bv
+       FROM (SELECT unnest(range(0, {dim})) AS i) t)"""]
+    for t in range(iters):
+        parts.append(f""",
+m{t} AS (SELECT g.i, CAST(sum(gv * bv) AS BIGINT) AS mv
+         FROM g JOIN b{t} ON g.j = b{t}.i GROUP BY g.i),
+n{t} AS (SELECT max(abs(mv)) AS mx FROM m{t}),
+b{t + 1} AS (SELECT i, {_pca_trunc_div_sql('mv * 1000000',
+                                           '(SELECT mx FROM n' + str(t) + ')')}
+                      AS bv
+             FROM m{t})""")
+    parts.append(f"""
+SELECT CAST(i AS INTEGER) AS pos, bv AS comp_micro FROM b{iters}""")
+    return "".join(parts)
+
+
+@register("embedding_pca_power", _pca_oracle_sql())
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus — the
+    spectral health check behind PCA whitening, anisotropy diagnosis
+    ("is one direction eating the cosine?"), and dimensionality
+    decisions — as a distributed computation with the aggregation
+    doing ALL the corpus-sized work:
+
+    * the 64 x 64 second-moment (Gram) matrix is ONE partial-agg pass:
+      per row, the 4096 coordinate products posexplode out and
+      map-side-combine; the shuffle carries dim^2 groups regardless of
+      corpus size — the monoid two-phase shape on an outer product;
+    * power iteration then runs on dim-bounded relations (64 rows),
+      every multiply a broadcast-scale join; 3 fixed rounds from the
+      all-ones seed, renormalized each round to max |component| = 1e6.
+
+    Exact integers throughout: milli-unit vectors keep
+    ``sum(x_i * x_j)`` and the 64-term matrix-vector products inside
+    BIGINT at any corpus size that fits a count (bounds documented
+    inline), and the renormalizing division uses the engine-portable
+    TRUNCATED form ``(a - a % b) / b`` — plain ``//`` floors in DuckDB
+    but truncates in Spark, which would diverge on negative
+    components.  The oracle replays the Gram build and all three
+    iterations bit-for-bit."""
+    e = _emb(spark, sf_dir)
+    v = e.select(
+        "vec_id",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000).cast("bigint")).alias("v"))
+    el = v.select("vec_id", F.posexplode("v").alias("i", "x"))
+
+    def trunc_div(a, d):
+        return ((a - a % d) / d).cast("bigint")
+
+    # Gram reduced to kilo-units: keeps the 64-term matrix-vector
+    # products inside BIGINT up to ~1e9 vectors (gv <= N*4e3; mv <=
+    # 64*gv*1e6); raise the reduction for a larger corpus
+    g = (el.alias("a").join(el.alias("b"), "vec_id")
+         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+         .agg(F.sum(F.col("a.x") * F.col("b.x")).cast("bigint")
+              .alias("gs"))
+         .select("i", "j", trunc_div(F.col("gs"), F.lit(1000))
+                 .alias("gv")))
+    # dim^2 = 4096 rows: everything below is broadcast-sized
+    g = _track_ckpt(g.localCheckpoint(eager=True))
+    b = spark.range(_PCA_DIM).select(
+        F.col("id").cast("int").alias("i"),
+        F.lit(1_000_000).cast("bigint").alias("bv"))
+
+    for _ in range(_PCA_ITERS):
+        m = (g.join(F.broadcast(b.select(F.col("i").alias("j"),
+                                         "bv")), "j")
+             .groupBy("i")
+             .agg(F.sum(F.col("gv") * F.col("bv")).cast("bigint")
+                  .alias("mv")))
+        mx = m.agg(F.max(F.abs(F.col("mv"))).alias("mx"))
+        b = (m.crossJoin(F.broadcast(mx))
+             .select("i", trunc_div(F.col("mv") * 1_000_000,
+                                    F.col("mx")).alias("bv")))
+    return b.select(F.col("i").cast("int").alias("pos"),
+                    F.col("bv").alias("comp_micro"))
+
+
+# ---------------------------------------------------------------------------
 # Round 6: bucketed tables — the shuffle-free co-located join
 # ---------------------------------------------------------------------------
 
@@ -6732,6 +6840,7 @@ _DRIVER_WINDOW_R6 = [
     "pq_fit_codebooks", "pq_adc_topk", "pq_adc_pretrained",
     "pq_ivfadc_topk", "bucketed_join_zero_shuffle",
     "graph_triangle_stats", "streaming_lm_score_serve",
+    "embedding_pca_power",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -6746,9 +6855,9 @@ _DRIVER_WINDOW_R6 = [
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
     "q16_supplier_part_counts", "q20_excess_supply", "q21_waiting_suppliers",
-    "q22_global_sales_opportunity",
-    # (streaming_cms_cells / streaming_dedup_redelivery dropped to fit
-    # the 2 late sentinels; they stay r3-current and rotate next round)
+    # (streaming_cms_cells / streaming_dedup_redelivery /
+    # q22_global_sales_opportunity dropped to fit the 3 late sentinels;
+    # they stay r3-current and rotate next round)
 ]
 
 

@@ -90,6 +90,8 @@ CEILINGS = {
     "bucketed_join_zero_shuffle": 6.0,
     # IVFADC composition: coarse k-means + PQ chains fused in-plan
     "pq_ivfadc_topk": 30.0,
+    # Gram build is the only corpus-sized stage; 4096-group partial agg
+    "embedding_pca_power": 8.0,
 }
 
 pytestmark = pytest.mark.skipif(
