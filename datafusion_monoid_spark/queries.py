@@ -6604,6 +6604,102 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pqm.pq_ivfadc_topk(e, sub, cents, ccr, queries, k=5, nprobe=6)
 
 
+def _dsir_oracle_sql() -> str:
+    return f"""
+WITH t AS (SELECT doc_id, source, lang, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, source, lang,
+             unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                    i -> toks[i + 1])) AS w1,
+             unnest(list_transform(range(0, greatest(len(toks) - 1, 0)),
+                    i -> toks[i + 1] || ' ' || toks[i + 2])) AS bg
+      FROM t),
+cbg AS (SELECT bg, count(*) AS c_bg FROM b GROUP BY bg),
+cctx AS (SELECT w1, count(*) AS c_ctx FROM b GROUP BY w1),
+tbg AS (SELECT bg, count(*) AS t_bg FROM b WHERE lang = 'en' GROUP BY bg),
+tctx AS (SELECT w1, count(*) AS t_ctx FROM b WHERE lang = 'en'
+         GROUP BY w1),
+p AS (SELECT doc_id, source,
+             (c_bg * 1000000) // c_ctx AS p_c,
+             CASE WHEN t_ctx IS NULL OR t_bg IS NULL THEN 0
+                  ELSE (t_bg * 1000000) // t_ctx END AS p_t
+      FROM b JOIN cbg USING (bg) JOIN cctx USING (w1)
+             LEFT JOIN tbg USING (bg) LEFT JOIN tctx USING (w1)),
+d AS (SELECT doc_id, source,
+             CAST(sum(p_t) // count(*) AS BIGINT)
+               - CAST(sum(p_c) // count(*) AS BIGINT) AS w_micro
+      FROM p GROUP BY doc_id, source)
+SELECT source, count(*) AS n_docs,
+       CAST((sum(w_micro) - sum(w_micro) % count(*)) / count(*)
+            AS BIGINT) AS avg_weight_micro,
+       CAST(sum(CASE WHEN w_micro >= 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_selected
+FROM d GROUP BY source
+"""
+
+
+@register("curation_dsir_weights", _dsir_oracle_sql())
+def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-shaped importance weighting (Xie et al. 2023, "Data
+    Selection for Language Models via Importance Resampling"): score
+    every document under a TARGET-distribution n-gram LM (here the
+    English-labeled slice — the 'domain we want more of') and under
+    the full-corpus LM; the importance weight is the difference of
+    mean bigram probabilities in exact micro-units (the raw-probability
+    proxy for DSIR's log-ratio — same selection direction, no libm in
+    the gate), and documents with non-negative weight are the
+    importance-selected set.  Bigrams unseen in the target model score
+    zero (no smoothing — deterministic, and exactly what pushes
+    out-of-domain text below the threshold).
+
+    Scale: all four count relations are MODEL-sized (vocab-bounded
+    broadcast sides); the corpus relation through the shuffles is the
+    narrow (doc_id, w1, bg) occurrence table, built ONCE and reused by
+    both models — the target model is a filtered partial-agg over the
+    same pass, not a second tokenization."""
+    docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "text")
+    toks = dd.tokens("text")
+    pairs = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.struct(
+                F.element_at(toks, i + 1).alias("w1"),
+                F.concat_ws(" ", F.element_at(toks, i + 1),
+                            F.element_at(toks, i + 2)).alias("bg"))),
+    ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
+    b = (docs.select("doc_id", "source", "lang",
+                     F.explode(pairs).alias("p"))
+         .select("doc_id", "source", "lang",
+                 F.col("p.w1").alias("w1"), F.col("p.bg").alias("bg")))
+    b = _track_ckpt(b.localCheckpoint(eager=True))  # one pass, 4 models
+    cbg = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    cctx = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    tb = b.where(F.col("lang") == "en")
+    tbg = tb.groupBy("bg").agg(F.count(F.lit(1)).alias("t_bg"))
+    tctx = tb.groupBy("w1").agg(F.count(F.lit(1)).alias("t_ctx"))
+    p = (b.join(F.broadcast(cbg), "bg").join(F.broadcast(cctx), "w1")
+         .join(F.broadcast(tbg), "bg", "left")
+         .join(F.broadcast(tctx), "w1", "left")
+         .select("doc_id", "source",
+                 cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                 .alias("p_c"),
+                 F.when(F.col("t_ctx").isNull() | F.col("t_bg").isNull(),
+                        F.lit(0).cast("bigint"))
+                 .otherwise(cu.micro_ratio(F.col("t_bg"),
+                                           F.col("t_ctx")))
+                 .alias("p_t")))
+    d = (p.groupBy("doc_id", "source")
+         .agg((_idiv(F.sum("p_t"), F.count(F.lit(1)))
+               - _idiv(F.sum("p_c"), F.count(F.lit(1))))
+              .alias("w_micro")))
+    return (d.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 _idiv(F.sum("w_micro"), F.count(F.lit(1)))
+                 .alias("avg_weight_micro"),
+                 F.sum((F.col("w_micro") >= 0).cast("int")).cast("bigint")
+                 .alias("n_selected")))
+
+
 # ---------------------------------------------------------------------------
 # Round 6: dominant principal direction via exact-integer power iteration
 # ---------------------------------------------------------------------------
@@ -6840,7 +6936,7 @@ _DRIVER_WINDOW_R6 = [
     "pq_fit_codebooks", "pq_adc_topk", "pq_adc_pretrained",
     "pq_ivfadc_topk", "bucketed_join_zero_shuffle",
     "graph_triangle_stats", "streaming_lm_score_serve",
-    "embedding_pca_power",
+    "embedding_pca_power", "curation_dsir_weights",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -6854,7 +6950,7 @@ _DRIVER_WINDOW_R6 = [
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q20_excess_supply", "q21_waiting_suppliers",
+    "q16_supplier_part_counts", "q20_excess_supply",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity dropped to fit the 3 late sentinels;
     # they stay r3-current and rotate next round)

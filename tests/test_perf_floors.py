@@ -92,6 +92,7 @@ CEILINGS = {
     "pq_ivfadc_topk": 30.0,
     # Gram build is the only corpus-sized stage; 4096-group partial agg
     "embedding_pca_power": 8.0,
+    "curation_dsir_weights": 8.0,
 }
 
 pytestmark = pytest.mark.skipif(
