@@ -406,7 +406,10 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .option("maxFilesPerTrigger", "1").parquet(stage))
 
         def score_batch(batch_df: DataFrame, batch_id: int) -> None:
-            b = _qcat._lm_doc_bigrams(batch_df)
+            # a file-source micro-batch is ONE split (the r3
+            # streaming_decontam finding): repartition before the
+            # tokenize-heavy explode or it runs one-core
+            b = _qcat._lm_doc_bigrams(batch_df.repartition(STREAM_SHUFFLE))
             (_qcat._lm_score_docs(b, bgc, ctx)
              .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
 
