@@ -95,6 +95,55 @@ def brute_force_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
     return _ranked_topk(local.where(F.col("query_id") != F.col("cand_id")), k)
 
 
+def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                       margin: float = 0.95, id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       label_col: str = "label") -> DataFrame:
+    """Hard-negative mining for contrastive retrieval training: for
+    each labeled anchor, the top-k most-similar vectors with a
+    DIFFERENT label, after dropping candidates whose similarity
+    exceeds ``margin`` x the anchor's best SAME-label similarity (the
+    standard denoising guard — a "negative" nearly as close as the
+    positive is more likely a mislabeled positive than a useful
+    training signal, so it is excluded rather than promoted).
+
+    Scale shape: the anchor set is small by contract (it becomes a
+    broadcast on every executor — the same contract as
+    :func:`brute_force_topk`); the corpus is scanned twice, never
+    shuffled and never materialized as pairs — pass 1 reduces the
+    same-label pairs to one ``pos_sim`` row per anchor (partial-agg
+    max, broadcast back), pass 2 streams the cross-label pairs through
+    the margin filter into the per-anchor top-k window.  Recomputing
+    the scan beats checkpointing the |corpus| x |anchors| pair
+    relation, which is 20x the corpus here.  Anchors with no same-label
+    candidate have no defined margin and are dropped by the join (the
+    mining contract: you mine negatives for anchors that HAVE a
+    positive)."""
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(label_col).alias("neg_label"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("qlab"),
+        F.col(vec_col).cast("array<double>").alias("qvec")))
+    pairs = (c.crossJoin(q)
+             .where(F.col("query_id") != F.col("cand_id"))
+             .select("query_id", "qlab", "cand_id", "neg_label",
+                     cosine_similarity(F.col("qvec"),
+                                       F.col("cvec")).alias("sim")))
+    pos = (pairs.where(F.col("qlab") == F.col("neg_label"))
+           .groupBy("query_id").agg(F.max("sim").alias("pos_sim")))
+    neg = (pairs.where(F.col("qlab") != F.col("neg_label"))
+           .join(F.broadcast(pos), "query_id")
+           .where(F.col("sim") < F.lit(margin) * F.col("pos_sim")))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("cand_id"))
+    return (neg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "neg_label",
+                    F.round("sim", 3).alias("sim")))
+
+
 # ---------------------------------------------------------------------------
 # Random-hyperplane LSH
 # ---------------------------------------------------------------------------

@@ -6884,6 +6884,54 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str
                  .alias("price_cents")))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: hard-negative mining for contrastive retrieval training
+# ---------------------------------------------------------------------------
+
+
+@register("hardneg_mining_topk", """
+WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
+      FROM e WHERE vec_id < 20),
+p AS (SELECT query_id, qlab, vec_id AS cand_id, label AS neg_label,
+             list_inner_product(qv, v)
+             / (sqrt(list_inner_product(qv, qv))
+                * sqrt(list_inner_product(v, v))) AS sim
+      FROM q JOIN e ON query_id != vec_id),
+pos AS (SELECT query_id, max(sim) AS pos_sim
+        FROM p WHERE qlab = neg_label GROUP BY query_id),
+neg AS (SELECT p.query_id, cand_id, neg_label, sim
+        FROM p JOIN pos USING (query_id)
+        WHERE qlab != neg_label AND sim < 0.95::DOUBLE * pos_sim),
+r AS (SELECT query_id, cand_id, neg_label, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, cand_id) AS rk
+      FROM neg)
+SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, neg_label,
+       round(sim, 3) AS sim
+FROM r WHERE rk <= 5
+""")
+def hardneg_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining — the training-batch construction step for
+    contrastive retrieval models (DPR / SimCSE shape): for each of the
+    20 labeled anchors, the 5 most-similar DIFFERENT-label vectors,
+    with the standard denoising margin — candidates scoring >= 95% of
+    the anchor's best same-label similarity are excluded as probable
+    false negatives rather than served as training signal.  On this
+    corpus the margin is live, not decorative: it drops ~2% of the
+    cross-label candidates (192 of 9019 pairs at sf0.01).
+
+    Scale: anchors broadcast; the corpus is scanned twice (a pos_sim
+    reduction and the filtered ranking pass) and never shuffled — see
+    ``similarity.hard_negative_topk``.  Thresholding on raw-double
+    sims follows the established `dedup_embedding_neardup` pattern:
+    both engines evaluate the identical left-to-right dot-product,
+    so the comparison is replay-stable."""
+    e = _emb(spark, sf_dir)
+    return sim.hard_negative_topk(e, e.where(F.col("vec_id") < 20), k=5,
+                                  margin=0.95)
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -6940,6 +6988,7 @@ _DRIVER_WINDOW_R6 = [
     "pq_ivfadc_topk", "bucketed_join_zero_shuffle",
     "graph_triangle_stats", "streaming_lm_score_serve",
     "embedding_pca_power", "curation_dsir_weights",
+    "hardneg_mining_topk",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -6953,10 +7002,10 @@ _DRIVER_WINDOW_R6 = [
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts", "q20_excess_supply",
+    "q16_supplier_part_counts",
     # (streaming_cms_cells / streaming_dedup_redelivery /
-    # q22_global_sales_opportunity dropped to fit the 3 late sentinels;
-    # they stay r3-current and rotate next round)
+    # q22_global_sales_opportunity / q20_excess_supply dropped to fit
+    # the 4 late sentinels; they stay r3-current and rotate next round)
 ]
 
 
