@@ -307,3 +307,72 @@ def hist_quantiles_grouped(hist: DataFrame, q_micros: list[int], lo: float,
                     F.round(F.lit(lo) + (F.col("bin") + 1)
                             * F.lit((hi - lo)) / F.lit(bins), 2)
                      .alias("upper_edge")))
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch
+# ---------------------------------------------------------------------------
+
+#: Hash universe for KMV: md5-derived values folded into 2^40.  Wide
+#: enough that collisions are negligible below ~10^9 distinct elements
+#: (birthday bound), narrow enough that every estimator product
+#: ((k-1) * SPACE, overlap * estimate) stays well inside BIGINT and the
+#: engine-portable truncated division stays exact (< 2^53).
+KMV_SPACE = 1 << 40
+
+
+def _trunc_div(a: Column, b: Column) -> Column:
+    """Engine-portable truncated integer division (non-negative here)."""
+    return ((a - a % b) / b).cast("bigint")
+
+
+def _k_smallest_distinct(col: str, k: int) -> Column:
+    """Aggregate expression: the k smallest DISTINCT values of ``col``.
+
+    ``collect_list`` accumulates the group locally before the
+    sort/dedup/slice projection — bounded by that group's row count,
+    which is why :func:`kmv_sketch` only ever applies it to
+    per-input-partition groups (local pass) or to <= partitions x k
+    pre-reduced rows (merge pass), never to a raw corpus-sized group."""
+    return F.slice(F.array_distinct(F.array_sort(F.collect_list(col))), 1, k)
+
+
+def kmv_sketch(df: DataFrame, group_col: str, elem_col: str,
+               k: int = 128) -> DataFrame:
+    """Per-group KMV sketch: the k smallest distinct 40-bit hashes of
+    ``elem_col`` — (group, sketch ARRAY<BIGINT>).
+
+    The sketch is a mergeable monoid (identity = empty array, combine =
+    k-smallest-distinct of the union — associative, commutative,
+    idempotent), so the build is the engine's partial/final shape with
+    NO exact-distinct shuffle anywhere: duplicates hash identically and
+    die in the local dedup, so pass 1 reduces each (group, input
+    partition) to <= k values map-side, and pass 2 merges <= partitions
+    x k values per group.  The relation through the shuffle is
+    k-bounded per group regardless of corpus size."""
+    el = df.select(F.col(group_col).alias("__g"),
+                   (md5_long(elem_col) % F.lit(KMV_SPACE)).alias("__h"))
+    local = (el.groupBy("__g", F.spark_partition_id().alias("__pid"))
+             .agg(_k_smallest_distinct("__h", k).alias("__hs")))
+    return (local.select("__g", F.explode("__hs").alias("__h"))
+            .groupBy("__g")
+            .agg(_k_smallest_distinct("__h", k).alias("sketch"))
+            .select(F.col("__g").alias(group_col), "sketch"))
+
+
+def kmv_merge(a: Column, b: Column, k: int = 128) -> Column:
+    """Union of two KMV sketches: k smallest distinct of the merged
+    arrays — the monoid combine, usable as an expression."""
+    return F.slice(F.array_sort(F.array_distinct(F.concat(a, b))), 1, k)
+
+
+def kmv_estimate(sketch: Column, k: int = 128) -> Column:
+    """Distinct-count estimate from a KMV sketch: exact when the
+    sketch is unsaturated (n < k), else the classic (k-1) * SPACE /
+    h_k (Bar-Yossef et al. 2002) in exact truncated-integer form.
+    h_k >= k - 1 whenever the sketch is saturated (k distinct values),
+    so the division is never by zero."""
+    n = F.size(sketch)
+    hk = F.element_at(sketch, -1)
+    return (F.when(n < k, n.cast("bigint"))
+            .otherwise(_trunc_div(F.lit((k - 1) * KMV_SPACE), hk)))

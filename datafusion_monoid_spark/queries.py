@@ -6932,6 +6932,106 @@ def hardneg_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   margin=0.95)
 
 
+# ---------------------------------------------------------------------------
+# Round 6: KMV distinct sketch — mergeable set-cardinality + overlap
+# ---------------------------------------------------------------------------
+
+_KMV_K = 128
+_KMV_KS = (_KMV_K - 1) * (1 << 40)  # (k-1) * SPACE, the estimator numerator
+
+
+def _kmv_oracle_sql() -> str:
+    k, ks = _KMV_K, _KMV_KS
+    td = _pca_trunc_div_sql
+    return f"""
+WITH s AS (SELECT source, unnest({dd.shingles_sql('text')}) AS sh
+           FROM documents),
+h AS (SELECT DISTINCT source,
+             {dd.md5_long_sql('sh')} % {1 << 40} AS h FROM s),
+r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                                           ORDER BY h) AS rk FROM h),
+skt AS (SELECT source, h FROM r WHERE rk <= {k}),
+agg AS (SELECT source, count(*) AS n_k, max(h) AS h_k
+        FROM skt GROUP BY source),
+est AS (SELECT source, CASE WHEN n_k < {k} THEN n_k
+                            ELSE {td(str(ks), 'h_k')} END AS est_d
+        FROM agg),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM agg a JOIN agg b ON a.source < b.source),
+m AS (SELECT DISTINCT sa, sb, h
+      FROM pairs p JOIN skt ON skt.source = p.sa OR skt.source = p.sb),
+mr AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb
+                                            ORDER BY h) AS rk FROM m),
+msk AS (SELECT sa, sb, h FROM mr WHERE rk <= {k}),
+magg AS (SELECT sa, sb, count(*) AS ku, max(h) AS h_ku
+         FROM msk GROUP BY sa, sb),
+ov AS (SELECT msk.sa, msk.sb, count(*) AS ov_k
+       FROM msk JOIN skt pa ON pa.source = msk.sa AND pa.h = msk.h
+                JOIN skt pb ON pb.source = msk.sb AND pb.h = msk.h
+       GROUP BY msk.sa, msk.sb),
+j AS (SELECT magg.sa, magg.sb, ku, h_ku, coalesce(ov_k, 0) AS ov_k,
+             CASE WHEN ku < {k} THEN ku
+                  ELSE {td(str(ks), 'h_ku')} END AS est_u
+      FROM magg LEFT JOIN ov ON magg.sa = ov.sa AND magg.sb = ov.sb)
+SELECT j.sa AS source_a, j.sb AS source_b,
+       ea.est_d AS est_distinct_a, eb.est_d AS est_distinct_b,
+       est_u AS est_union, CAST(ov_k AS BIGINT) AS overlap_k,
+       {td('ov_k * 1000000', 'ku')} AS jaccard_micro,
+       {td('ov_k * est_u', 'ku')} AS est_intersect
+FROM j JOIN est ea ON ea.source = j.sa
+       JOIN est eb ON eb.source = j.sb
+"""
+
+
+@register("kmv_source_overlap", _kmv_oracle_sql())
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise set-overlap report across sources from KMV
+    (k-minimum-values) distinct sketches over 3-gram shingles: per
+    source pair, the estimated distinct-shingle counts, union estimate
+    from the MERGED sketch (the monoid combine — k smallest distinct of
+    both), the sketch-overlap count, the Jaccard estimate
+    |K(A∪B) ∩ K(A) ∩ K(B)| / |K(A∪B)| in exact micro-units, and the
+    intersection estimate jaccard x union — the standard KMV set
+    algebra (Beyer et al. 2007).
+
+    Scale: the ONLY corpus-sized work is the sketch build, which is
+    partial/final with no exact-distinct shuffle (duplicates die in the
+    map-side dedup; <= k values per group cross the wire — see
+    ``sketch.kmv_sketch``).  Everything pairwise runs on the 20-row
+    sketch relation: the < self-join is a broadcast nested loop over
+    kilobytes, and checkpointing the sketches means the corpus is
+    scanned ONCE, not once per join side.  At 100 TB this is the
+    "which crawl snapshots overlap and by how much" report priced at
+    one aggregation pass."""
+    docs = _docs(spark, sf_dir)
+    el = docs.select("source",
+                     F.explode(dd.word_shingles("text")).alias("sh"))
+    skd = sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
+    skd = _track_ckpt(skd.localCheckpoint(eager=True))  # ~20 rows
+    a = skd.select(F.col("source").alias("source_a"),
+                   F.col("sketch").alias("sk_a"))
+    b = skd.select(F.col("source").alias("source_b"),
+                   F.col("sketch").alias("sk_b"))
+    p = (a.join(b, F.col("source_a") < F.col("source_b"))
+         .withColumn("u", sk.kmv_merge(F.col("sk_a"), F.col("sk_b"),
+                                       k=_KMV_K))
+         .withColumn("ku", F.size("u").cast("bigint"))
+         .withColumn("ov_k",
+                     F.size(F.array_intersect(
+                         F.array_intersect(F.col("u"), F.col("sk_a")),
+                         F.col("sk_b"))).cast("bigint"))
+         .withColumn("est_union", sk.kmv_estimate(F.col("u"), k=_KMV_K)))
+    return p.select(
+        "source_a", "source_b",
+        sk.kmv_estimate(F.col("sk_a"), k=_KMV_K).alias("est_distinct_a"),
+        sk.kmv_estimate(F.col("sk_b"), k=_KMV_K).alias("est_distinct_b"),
+        "est_union", F.col("ov_k").alias("overlap_k"),
+        sk._trunc_div(F.col("ov_k") * 1_000_000,
+                      F.col("ku")).alias("jaccard_micro"),
+        sk._trunc_div(F.col("ov_k") * F.col("est_union"),
+                      F.col("ku")).alias("est_intersect"))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -6988,7 +7088,7 @@ _DRIVER_WINDOW_R6 = [
     "pq_ivfadc_topk", "bucketed_join_zero_shuffle",
     "graph_triangle_stats", "streaming_lm_score_serve",
     "embedding_pca_power", "curation_dsir_weights",
-    "hardneg_mining_topk",
+    "hardneg_mining_topk", "kmv_source_overlap",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7002,10 +7102,10 @@ _DRIVER_WINDOW_R6 = [
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
     "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
-    "q16_supplier_part_counts",
     # (streaming_cms_cells / streaming_dedup_redelivery /
-    # q22_global_sales_opportunity / q20_excess_supply dropped to fit
-    # the 4 late sentinels; they stay r3-current and rotate next round)
+    # q22_global_sales_opportunity / q20_excess_supply /
+    # q16_supplier_part_counts dropped to fit the 5 late sentinels;
+    # they stay r3-current and rotate next round)
 ]
 
 

@@ -206,3 +206,62 @@ def test_grouped_hist_quantiles_match_per_group_exact(spark):
         vals.sort()
         rank = max(len(vals) * 500000 // 1000000, 1)
         assert got[(g, 500000)] == vals[rank - 1], g
+
+
+# ---------------------------------------------------------------------------
+# KMV
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def shingles_df(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    from datafusion_monoid_spark.operators.dedup import word_shingles
+    return docs.select("source",
+                       F.explode(word_shingles("text")).alias("sh"))
+
+
+def test_kmv_estimate_within_theoretical_error(spark, shingles_df):
+    """Saturated sketches estimate within ~3/sqrt(k) of the exact
+    distinct count (the KMV standard error is 1/sqrt(k-2); 3 sigma)."""
+    k = 128
+    skd = sk.kmv_sketch(shingles_df, "source", "sh", k=k).collect()
+    exact = {r["source"]: r["n"] for r in
+             shingles_df.groupBy("source")
+             .agg(F.countDistinct("sh").alias("n")).collect()}
+    assert len(skd) == len(exact)
+    import math
+    tol = 3.0 / math.sqrt(k - 2)
+    saturated = 0
+    for r in skd:
+        n, est_row = exact[r["source"]], r["sketch"]
+        if len(est_row) < k:
+            assert len(est_row) == n  # unsaturated -> exact
+        else:
+            saturated += 1
+            est = (k - 1) * sk.KMV_SPACE // est_row[-1]
+            assert abs(est - n) <= tol * n, (r["source"], est, n)
+    assert saturated > 0  # the fixture must actually exercise the estimator
+
+
+def test_kmv_merge_is_the_sketch_of_the_union(spark, shingles_df):
+    """Monoid law: merging per-source sketches == sketching the union
+    (combine is associative/commutative/idempotent by construction)."""
+    k = 64
+    per = sk.kmv_sketch(shingles_df, "source", "sh", k=k)
+    merged = per.agg(F.aggregate(
+        F.collect_list("sketch"),
+        F.array().cast("array<bigint>"),
+        lambda acc, s: sk.kmv_merge(acc, s, k=k)).alias("m")).collect()[0]["m"]
+    whole = (sk.kmv_sketch(shingles_df.withColumn("g", F.lit(1)), "g", "sh",
+                           k=k).collect()[0]["sketch"])
+    assert merged == whole
+
+
+def test_kmv_duplicates_do_not_move_the_sketch(spark, shingles_df):
+    k = 64
+    once = sk.kmv_sketch(shingles_df, "source", "sh", k=k)
+    twice = sk.kmv_sketch(shingles_df.union(shingles_df), "source", "sh", k=k)
+    a = {r["source"]: r["sketch"] for r in once.collect()}
+    b = {r["source"]: r["sketch"] for r in twice.collect()}
+    assert a == b
