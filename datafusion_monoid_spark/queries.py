@@ -6719,9 +6719,27 @@ def _pca_trunc_div_sql(a: str, b: str) -> str:
     return f"CAST((({a}) - ({a}) % ({b})) / ({b}) AS BIGINT)"
 
 
+def _power_iter_sql_ctes(iters: int) -> str:
+    """CTE chain for ``iters`` power-iteration rounds over a Gram CTE
+    named ``g`` (i, j, gv) seeded from a CTE ``b0`` (i, bv); leaves the
+    result in ``b{iters}``.  Shared by the raw-moment and centered
+    (ABTT) principal-direction oracles."""
+    parts = []
+    for t in range(iters):
+        parts.append(f""",
+m{t} AS (SELECT g.i, CAST(sum(gv * bv) AS BIGINT) AS mv
+         FROM g JOIN b{t} ON g.j = b{t}.i GROUP BY g.i),
+n{t} AS (SELECT max(abs(mv)) AS mx FROM m{t}),
+b{t + 1} AS (SELECT i, {_pca_trunc_div_sql('mv * 1000000',
+                                           '(SELECT mx FROM n' + str(t) + ')')}
+                      AS bv
+             FROM m{t})""")
+    return "".join(parts)
+
+
 def _pca_oracle_sql() -> str:
     dim, iters = _PCA_DIM, _PCA_ITERS
-    parts = [f"""
+    return f"""
 WITH v AS (SELECT vec_id,
                   list_transform(embedding::DOUBLE[],
                     x -> CAST(round(x * 1000) AS BIGINT)) AS v
@@ -6733,19 +6751,9 @@ graw AS (SELECT a.i AS i, b.i AS j,
          FROM el a JOIN el b USING (vec_id) GROUP BY a.i, b.i),
 g AS (SELECT i, j, {_pca_trunc_div_sql('gs', '1000')} AS gv FROM graw),
 b0 AS (SELECT i, CAST(1000000 AS BIGINT) AS bv
-       FROM (SELECT unnest(range(0, {dim})) AS i) t)"""]
-    for t in range(iters):
-        parts.append(f""",
-m{t} AS (SELECT g.i, CAST(sum(gv * bv) AS BIGINT) AS mv
-         FROM g JOIN b{t} ON g.j = b{t}.i GROUP BY g.i),
-n{t} AS (SELECT max(abs(mv)) AS mx FROM m{t}),
-b{t + 1} AS (SELECT i, {_pca_trunc_div_sql('mv * 1000000',
-                                           '(SELECT mx FROM n' + str(t) + ')')}
-                      AS bv
-             FROM m{t})""")
-    parts.append(f"""
-SELECT CAST(i AS INTEGER) AS pos, bv AS comp_micro FROM b{iters}""")
-    return "".join(parts)
+       FROM (SELECT unnest(range(0, {dim})) AS i) t)\
+{_power_iter_sql_ctes(iters)}
+SELECT CAST(i AS INTEGER) AS pos, bv AS comp_micro FROM b{iters}"""
 
 
 @register("embedding_pca_power", _pca_oracle_sql())
@@ -6793,11 +6801,27 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("gv")))
     # dim^2 = 4096 rows: everything below is broadcast-sized
     g = _track_ckpt(g.localCheckpoint(eager=True))
+    b = _power_iteration(spark, g, _PCA_ITERS)
+    return b.select(F.col("i").cast("int").alias("pos"),
+                    F.col("bv").alias("comp_micro"))
+
+
+def _power_iteration(spark: SparkSession, g: DataFrame,
+                     iters: int) -> DataFrame:
+    """Power iteration over a dim-bounded Gram relation (i, j, gv):
+    ``iters`` rounds from the all-ones micro seed, renormalized each
+    round to max |component| = 1e6.  Every multiply is a broadcast-
+    scale join on <= dim^2 rows.  Returns (i, bv) in micro-units.
+    Shared by the raw-moment and centered (ABTT) entries — the Gram is
+    the only part that differs."""
+
+    def trunc_div(a, d):
+        return ((a - a % d) / d).cast("bigint")
+
     b = spark.range(_PCA_DIM).select(
         F.col("id").cast("int").alias("i"),
         F.lit(1_000_000).cast("bigint").alias("bv"))
-
-    for _ in range(_PCA_ITERS):
+    for _ in range(iters):
         m = (g.join(F.broadcast(b.select(F.col("i").alias("j"),
                                          "bv")), "j")
              .groupBy("i")
@@ -6807,8 +6831,7 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         b = (m.crossJoin(F.broadcast(mx))
              .select("i", trunc_div(F.col("mv") * 1_000_000,
                                     F.col("mx")).alias("bv")))
-    return b.select(F.col("i").cast("int").alias("pos"),
-                    F.col("bv").alias("comp_micro"))
+    return b
 
 
 # ---------------------------------------------------------------------------
@@ -7032,6 +7055,144 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("ku")).alias("est_intersect"))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: ABTT embedding post-processing (all-but-the-top)
+# ---------------------------------------------------------------------------
+
+
+def _abtt_oracle_sql() -> str:
+    dim, iters = _PCA_DIM, _PCA_ITERS
+    td = _pca_trunc_div_sql
+    return f"""
+WITH v AS (SELECT vec_id, label,
+                  list_transform(embedding::DOUBLE[],
+                    x -> CAST(round(x * 1000) AS BIGINT)) AS v
+           FROM embeddings),
+el AS (SELECT vec_id, label, unnest(v) AS x,
+              unnest(range(0, len(v))) AS i FROM v),
+st AS (SELECT i, CAST(sum(x) AS BIGINT) AS s, count(*) AS n
+       FROM el GROUP BY i),
+mu AS (SELECT i, {td('s', 'n')} AS m FROM st),
+ce AS (SELECT vec_id, label, el.i AS i, x - m AS c
+       FROM el JOIN mu USING (i)),
+graw AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.c * b.c) AS BIGINT) AS gs
+         FROM ce a JOIN ce b USING (vec_id) GROUP BY a.i, b.i),
+g AS (SELECT i, j, {td('gs', '1000')} AS gv FROM graw),
+b0 AS (SELECT i, CAST(1000000 AS BIGINT) AS bv
+       FROM (SELECT unnest(range(0, {dim})) AS i) t)\
+{_power_iter_sql_ctes(iters)},
+den AS (SELECT CAST(sum(bv * bv) AS BIGINT) AS d FROM b{iters}),
+pr AS (SELECT vec_id, CAST(sum(c * bv) AS BIGINT) AS num,
+              CAST(sum(c * c) AS BIGINT) AS sqb
+       FROM ce JOIN b{iters} bb ON ce.i = bb.i GROUP BY vec_id),
+cp AS (SELECT ce.vec_id AS vec_id, ce.label AS label,
+              c - {td(td('num', '1000') + ' * bv', td('d', '1000'))} AS c2,
+              num, sqb, d
+       FROM ce JOIN b{iters} bb ON ce.i = bb.i
+               JOIN pr ON ce.vec_id = pr.vec_id
+               CROSS JOIN den),
+rowr AS (SELECT vec_id, label, CAST(sum(c2 * c2) AS BIGINT) AS sqa,
+                max(sqb) AS sqb,
+                {td('max(num)', td('max(d)', '1000000'))} AS proj_micro
+         FROM cp GROUP BY vec_id, label)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       {td('sum(sqb)', 'count(*)')} AS avg_sq_before_milli2,
+       {td('sum(sqa)', 'count(*)')} AS avg_sq_after_milli2,
+       {td('sum(abs(proj_micro))', 'count(*)')} AS avg_abs_proj_micro
+FROM rowr GROUP BY label
+"""
+
+
+@register("embedding_abtt_whiten", _abtt_oracle_sql())
+def embedding_abtt_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT post-processing (Mu & Viswanath 2018, "All-but-the-Top"):
+    mean-center the embedding corpus, find the dominant principal
+    direction of the CENTERED data (power iteration on the centered
+    Gram — the covariance direction, unlike `embedding_pca_power`'s
+    raw second moment), remove each vector's projection onto it, and
+    report the per-label anisotropy reduction: mean squared norm
+    before/after removal and the mean |projection| — the standard fix
+    for the "one dominant direction eats the cosine" pathology of
+    learned embeddings.
+
+    Scale shape — three corpus passes, all partial-agg or map-only:
+    (1) per-position sum/count -> the 64-row truncated-milli mean;
+    (2) the centered Gram (posexplode outer product, dim^2 groups
+    through the shuffle regardless of corpus size) feeding the
+    dim-bounded power iteration; (3) ONE map-only pass computing
+    projection, removal, and both norms per row as array expressions
+    against the broadcast (mean, direction, norm) artifacts — no
+    driver-side collect; the 64-element mean and direction ride a
+    1-row crossJoin broadcast.  Exact integers throughout: milli
+    centering (truncation error below the embedding quantization
+    itself), kilo-unit Gram (documented ~1e11-vector BIGINT bound),
+    and the engine-portable truncated division for every normalize /
+    removal step, so the oracle replays all three passes and the
+    iteration bit-for-bit."""
+    e = _emb(spark, sf_dir)
+
+    def trunc_div(a, d):
+        return ((a - a % d) / d).cast("bigint")
+
+    v = e.select(
+        "vec_id", "label",
+        F.transform(F.col("embedding").cast("array<double>"),
+                    lambda x: F.round(x * 1000).cast("bigint")).alias("v"))
+    el = v.select("vec_id", F.posexplode("v").alias("i", "x"))
+    mu = (el.groupBy("i")
+          .agg(F.sum("x").cast("bigint").alias("s"),
+               F.count(F.lit(1)).alias("n"))
+          .select("i", trunc_div(F.col("s"), F.col("n")).alias("m")))
+    mu_arr = mu.agg(F.transform(
+        F.array_sort(F.collect_list(F.struct("i", "m"))),
+        lambda t: t["m"]).alias("mu"))
+    c = (v.crossJoin(F.broadcast(mu_arr))
+         .select("vec_id", "label",
+                 F.zip_with("v", "mu", lambda x, m: x - m).alias("c")))
+    cel = c.select("vec_id", F.posexplode("c").alias("i", "cx"))
+    g = (cel.alias("a").join(cel.alias("b"), "vec_id")
+         .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
+         .agg(F.sum(F.col("a.cx") * F.col("b.cx")).cast("bigint")
+              .alias("gs"))
+         .select("i", "j", trunc_div(F.col("gs"), F.lit(1000))
+                 .alias("gv")))
+    g = _track_ckpt(g.localCheckpoint(eager=True))  # dim^2 = 4096 rows
+    b = _power_iteration(spark, g, _PCA_ITERS)
+    bd = b.agg(
+        F.transform(F.array_sort(F.collect_list(F.struct("i", "bv"))),
+                    lambda t: t["bv"]).alias("b"),
+        F.sum(F.col("bv") * F.col("bv")).cast("bigint").alias("d"))
+    zero = F.lit(0).cast("bigint")
+    w = (c.crossJoin(F.broadcast(bd))
+         .select("label", "c", "b", "d",
+                 F.aggregate(F.zip_with("c", "b", lambda ci, bi: ci * bi),
+                             zero, lambda acc, t: acc + t).alias("num"),
+                 F.aggregate(F.transform("c", lambda ci: ci * ci),
+                             zero, lambda acc, t: acc + t).alias("sqb")))
+    c2 = F.zip_with(
+        "c", "b",
+        lambda ci, bi: ci - trunc_div(
+            trunc_div(F.col("num"), F.lit(1000)) * bi,
+            trunc_div(F.col("d"), F.lit(1000))))
+    r = w.select(
+        "label", "sqb",
+        # coefficient in micro-units (removal_i = coeff * b_i / 1e6):
+        # num/(d/1e6) rather than num*1e6/d, which would overflow BIGINT;
+        # d >= 1e12 (the renormalized max component alone), so d/1e6 >= 1e6
+        trunc_div(F.col("num"),
+                  trunc_div(F.col("d"), F.lit(1_000_000)))
+        .alias("proj_micro"),
+        F.aggregate(F.transform(c2, lambda t: t * t), zero,
+                    lambda acc, t: acc + t).alias("sqa"))
+    n = F.count(F.lit(1))
+    return (r.groupBy("label")
+            .agg(n.alias("n_vecs"),
+                 trunc_div(F.sum("sqb"), n).alias("avg_sq_before_milli2"),
+                 trunc_div(F.sum("sqa"), n).alias("avg_sq_after_milli2"),
+                 trunc_div(F.sum(F.abs(F.col("proj_micro"))), n)
+                 .alias("avg_abs_proj_micro")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -7088,7 +7249,7 @@ _DRIVER_WINDOW_R6 = [
     "pq_ivfadc_topk", "bucketed_join_zero_shuffle",
     "graph_triangle_stats", "streaming_lm_score_serve",
     "embedding_pca_power", "curation_dsir_weights",
-    "hardneg_mining_topk", "kmv_source_overlap",
+    "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7101,11 +7262,11 @@ _DRIVER_WINDOW_R6 = [
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
-    "q11_important_stock", "q13_customer_distribution", "q15_top_supplier",
+    "q11_important_stock", "q13_customer_distribution",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
-    # q16_supplier_part_counts dropped to fit the 5 late sentinels;
-    # they stay r3-current and rotate next round)
+    # q16_supplier_part_counts / q15_top_supplier dropped to fit the 6
+    # late sentinels; they stay r3-current and rotate next round)
 ]
 
 

@@ -191,3 +191,52 @@ def test_pq_ivfadc_recall(spark, emb, brute):
     hits = sum(len(got.get(qid, set()) & want[qid]) for qid in want)
     recall = hits / (len(want) * 5)
     assert recall >= 0.8, f"IVFADC recall {recall:.2f} below floor 0.8"
+
+
+# ---------------------------------------------------------------------------
+# ABTT post-processing + hard-negative mining
+# ---------------------------------------------------------------------------
+
+
+def test_abtt_removes_variance_every_label(spark):
+    """Removing the dominant centered direction must strictly shrink
+    the mean squared norm for every label (the direction carries
+    positive variance), and the removal must be material corpus-wide —
+    the projection magnitude is nonzero."""
+    from datafusion_monoid_spark.queries import embedding_abtt_whiten
+    rows = embedding_abtt_whiten(spark, SF).collect()
+    assert len(rows) > 0
+    assert all(r["avg_sq_after_milli2"] < r["avg_sq_before_milli2"]
+               for r in rows)
+    assert any(r["avg_abs_proj_micro"] > 0 for r in rows)
+
+
+def test_hardneg_negatives_never_share_the_anchor_label(spark):
+    from datafusion_monoid_spark.queries import hardneg_mining_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    labels = {r["vec_id"]: r["label"] for r in
+              e.select("vec_id", "label").collect()}
+    rows = hardneg_mining_topk(spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["neg_label"] != labels[r["query_id"]]
+        assert r["neg_label"] == labels[r["cand_id"]]
+
+
+def test_hardneg_margin_excludes_near_positives(spark):
+    """Every mined negative must sit strictly below 95% of its
+    anchor's best same-label similarity."""
+    from datafusion_monoid_spark.queries import hardneg_mining_topk
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    full = sim.brute_force_topk(e, e.where(F.col("vec_id") < 20),
+                                k=10**6)
+    labels = {r["vec_id"]: r["label"] for r in
+              e.select("vec_id", "label").collect()}
+    pos_best = {}
+    for r in full.collect():
+        if labels[r["query_id"]] == labels[r["cand_id"]]:
+            pos_best[r["query_id"]] = max(
+                pos_best.get(r["query_id"], -2.0), r["sim"])
+    for r in hardneg_mining_topk(spark, SF).collect():
+        # rounded sims: allow the rounding granularity at the boundary
+        assert r["sim"] < 0.95 * pos_best[r["query_id"]] + 1e-3
