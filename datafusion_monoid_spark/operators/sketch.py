@@ -329,11 +329,11 @@ def _trunc_div(a: Column, b: Column) -> Column:
 def _k_smallest_distinct(col: str, k: int) -> Column:
     """Aggregate expression: the k smallest DISTINCT values of ``col``.
 
-    ``collect_list`` accumulates the group locally before the
-    sort/dedup/slice projection — bounded by that group's row count,
-    which is why :func:`kmv_sketch` only ever applies it to
-    per-input-partition groups (local pass) or to <= partitions x k
-    pre-reduced rows (merge pass), never to a raw corpus-sized group."""
+    ``collect_list``'s partial state is the group's full value list, so
+    this is only ever applied to PRE-REDUCED relations (<= k values per
+    group per Arrow batch after :func:`kmv_sketch`'s local pass) —
+    never to a raw corpus-sized group, where the partial lists would
+    push the whole relation through the shuffle."""
     return F.slice(F.array_distinct(F.array_sort(F.collect_list(col))), 1, k)
 
 
@@ -345,19 +345,29 @@ def kmv_sketch(df: DataFrame, group_col: str, elem_col: str,
     The sketch is a mergeable monoid (identity = empty array, combine =
     k-smallest-distinct of the union — associative, commutative,
     idempotent), so the build is the engine's partial/final shape with
-    NO exact-distinct shuffle anywhere: duplicates hash identically and
-    die in the local dedup, so pass 1 reduces each (group, input
-    partition) to <= k values map-side, and pass 2 merges <= partitions
-    x k values per group.  The relation through the shuffle is
-    k-bounded per group regardless of corpus size."""
-    el = df.select(F.col(group_col).alias("__g"),
-                   (md5_long(elem_col) % F.lit(KMV_SPACE)).alias("__h"))
-    local = (el.groupBy("__g", F.spark_partition_id().alias("__pid"))
-             .agg(_k_smallest_distinct("__h", k).alias("__hs")))
-    return (local.select("__g", F.explode("__hs").alias("__h"))
-            .groupBy("__g")
-            .agg(_k_smallest_distinct("__h", k).alias("sketch"))
-            .select(F.col("__g").alias(group_col), "sketch"))
+    NO exact-distinct shuffle anywhere: hashing stays JVM-side, then an
+    Arrow-batched local pass (the same per-partition-top-k discipline
+    as ``similarity.brute_force_topk_np``) reduces every batch to <= k
+    distinct values per group BEFORE anything shuffles — a plain
+    ``groupBy(g, partition_id)`` would NOT do this, because
+    ``collect_list``'s partial state is the full value list, so the
+    entire corpus would cross the wire as map-side lists.  The merge
+    pass then combines <= batches x k values per group."""
+    el = df.select(F.col(group_col).alias("g"),
+                   (md5_long(elem_col) % F.lit(KMV_SPACE)).alias("h"))
+    g_type = el.schema["g"].dataType.simpleString()
+
+    def local(batches):
+        for pdf in batches:
+            if len(pdf):
+                yield (pdf.drop_duplicates()
+                       .sort_values(["g", "h"])
+                       .groupby("g", sort=False).head(k))
+
+    loc = el.mapInPandas(local, schema=f"g {g_type}, h bigint")
+    return (loc.groupBy("g")
+            .agg(_k_smallest_distinct("h", k).alias("sketch"))
+            .select(F.col("g").alias(group_col), "sketch"))
 
 
 def kmv_merge(a: Column, b: Column, k: int = 128) -> Column:
