@@ -109,16 +109,19 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     Scale shape: the anchor set is small by contract (it becomes a
     broadcast on every executor — the same contract as
-    :func:`brute_force_topk`); the corpus is scanned twice, never
-    shuffled and never materialized as pairs — pass 1 reduces the
-    same-label pairs to one ``pos_sim`` row per anchor (partial-agg
-    max, broadcast back), pass 2 streams the cross-label pairs through
-    the margin filter into the per-anchor top-k window.  Recomputing
-    the scan beats checkpointing the |corpus| x |anchors| pair
-    relation, which is 20x the corpus here.  Anchors with no same-label
-    candidate have no defined margin and are dropped by the join (the
-    mining contract: you mine negatives for anchors that HAVE a
-    positive)."""
+    :func:`brute_force_topk`); the corpus is scanned twice and never
+    materialized as pairs — pass 1 reduces the same-label pairs to one
+    ``pos_sim`` row per anchor (partial-agg max, broadcast back), pass
+    2 streams the cross-label pairs through the margin filter into the
+    per-anchor top-k window.  That window shuffles the filtered
+    |corpus| x |anchors| pair relation — the expression/oracle-tier
+    contract, same as :func:`brute_force_topk`; use
+    :func:`hard_negative_topk_np` for production anchor sets, which
+    bounds the window input with a per-batch local top-k.  Recomputing
+    the scan beats checkpointing the pair relation, which is 20x the
+    corpus here.  Anchors with no same-label candidate have no defined
+    margin and are dropped by the join (the mining contract: you mine
+    negatives for anchors that HAVE a positive)."""
     c = corpus.select(F.col(id_col).alias("cand_id"),
                       F.col(label_col).alias("neg_label"),
                       F.col(vec_col).cast("array<double>").alias("cvec"))
@@ -139,6 +142,83 @@ def hard_negative_topk(corpus: DataFrame, queries: DataFrame, k: int = 5,
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
                                                F.col("cand_id"))
     return (neg.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "cand_id", "neg_label",
+                    F.round("sim", 3).alias("sim")))
+
+
+def hard_negative_topk_np(corpus: DataFrame, queries: DataFrame, k: int = 5,
+                          margin: float = 0.95, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          label_col: str = "label") -> DataFrame:
+    """:func:`hard_negative_topk` at throughput — the production shape
+    for the same semantics (shared oracle): the margin ceiling and the
+    anchor matrix broadcast, then each Arrow batch scores with one
+    NumPy matmul, masks same-label / self / over-margin candidates,
+    and emits its LOCAL top-k per anchor — so the global window ranks
+    <= batches x |anchors| x k rows instead of shuffling the filtered
+    |corpus| x |anchors| pair relation.  The per-anchor ``pos_sim``
+    still comes from a full expression-level reduction over the corpus
+    (negatives must clear the margin against the anchor's TRUE best
+    positive, wherever it lives), collected as one |anchors|-row
+    bounded artifact."""
+    qrows = queries.select(id_col, label_col, vec_col).collect()
+    qids = np.array([r[0] for r in qrows])
+    qlabs = np.array([r[1] for r in qrows])
+    qmat = np.array([r[2] for r in qrows], dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+
+    c = corpus.select(F.col(id_col).alias("cand_id"),
+                      F.col(label_col).alias("clab"),
+                      F.col(vec_col).cast("array<double>").alias("cvec"))
+    q = F.broadcast(queries.select(
+        F.col(id_col).alias("query_id"), F.col(label_col).alias("qlab"),
+        F.col(vec_col).cast("array<double>").alias("qvec")))
+    pos_rows = (c.crossJoin(q)
+                .where((F.col("query_id") != F.col("cand_id"))
+                       & (F.col("qlab") == F.col("clab")))
+                .select("query_id",
+                        cosine_similarity(F.col("qvec"),
+                                          F.col("cvec")).alias("sim"))
+                .groupBy("query_id")
+                .agg(F.max("sim").alias("pos_sim"))).collect()
+    posmap = {r["query_id"]: r["pos_sim"] for r in pos_rows}
+    keep = np.array([qid in posmap for qid in qids])
+    qids, qlabs, qmat = qids[keep], qlabs[keep], qmat[keep]
+    ceil = np.array([margin * posmap[qid] for qid in qids])
+    spark = corpus.sparkSession
+    bq = spark.sparkContext.broadcast((qids, qlabs, qmat, ceil))
+
+    def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, labs, mat, cl = bq.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cids = pdf[id_col].to_numpy()
+            clabs = pdf[label_col].to_numpy()
+            cmat = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+            sims = mat @ cmat.T
+            masked = ((labs[:, None] == clabs[None, :])
+                      | (ids[:, None] == cids[None, :])
+                      | (sims >= cl[:, None]))
+            sims = np.where(masked, -2.0, sims)
+            kk = min(k, sims.shape[1])
+            idx = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            out = pd.DataFrame({
+                "query_id": np.repeat(ids, kk),
+                "cand_id": cids[idx].ravel(),
+                "neg_label": clabs[idx].ravel(),
+                "sim": np.take_along_axis(sims, idx, axis=1).ravel(),
+            })
+            yield out[out["sim"] > -1.5]
+
+    local = corpus.select(id_col, label_col, vec_col).mapInPandas(
+        part_topk,
+        schema="query_id long, cand_id long, neg_label int, sim double")
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               F.col("cand_id"))
+    return (local.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "cand_id", "neg_label",
                     F.round("sim", 3).alias("sim")))

@@ -6912,7 +6912,7 @@ def bucketed_join_zero_shuffle(spark: SparkSession, sf_dir: str
 # ---------------------------------------------------------------------------
 
 
-@register("hardneg_mining_topk", """
+_HARDNEG_ORACLE = """
 WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, label AS qlab, v AS qv
       FROM e WHERE vec_id < 20),
@@ -6933,7 +6933,10 @@ r AS (SELECT query_id, cand_id, neg_label, sim,
 SELECT query_id, CAST(rk AS INTEGER) AS rank, cand_id, neg_label,
        round(sim, 3) AS sim
 FROM r WHERE rk <= 5
-""")
+"""
+
+
+@register("hardneg_mining_topk", _HARDNEG_ORACLE)
 def hardneg_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining — the training-batch construction step for
     contrastive retrieval models (DPR / SimCSE shape): for each of the
@@ -6953,6 +6956,18 @@ def hardneg_mining_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _emb(spark, sf_dir)
     return sim.hard_negative_topk(e, e.where(F.col("vec_id") < 20), k=5,
                                   margin=0.95)
+
+
+@register("hardneg_mining_topk_np", _HARDNEG_ORACLE)  # exact: shared oracle
+def hardneg_mining_topk_np(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput tier of `hardneg_mining_topk` (shared oracle): the
+    margin ceiling broadcasts with the anchor matrix, each Arrow batch
+    mines its LOCAL top-k with one NumPy matmul + mask, and the global
+    window ranks batches x anchors x k rows — the filtered pair
+    relation never shuffles.  See ``similarity.hard_negative_topk_np``."""
+    e = _emb(spark, sf_dir)
+    return sim.hard_negative_topk_np(e, e.where(F.col("vec_id") < 20), k=5,
+                                     margin=0.95)
 
 
 # ---------------------------------------------------------------------------
@@ -7250,6 +7265,7 @@ _DRIVER_WINDOW_R6 = [
     "graph_triangle_stats", "streaming_lm_score_serve",
     "embedding_pca_power", "curation_dsir_weights",
     "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
+    "hardneg_mining_topk_np",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7262,11 +7278,12 @@ _DRIVER_WINDOW_R6 = [
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
-    "q11_important_stock", "q13_customer_distribution",
+    "q11_important_stock",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
-    # q16_supplier_part_counts / q15_top_supplier dropped to fit the 6
-    # late sentinels; they stay r3-current and rotate next round)
+    # q16_supplier_part_counts / q15_top_supplier /
+    # q13_customer_distribution dropped to fit the 7 late sentinels;
+    # they stay r3-current and rotate next round)
 ]
 
 

@@ -240,3 +240,11 @@ def test_hardneg_margin_excludes_near_positives(spark):
     for r in hardneg_mining_topk(spark, SF).collect():
         # rounded sims: allow the rounding granularity at the boundary
         assert r["sim"] < 0.95 * pos_best[r["query_id"]] + 1e-3
+
+
+def test_hardneg_np_tier_matches_expression_tier(spark):
+    from datafusion_monoid_spark.queries import (hardneg_mining_topk,
+                                                 hardneg_mining_topk_np)
+    a = {tuple(r) for r in hardneg_mining_topk(spark, SF).collect()}
+    b = {tuple(r) for r in hardneg_mining_topk_np(spark, SF).collect()}
+    assert a == b
