@@ -7070,6 +7070,107 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("ku")).alias("est_intersect"))
 
 
+def _kmv_sketch_persisted(spark: SparkSession, sf_dir: str) -> str:
+    """Build the per-source KMV sketch of the EXISTING corpus
+    (doc_id % 11 != 0 — everything but today's batch) and persist it
+    as parquet; returns the path.  A <= sources x (k+1)-value table —
+    always broadcast-sized.  Reused when fresh, mirroring a production
+    sketch index maintained at ingest."""
+    path = _artifact_path(sf_dir, "kmv_source_sketch")
+    if _artifact_fresh(path, f"{sf_dir}/documents.parquet"):
+        return path
+    docs = _docs(spark, sf_dir).where(F.col("doc_id") % 11 != 0)
+    el = docs.select("source",
+                     F.explode(dd.word_shingles("text")).alias("sh"))
+    (sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+def _kmv_inc_oracle_sql() -> str:
+    k, ks = _KMV_K, _KMV_KS
+    td = _pca_trunc_div_sql
+
+    def est(n, h):
+        return f"CASE WHEN {n} < {k} THEN {n} ELSE {td(str(ks), h)} END"
+
+    return f"""
+WITH s AS (SELECT source, doc_id, unnest({dd.shingles_sql('text')}) AS sh
+           FROM documents),
+h AS (SELECT DISTINCT source, doc_id % 11 = 0 AS is_new,
+             {dd.md5_long_sql('sh')} % {1 << 40} AS h FROM s),
+r AS (SELECT source, is_new, h,
+             row_number() OVER (PARTITION BY source, is_new
+                                ORDER BY h) AS rk FROM h),
+skt AS (SELECT source, is_new, h FROM r WHERE rk <= {k}),
+agg AS (SELECT source, is_new, count(*) AS n_k, max(h) AS h_k
+        FROM skt GROUP BY source, is_new),
+m AS (SELECT DISTINCT source, h FROM skt),
+mr AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                                            ORDER BY h) AS rk FROM m),
+mak AS (SELECT source, count(*) AS n_k, max(h) AS h_k
+        FROM mr WHERE rk <= {k} GROUP BY source),
+o AS (SELECT source, {est('n_k', 'h_k')} AS est_before
+      FROM agg WHERE NOT is_new),
+nn AS (SELECT source, {est('n_k', 'h_k')} AS est_batch
+       FROM agg WHERE is_new),
+a AS (SELECT source, {est('n_k', 'h_k')} AS est_after FROM mak)
+SELECT a.source AS source,
+       coalesce(est_before, 0) AS est_before,
+       coalesce(est_batch, 0) AS est_batch,
+       est_after,
+       est_after - coalesce(est_before, 0) AS est_new_content
+FROM a LEFT JOIN o ON a.source = o.source
+       LEFT JOIN nn ON a.source = nn.source
+"""
+
+
+@register("kmv_incremental_merge", _kmv_inc_oracle_sql())
+def kmv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental distinct-content accounting — the daily-ingest twin
+    of `kmv_source_overlap`, answering "how much genuinely NEW content
+    did today's batch add per source?" without touching the existing
+    corpus: the corpus's per-source KMV sketches live as a PERSISTED
+    broadcast-sized artifact (built once, reused while fresh — the
+    production sketch index), today's batch (doc_id % 11 = 0, the
+    `dedup_incremental_newbatch` convention) is sketched in one
+    aggregation pass over the BATCH ONLY, and the sketches combine
+    with the monoid merge.  est_new_content = est(merged) -
+    est(corpus) estimates the batch's novel distinct shingles — near
+    zero for a re-crawl, ~batch-distinct for fresh content; estimator
+    noise can make it slightly negative, which is itself the signal
+    that the batch added nothing.
+
+    This is WHY the sketch being a monoid matters at 100 TB: per-ingest
+    cost is O(batch) + a sources-sized merge, never a corpus rescan;
+    the same merge runs hierarchically (hourly -> daily -> total).
+    The oracle replays both sketch builds and the merge from the raw
+    table."""
+    path = _kmv_sketch_persisted(spark, sf_dir)
+    old = spark.read.parquet(path).select(
+        "source", F.col("sketch").alias("sk_old"))
+    batch = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    el = batch.select("source",
+                      F.explode(dd.word_shingles("text")).alias("sh"))
+    new = (sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
+           .select("source", F.col("sketch").alias("sk_new")))
+    empty = F.array().cast("array<bigint>")
+    j = (old.join(new, "source", "full_outer")
+         .select("source",
+                 F.coalesce(F.col("sk_old"), empty).alias("sk_old"),
+                 F.coalesce(F.col("sk_new"), empty).alias("sk_new")))
+    j = j.withColumn("sk_merged",
+                     sk.kmv_merge(F.col("sk_old"), F.col("sk_new"),
+                                  k=_KMV_K))
+    return (j.select(
+        "source",
+        sk.kmv_estimate(F.col("sk_old"), k=_KMV_K).alias("est_before"),
+        sk.kmv_estimate(F.col("sk_new"), k=_KMV_K).alias("est_batch"),
+        sk.kmv_estimate(F.col("sk_merged"), k=_KMV_K).alias("est_after"))
+        .withColumn("est_new_content",
+                    F.col("est_after") - F.col("est_before")))
+
+
 # ---------------------------------------------------------------------------
 # Round 6: ABTT embedding post-processing (all-but-the-top)
 # ---------------------------------------------------------------------------
@@ -7265,7 +7366,7 @@ _DRIVER_WINDOW_R6 = [
     "graph_triangle_stats", "streaming_lm_score_serve",
     "embedding_pca_power", "curation_dsir_weights",
     "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
-    "hardneg_mining_topk_np",
+    "hardneg_mining_topk_np", "kmv_incremental_merge",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7278,12 +7379,11 @@ _DRIVER_WINDOW_R6 = [
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
     "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
-    "q11_important_stock",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
-    # q13_customer_distribution dropped to fit the 7 late sentinels;
-    # they stay r3-current and rotate next round)
+    # q13_customer_distribution / q11_important_stock dropped to fit
+    # the 8 late sentinels; they stay r3-current and rotate next round)
 ]
 
 
