@@ -7171,6 +7171,31 @@ def kmv_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("est_after") - F.col("est_before")))
 
 
+def _streaming_kmv_oracle_sql() -> str:
+    """Full batch recompute of the per-source KMV sketch — the
+    stream==batch contract for the micro-batched partial merge."""
+    k, ks = _KMV_K, _KMV_KS
+    td = _pca_trunc_div_sql
+    return f"""
+WITH s AS (SELECT source, unnest({dd.shingles_sql('text')}) AS sh
+           FROM documents),
+h AS (SELECT DISTINCT source,
+             {dd.md5_long_sql('sh')} % {1 << 40} AS h FROM s),
+r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                                           ORDER BY h) AS rk FROM h),
+agg AS (SELECT source, count(*) AS n_k, max(h) AS h_k
+        FROM r WHERE rk <= {k} GROUP BY source)
+SELECT source, CAST(n_k AS BIGINT) AS n_in_sketch,
+       CASE WHEN n_k < {k} THEN n_k
+            ELSE {td(str(ks), 'h_k')} END AS est_distinct
+FROM agg
+"""
+
+
+register("streaming_kmv_distinct", _streaming_kmv_oracle_sql())(
+    sq.streaming_kmv_distinct)
+
+
 # ---------------------------------------------------------------------------
 # Round 6: ABTT embedding post-processing (all-but-the-top)
 # ---------------------------------------------------------------------------
@@ -7367,6 +7392,7 @@ _DRIVER_WINDOW_R6 = [
     "embedding_pca_power", "curation_dsir_weights",
     "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
     "hardneg_mining_topk_np", "kmv_incremental_merge",
+    "streaming_kmv_distinct",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7378,12 +7404,13 @@ _DRIVER_WINDOW_R6 = [
     "funnel_view_click_purchase", "retention_cohorts", "pipeline_curation_full",
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
-    "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
+    "q12_late_shipments", "q2_min_cost_supplier",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
-    # q13_customer_distribution / q11_important_stock dropped to fit
-    # the 8 late sentinels; they stay r3-current and rotate next round)
+    # q13_customer_distribution / q11_important_stock /
+    # q9_product_profit dropped to fit the 9 late sentinels; they stay
+    # r3-current and rotate next round)
 ]
 
 
