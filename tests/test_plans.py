@@ -276,3 +276,46 @@ def test_bucketed_join_has_zero_exchanges_under_join(spark, catalog):
     p = _explain(df, "simple")
     assert "SortMergeJoin" in p
     assert p.count("Exchange hashpartitioning") == 1  # final agg only
+
+
+def test_kmv_sketch_single_exchange_after_local_reduce(spark):
+    """The KMV build must shuffle only the batch-locally-reduced
+    relation: plan shape is scan -> mapInPandas (local k-smallest-
+    distinct) -> ONE exchange for the merge groupBy — never a shuffle
+    of the raw hash relation, and no join anywhere."""
+    from pyspark.sql import functions as F
+    from datafusion_monoid_spark.operators import dedup as dd
+    from datafusion_monoid_spark.operators import sketch as sk
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    el = docs.select("source",
+                     F.explode(dd.word_shingles("text")).alias("sh"))
+    p = _explain(sk.kmv_sketch(el, "source", "sh", k=64), "simple")
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "MapInPandas" in p
+    assert "Join" not in p
+    # the local pass runs BELOW the exchange (reduce before shuffle)
+    assert p.index("MapInPandas") > p.index("Exchange")
+
+
+def test_hardneg_np_window_input_is_locally_reduced(spark, catalog):
+    """The NumPy hard-negative tier must feed the global ranking window
+    from the per-batch local top-k (MapInPandas below the window's
+    exchange), and the corpus side must never sort-merge or
+    nested-loop join."""
+    p = _explain(catalog["hardneg_mining_topk_np"][0](spark, SF),
+                 "simple")
+    assert "MapInPandas" in p
+    assert "SortMergeJoin" not in p
+    assert "CartesianProduct" not in p
+    win = p.index("Window")
+    assert p.index("MapInPandas") > win  # plan prints top-down
+
+
+def test_abtt_final_pass_has_no_shuffle_joins(spark, catalog):
+    """ABTT's per-row removal pass must run map-only against broadcast
+    artifacts: no sort-merge join, no cartesian of corpus-sized
+    relations (the 1-row mean/direction artifacts ride broadcast
+    nested loops, which is the intended shape)."""
+    p = _explain(catalog["embedding_abtt_whiten"][0](spark, SF),
+                 "simple")
+    assert "SortMergeJoin" not in p
