@@ -108,3 +108,51 @@ def chunk_documents(df: DataFrame, id_col: str, toks_col: str,
         .select(id_col, "chunk_idx",
                 F.slice(toks, F.col("start") + 1, chunk_tokens).alias("chunk"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling (Duffield-Lund-Thorup 2007)
+# ---------------------------------------------------------------------------
+
+#: Hash universe for priority sampling's per-item "uniform": same 2^40
+#: fold as the KMV sketch — wide enough that ties are negligible, narrow
+#: enough that w * SPACE stays in BIGINT for per-item weights up to ~8e6.
+PRIORITY_SPACE = 1 << 40
+
+
+def priority_sample(df: DataFrame, weight_col: str, n: int,
+                    id_col: str) -> tuple[DataFrame, Column]:
+    """Weighted sample of ``n`` items with unbiased total estimation:
+    each item gets priority q = w * SPACE / u (u = deterministic
+    md5-derived "uniform" in [1, SPACE], exact truncated-integer
+    division), the n largest priorities are the sample, and the
+    (n+1)-th priority tau is the estimation threshold — the
+    Horvitz-Thompson weight of a sampled item is ``greatest(w, tau)``,
+    whose sum is unbiased for the population total (Duffield, Lund &
+    Thorup, JACM 2007).  Zero-weight items are excluded (their priority
+    is identically 0 and their HT contribution undefined); when the
+    population is <= n, tau = 0 and the estimate is exact by
+    construction.
+
+    Returns (the sampled rows with ``__q``/``__rk`` attached, a 1-row
+    ``__tau`` DataFrame to crossJoin-broadcast) — callers compose
+    ``greatest(w, tau)`` themselves.  Scale: selection is a global
+    top-(n+1) — TakeOrderedAndProject (per-partition top-k + driver
+    merge), never a global sort; the n+1 survivors are the only rows a
+    window ever sees.  Deterministic: same membership on every run,
+    partitioning, and engine."""
+    w = F.col(weight_col)
+    u = md5_long(F.col(id_col).cast("string")) % F.lit(PRIORITY_SPACE) + 1
+    q = (((w * F.lit(PRIORITY_SPACE)) - (w * F.lit(PRIORITY_SPACE)) % u)
+         / u).cast("bigint")
+    cand = (df.where(w > 0).withColumn("__q", q)
+            .orderBy(F.col("__q").desc(), F.col(id_col))
+            .limit(n + 1)
+            .localCheckpoint(eager=True))  # n+1 rows, bounded
+    rk = F.row_number().over(
+        Window.orderBy(F.col("__q").desc(), F.col(id_col)))
+    ranked = cand.withColumn("__rk", rk)
+    tau_df = ranked.agg(F.coalesce(
+        F.max(F.when(F.col("__rk") == n + 1, F.col("__q"))),
+        F.lit(0).cast("bigint")).alias("__tau"))
+    return ranked.where(F.col("__rk") <= n), tau_df

@@ -7197,6 +7197,83 @@ register("streaming_kmv_distinct", _streaming_kmv_oracle_sql())(
 
 
 # ---------------------------------------------------------------------------
+# Round 6: priority sampling (Duffield-Lund-Thorup)
+# ---------------------------------------------------------------------------
+
+_PRIO_N = 200
+
+
+def _priority_sample_oracle_sql() -> str:
+    n = _PRIO_N
+    space = 1 << 40
+    td = _pca_trunc_div_sql
+    return f"""
+WITH t AS (SELECT doc_id, source, len({_TOKS}) AS w FROM documents),
+p AS (SELECT doc_id, source, w,
+             {dd.md5_long_sql('CAST(doc_id AS VARCHAR)')} % {space} + 1 AS u
+      FROM t WHERE w > 0),
+q AS (SELECT doc_id, source, w, {td(f'w * {space}', 'u')} AS q FROM p),
+r AS (SELECT doc_id, source, w, q,
+             row_number() OVER (ORDER BY q DESC, doc_id) AS rk FROM q),
+tau AS (SELECT coalesce(max(CASE WHEN rk = {n + 1} THEN q END),
+                        CAST(0 AS BIGINT)) AS tau FROM r),
+s AS (SELECT source, w FROM r WHERE rk <= {n}),
+est AS (SELECT source, count(*) AS n_sampled,
+               CAST(sum(greatest(w, tau)) AS BIGINT) AS est_total_tokens
+        FROM s CROSS JOIN tau GROUP BY source),
+ex AS (SELECT source, CAST(sum(w) AS BIGINT) AS exact_total_tokens
+       FROM t GROUP BY source)
+SELECT ex.source AS source,
+       CAST(coalesce(n_sampled, 0) AS BIGINT) AS n_sampled,
+       coalesce(est_total_tokens, 0) AS est_total_tokens,
+       exact_total_tokens
+FROM ex LEFT JOIN est ON ex.source = est.source
+"""
+
+
+@register("priority_sample_tokens", _priority_sample_oracle_sql())
+def priority_sample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield, Lund & Thorup, JACM 2007) of
+    documents weighted by token count — the one-pass weighted sample
+    with UNBIASED subset-sum estimation that a 100 TB pipeline uses to
+    answer per-stratum budget questions ("how many training tokens does
+    each source contribute?") from a fixed-size sample: each doc's
+    priority is w * 2^40 / u for a deterministic md5-derived u, the top
+    n = 200 priorities are the sample, the (n+1)-th is the threshold
+    tau, and the Horvitz-Thompson weight of a sampled doc is
+    greatest(w, tau) — per-source sums of that quantity estimate the
+    true per-source token totals (reported side-by-side with the exact
+    totals, so the estimator's realized error is visible).  When the
+    population is <= n, tau = 0 and the estimate is EXACT — pinned in
+    pytest at sf0.001.
+
+    Scale: selection is a global top-(n+1) — TakeOrderedAndProject
+    (per-partition top-k, driver merge of n+1-row heaps), never a
+    global sort or window over the corpus; only the n+1 survivors meet
+    a window.  Deterministic hash-derived priorities make the sample
+    identical across runs, partitionings, and engines — the oracle
+    replays membership exactly."""
+    docs = _docs(spark, sf_dir)
+    t = docs.select("doc_id", "source",
+                    F.size(dd.tokens("text")).cast("bigint").alias("w"))
+    samp, tau_df = smp.priority_sample(t, "w", _PRIO_N, "doc_id")
+    est = (samp.crossJoin(F.broadcast(tau_df))
+           .groupBy("source")
+           .agg(F.count(F.lit(1)).alias("n_sampled"),
+                F.sum(F.greatest(F.col("w"), F.col("__tau")))
+                .cast("bigint").alias("est_total_tokens")))
+    ex = t.groupBy("source").agg(F.sum("w").cast("bigint")
+                                 .alias("exact_total_tokens"))
+    zero = F.lit(0).cast("bigint")
+    return (ex.join(est, "source", "left")
+            .select("source",
+                    F.coalesce(F.col("n_sampled"), zero).alias("n_sampled"),
+                    F.coalesce(F.col("est_total_tokens"), zero)
+                    .alias("est_total_tokens"),
+                    "exact_total_tokens"))
+
+
+# ---------------------------------------------------------------------------
 # Round 6: ABTT embedding post-processing (all-but-the-top)
 # ---------------------------------------------------------------------------
 
@@ -7392,7 +7469,7 @@ _DRIVER_WINDOW_R6 = [
     "embedding_pca_power", "curation_dsir_weights",
     "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
     "hardneg_mining_topk_np", "kmv_incremental_merge",
-    "streaming_kmv_distinct",
+    "streaming_kmv_distinct", "priority_sample_tokens",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7404,13 +7481,13 @@ _DRIVER_WINDOW_R6 = [
     "funnel_view_click_purchase", "retention_cohorts", "pipeline_curation_full",
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
-    "q12_late_shipments", "q2_min_cost_supplier",
+    "q12_late_shipments",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
     # q13_customer_distribution / q11_important_stock /
-    # q9_product_profit dropped to fit the 9 late sentinels; they stay
-    # r3-current and rotate next round)
+    # q9_product_profit / q2_min_cost_supplier dropped to fit the 10
+    # late sentinels; they stay r3-current and rotate next round)
 ]
 
 

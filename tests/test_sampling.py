@@ -95,3 +95,59 @@ def test_chunk_documents_covers_and_overlaps(spark):
     covered = [t for i, c in enumerate(d1) for t in (c if i == 0 else c[8:])]
     assert covered == [f"t{i}" for i in range(150)]
     assert ch[(2, 0)] == [f"u{i}" for i in range(7)]
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling
+# ---------------------------------------------------------------------------
+
+
+def test_priority_sample_exact_when_population_fits(spark):
+    """Population <= n => tau = 0 => every item is sampled and the HT
+    estimate degenerates to the exact total."""
+    from datafusion_monoid_spark.operators import dedup as dd
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    t = docs.select("doc_id",
+                    F.size(dd.tokens("text")).cast("bigint").alias("w"))
+    pop = t.where(F.col("w") > 0).count()
+    samp, tau_df = sp.priority_sample(t, "w", pop + 10, "doc_id")
+    assert tau_df.collect()[0]["__tau"] == 0
+    got = samp.agg(F.sum("w").alias("s"), F.count(F.lit(1)).alias("n")) \
+        .collect()[0]
+    want = t.where(F.col("w") > 0) \
+        .agg(F.sum("w").alias("s")).collect()[0]["s"]
+    assert got["n"] == pop and got["s"] == want
+
+
+def test_priority_sample_estimator_close_at_sf001(spark):
+    """One deterministic realization with n = 200 of 500 docs: the
+    corpus-wide HT estimate must land within 15% of the exact total
+    (DLT variance at this rate is far tighter; the band allows for the
+    fixed hash draw)."""
+    from datafusion_monoid_spark.queries import priority_sample_tokens
+    rows = priority_sample_tokens(spark, "/root/testdata/sf0.01").collect()
+    est = sum(r["est_total_tokens"] for r in rows)
+    exact = sum(r["exact_total_tokens"] for r in rows)
+    assert 0.85 * exact <= est <= 1.15 * exact, (est, exact)
+    assert sum(r["n_sampled"] for r in rows) == 200
+
+
+def test_priority_sample_selection_is_take_ordered(spark):
+    """The top-(n+1) selection must plan as TakeOrderedAndProject, not
+    a global sort."""
+    from pyspark.sql import functions as F
+    from datafusion_monoid_spark.operators import dedup as dd
+    from datafusion_monoid_spark.operators import sampling as smp
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = docs.select("doc_id", "source",
+                    F.size(dd.tokens("text")).cast("bigint").alias("w"))
+    w = F.col("w")
+    u = (dd.md5_long(F.col("doc_id").cast("string"))
+         % F.lit(smp.PRIORITY_SPACE) + 1)
+    q = (((w * smp.PRIORITY_SPACE) - (w * smp.PRIORITY_SPACE) % u) / u) \
+        .cast("bigint")
+    plan_df = (t.where(w > 0).withColumn("__q", q)
+               .orderBy(F.col("__q").desc(), F.col("doc_id")).limit(201))
+    p = plan_df._sc._jvm.PythonSQLUtils.explainString(
+        plan_df._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in p
