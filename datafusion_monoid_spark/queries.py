@@ -7197,6 +7197,97 @@ register("streaming_kmv_distinct", _streaming_kmv_oracle_sql())(
 
 
 # ---------------------------------------------------------------------------
+# Round 6: one-pass column profiling
+# ---------------------------------------------------------------------------
+
+
+@register("dq_column_profile", """
+WITH ex AS (
+  SELECT 'o_custkey' AS column_name, CAST(o_custkey AS VARCHAR) AS val
+  FROM orders
+  UNION ALL SELECT 'o_orderstatus', o_orderstatus FROM orders
+  UNION ALL SELECT 'o_orderpriority', o_orderpriority FROM orders
+  UNION ALL SELECT 'o_totalprice_cents',
+                   CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+                        AS VARCHAR) FROM orders
+  UNION ALL SELECT 'o_orderdate_day',
+                   CAST(CAST(o_orderdate AS DATE) AS VARCHAR) FROM orders),
+pv AS (SELECT column_name, val, count(*) AS cnt
+       FROM ex GROUP BY column_name, val),
+st AS (SELECT column_name,
+              CAST(sum(cnt) AS BIGINT) AS n_rows,
+              CAST(coalesce(sum(CASE WHEN val IS NULL THEN cnt END), 0)
+                   AS BIGINT) AS n_null,
+              CAST(count(CASE WHEN val IS NOT NULL THEN 1 END)
+                   AS BIGINT) AS n_distinct,
+              min(val) AS min_val, max(val) AS max_val
+       FROM pv GROUP BY column_name),
+tp AS (SELECT column_name, val AS top_val, CAST(cnt AS BIGINT) AS top_cnt
+       FROM (SELECT column_name, val, cnt,
+                    row_number() OVER (PARTITION BY column_name
+                                       ORDER BY cnt DESC, val) AS rk
+             FROM pv WHERE val IS NOT NULL) WHERE rk = 1)
+SELECT st.column_name AS column_name, n_rows, n_null, n_distinct,
+       min_val, max_val, top_val, top_cnt
+FROM st JOIN tp USING (column_name)
+""")
+def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profiling of the orders table — the warehouse
+    onboarding report (per column: row/null/distinct counts, min/max,
+    modal value) computed from a SINGLE scan: every profiled column is
+    projected to a cross-engine-stable string normal form (ints as
+    digits, money as cents, timestamps as ISO days), stacked with
+    posexplode, and reduced to the per-(column, value) count relation —
+    all downstream stats (including the deterministic top value,
+    tie-broken lexicographically) derive from that narrow relation.
+
+    Scale: the stack multiplies rows by the profiled-column count, but
+    map-side partial aggregation collapses it to distinct (column,
+    value) pairs before the shuffle — value-cardinality bound, not row
+    bound, for every low-cardinality column.  A key-like column
+    (o_custkey) makes the per-value relation row-sized; that is what
+    EXACT distinct costs by definition — swap the KMV sketch
+    (`kmv_source_overlap`) into the same stacked pass when estimates
+    suffice at 100 TB.  The min/max/mode over the string normal form
+    are order-stable across engines, which is the point of normalizing
+    first."""
+    o = _t(spark, sf_dir, "orders")
+    cols = [
+        ("o_custkey", F.col("o_custkey").cast("string")),
+        ("o_orderstatus", F.col("o_orderstatus")),
+        ("o_orderpriority", F.col("o_orderpriority")),
+        ("o_totalprice_cents",
+         F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")),
+        ("o_orderdate_day",
+         F.col("o_orderdate").cast("date").cast("string")),
+    ]
+    ex = o.select(F.explode(F.array(*[
+        F.struct(F.lit(n).alias("column_name"), c.alias("val"))
+        for n, c in cols])).alias("e")).select("e.column_name", "e.val")
+    pv = (ex.groupBy("column_name", "val")
+          .agg(F.count(F.lit(1)).alias("cnt")))
+    pv = _track_ckpt(pv.localCheckpoint(eager=True))  # value-bounded
+    st = (pv.groupBy("column_name")
+          .agg(F.sum("cnt").cast("bigint").alias("n_rows"),
+               F.coalesce(F.sum(F.when(F.col("val").isNull(),
+                                       F.col("cnt"))),
+                          F.lit(0).cast("bigint")).cast("bigint")
+               .alias("n_null"),
+               F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+               .cast("bigint").alias("n_distinct"),
+               F.min("val").alias("min_val"),
+               F.max("val").alias("max_val")))
+    w = Window.partitionBy("column_name").orderBy(F.col("cnt").desc(),
+                                                  F.col("val"))
+    tp = (pv.where(F.col("val").isNotNull())
+          .withColumn("rk", F.row_number().over(w))
+          .where(F.col("rk") == 1)
+          .select("column_name", F.col("val").alias("top_val"),
+                  F.col("cnt").cast("bigint").alias("top_cnt")))
+    return st.join(tp, "column_name")
+
+
+# ---------------------------------------------------------------------------
 # Round 6: priority sampling (Duffield-Lund-Thorup)
 # ---------------------------------------------------------------------------
 
@@ -7470,6 +7561,7 @@ _DRIVER_WINDOW_R6 = [
     "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
     "hardneg_mining_topk_np", "kmv_incremental_merge",
     "streaming_kmv_distinct", "priority_sample_tokens",
+    "dq_column_profile",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7481,13 +7573,13 @@ _DRIVER_WINDOW_R6 = [
     "funnel_view_click_purchase", "retention_cohorts", "pipeline_curation_full",
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
     "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
-    "q12_late_shipments",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
     # q13_customer_distribution / q11_important_stock /
-    # q9_product_profit / q2_min_cost_supplier dropped to fit the 10
-    # late sentinels; they stay r3-current and rotate next round)
+    # q9_product_profit / q2_min_cost_supplier / q12_late_shipments
+    # dropped to fit the 11 late sentinels; they stay r3-current and
+    # rotate next round)
 ]
 
 
