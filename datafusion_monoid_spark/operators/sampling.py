@@ -140,7 +140,9 @@ def priority_sample(df: DataFrame, weight_col: str, n: int,
     top-(n+1) — TakeOrderedAndProject (per-partition top-k + driver
     merge), never a global sort; the n+1 survivors are the only rows a
     window ever sees.  Deterministic: same membership on every run,
-    partitioning, and engine."""
+    partitioning, and engine.  Lifecycle: the (n+1)-row candidate
+    localCheckpoint (needed because both the sample and tau derive
+    from it) is bounded and left to the ContextCleaner."""
     w = F.col(weight_col)
     u = md5_long(F.col(id_col).cast("string")) % F.lit(PRIORITY_SPACE) + 1
     q = (((w * F.lit(PRIORITY_SPACE)) - (w * F.lit(PRIORITY_SPACE)) % u)
