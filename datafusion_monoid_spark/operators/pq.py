@@ -51,7 +51,14 @@ PQ_M = 16       # subspaces
 PQ_SUBDIM = 4   # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
 PQ_K = 16       # centroids per subspace (4-bit codes; prod uses 256)
 PQ_ITERS = 3    # fixed Lloyd rounds, matching the k-means tier
-PQ_SHORTLIST = 50  # ADC candidates kept for the exact re-rank stage
+#: ADC candidates kept for the exact re-rank stage.  Sized from the
+#: measured recall-vs-corpus curve on the structureless synthetic
+#: vectors (sf0.1, 20 queries): 50 -> 0.83, 100 -> 0.92, 200 -> 0.96
+#: recall@5 for ADC+R (IVFADC 0.78 -> 0.90 at nprobe 6), at identical
+#: wall time — the re-rank fetches `shortlist` real vectors per query,
+#: trivial at any corpus size.  50 was enough at sf0.01 (0.95) but the
+#: uniform cell fill dilutes a fixed shortlist as the corpus grows.
+PQ_SHORTLIST = 200
 
 
 def subvectors(df: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM,

@@ -6389,7 +6389,7 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, s, cid)).  Search stage 1: each query builds a k x m
     distance TABLE (queries x 256 rows, bounded by the query batch)
     and every coded vector scores by table lookup + sum — one
-    partial-agg shuffle on (query, vector), shortlist of 50 per query.
+    partial-agg shuffle on (query, vector), shortlist of 200 per query (sized from the measured recall-vs-corpus curve; see pq.PQ_SHORTLIST).
     Stage 2: only the shortlist's real vectors are fetched (equi-join
     on vec_id) and re-ranked by exact micro-int squared-L2.
     Deterministic end to end, so the DuckDB oracle replays fit,
