@@ -263,7 +263,14 @@ def pq_encode_pretrained(corpus: DataFrame,
     (measured: minutes of driver-side optimizer churn at 500 rows),
     while the materialized array relation explodes for free.
     Materializing is also the production semantics — the code relation
-    IS the published index; encode once, search many."""
+    IS the published index; encode once, search many.  Use
+    :func:`materialize_codes` for that step: the m x k argmin tree
+    compiles past the JVM's 64 KB method limit in WHOLE-STAGE codegen
+    (Janino "Code grows beyond 64 KB", measured at m=16), so Spark
+    burns seconds on a doomed compile before falling back to
+    per-operator codegen — the helper disables whole-stage for just
+    the one-time encode job, going straight to the split-capable
+    per-expression compiler."""
     dim = len(codebooks) * subdim
     return (corpus
             .select(F.col(id_col).alias("vec_id"),
@@ -271,6 +278,21 @@ def pq_encode_pretrained(corpus: DataFrame,
             .select("vec_id",
                     F.expr(codes_expr_sql(codebooks, subdim))
                     .alias("codes")))
+
+
+def materialize_codes(codes: DataFrame) -> DataFrame:
+    """localCheckpoint the encode projection with whole-stage codegen
+    OFF for just this job (see :func:`pq_encode_pretrained`: the fused
+    processNext() exceeds the JVM 64 KB method limit and the failed
+    Janino attempt costs seconds; per-operator codegen splits the
+    expression and compiles fine)."""
+    spark = codes.sparkSession
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        return codes.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
 
 
 def pq_adc_search(codes_arr: DataFrame, corpus: DataFrame,

@@ -6435,9 +6435,10 @@ def pq_adc_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the code relation (one map-only job) — the codes ARE
     # the index; inlining the literal argmin into the search plan
     # instead multiplies the m x k expression through every optimizer
-    # pass (measured: minutes of driver-side plan churn)
-    codes = _track_ckpt(pqm.pq_encode_pretrained(e, books)
-                        .localCheckpoint(eager=True))
+    # pass (measured: minutes of driver-side plan churn).  The helper
+    # skips the doomed >64 KB whole-stage compile for this one job.
+    codes = _track_ckpt(pqm.materialize_codes(
+        pqm.pq_encode_pretrained(e, books)))
     return pqm.pq_adc_search(codes, e, queries, books, k=5)
 
 
