@@ -6495,6 +6495,14 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     count, wedge self-join on the apex, closing-edge join.  The
     oracle counts the same triangles via the simpler a<b<c id-order
     join (orientation choice does not change the census)."""
+    return gr.triangle_stats(_cascade_edges(spark, sf_dir))
+
+
+def _cascade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical (a < b, distinct) near-dup candidate edges over
+    exact-dedup survivors — the shared edge set of the graph tier
+    (`graph_triangle_stats`, `graph_kcore_sizes`,
+    `pagerank_dedup_survivors`), materialized once per call."""
     docs = _docs(spark, sf_dir)
     keyed = dd.exact_dedup_keys(docs, "text")
     reps = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
@@ -6502,12 +6510,69 @@ def graph_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = dd.minhash_signatures(survivors, "doc_id", "text")
     cand = dd.lsh_candidate_pairs(sigs, "doc_id")
     est = dd.estimated_jaccard("sig_a", "sig_b")
-    e = _track_ckpt(
+    return _track_ckpt(
         cand.where(est >= 0.35)
         .select(F.least("id_a", "id_b").alias("a"),
                 F.greatest("id_a", "id_b").alias("b"))
         .distinct().localCheckpoint(eager=True))
-    return gr.triangle_stats(e)
+
+
+def _kcore_oracle_sql(ks: tuple[int, ...] = (2, 3),
+                      rounds: int = 4) -> str:
+    parts = [f"""
+WITH reps AS (
+  SELECT min(doc_id) AS doc_id
+  FROM documents GROUP BY md5({dd.NORMALIZE_SQL.format(expr='text')})
+),
+survivors AS (
+  SELECT d.* FROM documents d JOIN reps USING (doc_id)
+),{_minhash_candidates_cte('survivors').replace('WITH msh AS', 'msh AS', 1)},
+e AS MATERIALIZED (
+      SELECT DISTINCT least(id_a, id_b) AS a, greatest(id_a, id_b) AS b
+      FROM cand WHERE {_CASCADE_EST} >= 0.35)"""]
+    # every peel CTE is referenced 3x by the next round (degree count +
+    # two joins); without MATERIALIZED DuckDB inlines each reference
+    # and the chain re-evaluates 3^rounds times — minutes at sf0.01
+    sels = []
+    for k in ks:
+        p = f"c{k}"
+        parts.append(f",\n{p}e0 AS MATERIALIZED (SELECT a, b FROM e)")
+        for r in range(rounds):
+            parts.append(f""",
+{p}d{r} AS MATERIALIZED (SELECT v, count(*) AS c FROM (
+    SELECT a AS v FROM {p}e{r} UNION ALL SELECT b AS v FROM {p}e{r})
+  GROUP BY v),
+{p}k{r} AS MATERIALIZED (SELECT v FROM {p}d{r} WHERE c >= {k}),
+{p}e{r + 1} AS MATERIALIZED (SELECT ee.a, ee.b FROM {p}e{r} ee
+                JOIN {p}k{r} ka ON ee.a = ka.v
+                JOIN {p}k{r} kb ON ee.b = kb.v)""")
+        sels.append(f"""
+SELECT CAST({k} AS BIGINT) AS k,
+       (SELECT count(DISTINCT v) FROM (
+          SELECT a AS v FROM {p}e{rounds}
+          UNION ALL SELECT b AS v FROM {p}e{rounds})) AS n_core_nodes,
+       (SELECT count(*) FROM {p}e{rounds}) AS n_core_edges""")
+    return "".join(parts) + "\nUNION ALL".join(sels)
+
+
+@register("graph_kcore_sizes", _kcore_oracle_sql())
+def graph_kcore_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core sizes (k = 2, 3) of the near-dup candidate graph — the
+    density census that complements the triangle tier: the 2-core
+    strips pendant chains (mostly borderline false positives at the
+    Jaccard threshold), and the 3-core isolates the cliquey kernels
+    (template families, mirror runs) that survive any single edge
+    being wrong — the subgraphs an operator can bulk-prune with
+    highest confidence.
+
+    Iterative peeling, 4 rounds per k (fixpoint on this graph after 1;
+    the fixed count is what the unrolled-CTE oracle replays, and a
+    pytest re-peels to TRUE fixpoint driver-side to prove 4 is enough
+    at every shipped SF).  Each round costs one degree partial-agg and
+    two semi-joins over the SHRINKING edge relation — candidate-graph
+    sized, never corpus sized; see ``graph.kcore_stats``."""
+    return gr.kcore_stats(_cascade_edges(spark, sf_dir), ks=(2, 3),
+                          rounds=4)
 
 
 register("streaming_lm_score_serve", _lm_doc_oracle_sql())(
@@ -7562,7 +7627,7 @@ _DRIVER_WINDOW_R6 = [
     "hardneg_mining_topk", "kmv_source_overlap", "embedding_abtt_whiten",
     "hardneg_mining_topk_np", "kmv_incremental_merge",
     "streaming_kmv_distinct", "priority_sample_tokens",
-    "dq_column_profile",
+    "dq_column_profile", "graph_kcore_sizes",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -7573,14 +7638,14 @@ _DRIVER_WINDOW_R6 = [
     "per_group_sample", "hist_quantile_prices", "bpe_top_merges",
     "funnel_view_click_purchase", "retention_cohorts", "pipeline_curation_full",
     "unpivot_lineitem_measures", "q7_volume_shipping", "q8_market_share",
-    "boilerplate_spans", "group_quantile_tokens", "kmeans_quantized_centroids",
+    "boilerplate_spans", "group_quantile_tokens",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
     # q13_customer_distribution / q11_important_stock /
-    # q9_product_profit / q2_min_cost_supplier / q12_late_shipments
-    # dropped to fit the 11 late sentinels; they stay r3-current and
-    # rotate next round)
+    # q9_product_profit / q2_min_cost_supplier / q12_late_shipments /
+    # kmeans_quantized_centroids dropped to fit the 12 late sentinels;
+    # they stay r3-current and rotate next round)
 ]
 
 

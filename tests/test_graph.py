@@ -42,3 +42,39 @@ def test_keep_best_plan_is_partial_argmax(spark):
         df._jdf.queryExecution(), "simple")
     assert "partial_max_by" in p
     assert "Window" not in p
+
+
+def test_kcore_four_rounds_reaches_true_fixpoint(spark):
+    """The catalog pins 4 peel rounds; prove that is >= the
+    convergence depth by re-peeling driver-side to TRUE fixpoint and
+    comparing sizes for every shipped k."""
+    from datafusion_monoid_spark.queries import _cascade_edges
+    from datafusion_monoid_spark.operators.graph import kcore_stats
+    edges = _cascade_edges(spark, "/root/testdata/sf0.001")
+    got = {r["k"]: (r["n_core_nodes"], r["n_core_edges"])
+           for r in kcore_stats(edges, ks=(2, 3), rounds=4).collect()}
+    raw = {(r["a"], r["b"]) for r in edges.collect()}
+    for k in (2, 3):
+        cur = set(raw)
+        while True:
+            from collections import Counter
+            deg = Counter()
+            for a, b in cur:
+                deg[a] += 1
+                deg[b] += 1
+            keep = {v for v, c in deg.items() if c >= k}
+            nxt = {(a, b) for a, b in cur if a in keep and b in keep}
+            if nxt == cur:
+                break
+            cur = nxt
+        nodes = {v for ed in cur for v in ed}
+        assert got[k] == (len(nodes), len(cur)), (k, got[k])
+
+
+def test_kcore_is_monotone_in_k(spark):
+    """Core sizes must be non-increasing in k (3-core within 2-core)."""
+    from datafusion_monoid_spark.queries import graph_kcore_sizes
+    rows = {r["k"]: r for r in
+            graph_kcore_sizes(spark, "/root/testdata/sf0.001").collect()}
+    assert rows[3]["n_core_nodes"] <= rows[2]["n_core_nodes"]
+    assert rows[3]["n_core_edges"] <= rows[2]["n_core_edges"]
