@@ -157,6 +157,30 @@ def main() -> None:
     print(f"incremental rollup: {mv} hourly cells from persisted "
           "partials + new-tail merge")
 
+    # 9. round-6 tier: sketch-based distinct accounting, weighted
+    # sampling, contrastive negatives, table profiling
+    from datafusion_monoid_spark.operators import sketch
+
+    el = docs.select("source", F.explode(
+        dedup.word_shingles("text")).alias("sh"))
+    skd = sketch.kmv_sketch(el, "source", "sh", k=128)
+    est = skd.select("source", sketch.kmv_estimate(
+        F.col("sketch"), k=128).alias("est"))
+    print("KMV distinct-shingle estimates per source:")
+    est.orderBy("source").show(3)
+
+    samp = cat["priority_sample_tokens"][0](spark, SF_DIR)
+    print("priority sample: per-source HT token totals vs exact:")
+    samp.orderBy("source").show(3)
+
+    neg = cat["hardneg_mining_topk"][0](spark, SF_DIR)
+    print(f"hard negatives mined: {neg.count()} "
+          "(margin-denoised, cross-label)")
+
+    prof = cat["dq_column_profile"][0](spark, SF_DIR)
+    print("one-pass column profile of orders:")
+    prof.orderBy("column_name").show(truncate=False)
+
     spark.stop()
 
 
