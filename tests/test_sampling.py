@@ -151,3 +151,12 @@ def test_priority_sample_selection_is_take_ordered(spark):
     p = plan_df._sc._jvm.PythonSQLUtils.explainString(
         plan_df._jdf.queryExecution(), "simple")
     assert "TakeOrderedAndProject" in p
+
+
+def test_priority_sample_excludes_zero_weights(spark):
+    df = spark.createDataFrame(
+        [(1, 0), (2, 5), (3, 7)], "doc_id long, w long")
+    samp, tau_df = sp.priority_sample(df, "w", 10, "doc_id")
+    ids = {r["doc_id"] for r in samp.collect()}
+    assert ids == {2, 3}
+    assert tau_df.collect()[0]["__tau"] == 0  # population <= n

@@ -248,3 +248,12 @@ def test_hardneg_np_tier_matches_expression_tier(spark):
     a = {tuple(r) for r in hardneg_mining_topk(spark, SF).collect()}
     b = {tuple(r) for r in hardneg_mining_topk_np(spark, SF).collect()}
     assert a == b
+
+
+def test_hardneg_single_label_corpus_mines_nothing(spark):
+    """All anchors share the corpus's only label: no positives'
+    complement exists, so the mined set is empty (not an error)."""
+    e = (spark.read.parquet(f"{SF}/embeddings.parquet")
+         .withColumn("label", F.lit(1)))
+    out = sim.hard_negative_topk(e, e.where(F.col("vec_id") < 5), k=3)
+    assert out.count() == 0

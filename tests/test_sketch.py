@@ -265,3 +265,26 @@ def test_kmv_duplicates_do_not_move_the_sketch(spark, shingles_df):
     a = {r["source"]: r["sketch"] for r in once.collect()}
     b = {r["source"]: r["sketch"] for r in twice.collect()}
     assert a == b
+
+
+def test_kmv_empty_input_yields_no_groups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").where(F.lit(False))
+    from datafusion_monoid_spark.operators.dedup import word_shingles
+    el = docs.select("source", F.explode(word_shingles("text")).alias("sh"))
+    assert sk.kmv_sketch(el, "source", "sh", k=16).count() == 0
+
+
+def test_kmv_merge_with_identity_is_noop(spark):
+    """Empty array is the monoid identity: merge(s, []) == s."""
+    df = spark.createDataFrame(
+        [([5, 9, 12],)], "sketch array<bigint>")
+    out = df.select(sk.kmv_merge(
+        F.col("sketch"), F.array().cast("array<bigint>"), k=8)
+        .alias("m")).collect()[0]["m"]
+    assert out == [5, 9, 12]
+
+
+def test_kmv_estimate_unsaturated_is_exact_count(spark):
+    df = spark.createDataFrame([([3, 7],)], "sketch array<bigint>")
+    assert df.select(sk.kmv_estimate(F.col("sketch"), k=8)
+                     .alias("e")).collect()[0]["e"] == 2
