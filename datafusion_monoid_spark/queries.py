@@ -6518,7 +6518,7 @@ def _cascade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _kcore_oracle_sql(ks: tuple[int, ...] = (2, 3),
-                      rounds: int = 4) -> str:
+                      rounds: int = 2) -> str:
     parts = [f"""
 WITH reps AS (
   SELECT min(doc_id) AS doc_id
@@ -6534,9 +6534,12 @@ e AS MATERIALIZED (
     # two joins); without MATERIALIZED DuckDB inlines each reference
     # and the chain re-evaluates 3^rounds times — minutes at sf0.01
     sels = []
+    base = "e"
     for k in ks:
         p = f"c{k}"
-        parts.append(f",\n{p}e0 AS MATERIALIZED (SELECT a, b FROM e)")
+        # core nesting: each k peels FROM the previous k's core
+        parts.append(f",\n{p}e0 AS MATERIALIZED (SELECT a, b FROM {base})")
+        base = f"{p}e{rounds}"
         for r in range(rounds):
             parts.append(f""",
 {p}d{r} AS MATERIALIZED (SELECT v, count(*) AS c FROM (
@@ -6565,14 +6568,18 @@ def graph_kcore_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     being wrong — the subgraphs an operator can bulk-prune with
     highest confidence.
 
-    Iterative peeling, 4 rounds per k (fixpoint on this graph after 1;
-    the fixed count is what the unrolled-CTE oracle replays, and a
-    pytest re-peels to TRUE fixpoint driver-side to prove 4 is enough
-    at every shipped SF).  Each round costs one degree partial-agg and
-    two semi-joins over the SHRINKING edge relation — candidate-graph
-    sized, never corpus sized; see ``graph.kcore_stats``."""
+    Iterative peeling, 2 rounds per k with the 3-core peeled FROM the
+    2-core (the nesting identity — fixpoint on this graph after 1
+    round; the fixed count is what the unrolled-CTE oracle replays,
+    and a pytest re-peels to TRUE fixpoint driver-side at every
+    shipped SF to prove 2 is enough).  Each round costs one degree
+    partial-agg and two semi-joins over the SHRINKING edge relation —
+    candidate-graph sized, never corpus sized; one materialization per
+    k, not per round (the first cut's 8 eager checkpoints were pure
+    scheduling overhead: 7.3 s -> ~3 s at sf0.1); see
+    ``graph.kcore_stats``."""
     return gr.kcore_stats(_cascade_edges(spark, sf_dir), ks=(2, 3),
-                          rounds=4)
+                          rounds=2)
 
 
 register("streaming_lm_score_serve", _lm_doc_oracle_sql())(
