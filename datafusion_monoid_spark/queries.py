@@ -6197,12 +6197,29 @@ def bloom_join_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.col("p_partkey")))
     bits = sorted(r.bit for r in
                   sk.bloom_build(dim, "k").collect())
-    bit_arr = F.array(*[F.lit(int(b)).cast("bigint") for b in bits])
+    # O(1) probes: pack the 1024 bits into 16 bigint words inlined as
+    # a literal array; each hash tests one word against a power-of-two
+    # mask.  array_contains over the set-bit list is O(bits_set) per
+    # probe, runs k times per fact row, and measured ~4x slower at
+    # sf0.1 — the probe constant IS this query.
+    words = [0] * (sk.BLOOM_M // 64)
+    for b in bits:
+        words[int(b) // 64] |= 1 << (int(b) % 64)
+
+    def _signed64(w: int) -> int:
+        return w - (1 << 64) if w >= (1 << 63) else w
+
+    word_arr = F.array(*[F.lit(_signed64(w)).cast("bigint")
+                         for w in words])
+    pow2_arr = F.array(*[F.lit(_signed64(1 << j)).cast("bigint")
+                         for j in range(64)])
     fkey = F.col("l_partkey").cast("string")
     pre = None
     for i in range(sk.BLOOM_K):
-        h = sk._cms_hash(fkey, i, sk.BLOOM_M)
-        c = F.array_contains(bit_arr, h)
+        h = sk._cms_hash(fkey, i, sk.BLOOM_M).cast("int")
+        word = F.element_at(word_arr, F.shiftright(h, 6) + F.lit(1))
+        mask = F.element_at(pow2_arr, h.bitwiseAND(F.lit(63)) + F.lit(1))
+        c = word.bitwiseAND(mask) != F.lit(0)
         pre = c if pre is None else (pre & c)
     li = _t(spark, sf_dir, "lineitem")
     flagged = (li.select("l_partkey", pre.cast("int").alias("pre"))
