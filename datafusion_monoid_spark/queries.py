@@ -3849,7 +3849,9 @@ def q12_late_shipments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 #: derived part-supplier relation: min unit cost (exact cents, floor-div
 #: by the integral quantity) per (partkey, suppkey) — the partsupp
-#: stand-in, shared by Q2/Q9.  DuckDB twin of _ps_cost().
+#: stand-in, shared by the Q2/Q9 oracles.  The Spark sides compute the
+#: same minima as window functions over pre-filtered lineitem — one
+#: shuffle, no derived-relation re-join (see each query's docstring).
 _PS_COST_SQL = """
 ps AS (
   SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -3857,18 +3859,6 @@ ps AS (
              // CAST(l_quantity AS BIGINT)) AS ps_cost_cents
   FROM lineitem GROUP BY l_partkey, l_suppkey
 )"""
-
-
-def _ps_cost(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _t(spark, sf_dir, "lineitem")
-    unit_cents = F.expr(
-        "CAST(round(l_extendedprice * 100) AS BIGINT)"
-        " DIV CAST(l_quantity AS BIGINT)")
-    return (li.select(F.col("l_partkey").alias("ps_partkey"),
-                      F.col("l_suppkey").alias("ps_suppkey"),
-                      unit_cents.alias("__unit"))
-            .groupBy("ps_partkey", "ps_suppkey")
-            .agg(F.min("__unit").alias("ps_cost_cents")))
 
 
 @register("q2_min_cost_supplier", f"""
@@ -3899,8 +3889,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     achieving the minimum derived supply cost — the correlated-min
     subquery decorrelated into a per-part min + equality join (the plan
     every engine rewrites Q2 into).  Suppliers/nation/region broadcast;
-    the derived ps relation aggregates lineitem once."""
-    ps = _ps_cost(spark, sf_dir)
+    the derived ps relation aggregates lineitem once.
+
+    Two shuffle economies over the naive decorrelation: (a) lineitem
+    is semi-filtered to EUROPE suppliers (broadcast) BEFORE the
+    (partkey, suppkey) aggregation, so the agg shuffle carries only
+    the qualifying region's fraction of the fact — the supplier filter
+    is per-suppkey, so per-group minima are unchanged; (b) the
+    per-part minimum is a WINDOW over the aggregated cost relation
+    (one shuffle on ps_partkey) instead of a groupBy + equality
+    re-join (two)."""
     eu = F.broadcast(
         _t(spark, sf_dir, "supplier")
         .join(F.broadcast(_t(spark, sf_dir, "nation")),
@@ -3909,13 +3907,24 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .where(F.col("r_name") == "EUROPE")),
               F.col("n_regionkey") == F.col("r_regionkey"))
         .select("s_suppkey", "s_name", "s_acctbal", "n_name"))
+    li = _t(spark, sf_dir, "lineitem")
+    unit_cents = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " DIV CAST(l_quantity AS BIGINT)")
+    ps = (li.join(F.broadcast(eu.select("s_suppkey")),
+                  F.col("l_suppkey") == F.col("s_suppkey"), "leftsemi")
+          .select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"),
+                  unit_cents.alias("__unit"))
+          .groupBy("ps_partkey", "ps_suppkey")
+          .agg(F.min("__unit").alias("ps_cost_cents")))
     cost = ps.join(eu, F.col("ps_suppkey") == F.col("s_suppkey"))
-    mn = cost.groupBy("ps_partkey").agg(F.min("ps_cost_cents").alias("min_cents"))
     p = F.broadcast(
         _t(spark, sf_dir, "part")
         .where((F.col("p_size") == 15) & F.col("p_type").like("%ONOMY")))
+    mn_w = Window.partitionBy("ps_partkey")
     return (
-        cost.join(mn, ["ps_partkey"])
+        cost.withColumn("min_cents", F.min("ps_cost_cents").over(mn_w))
         .where(F.col("ps_cost_cents") == F.col("min_cents"))
         .join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .select("p_partkey", "p_name", "s_name", "n_name",
@@ -3945,9 +3954,16 @@ GROUP BY n_name, o_year
 def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q9 shape: profit (revenue minus derived supply cost) per
     supplier nation per order year, for parts matching a name pattern.
-    The part filter prunes lineitem BEFORE the orders join (broadcast
-    part/supplier/nation); the ps cost relation joins on the same
-    (partkey, suppkey) the fact rows already carry."""
+    The part filter prunes lineitem BEFORE anything else (broadcast
+    part/supplier/nation); the derived per-(partkey, suppkey) supply
+    cost is a WINDOW min over the filtered fact rows — correct because
+    the part filter keeps or drops every row of a (partkey, suppkey)
+    group together — so lineitem is scanned ONCE and shuffled once on
+    the group key, instead of a second full scan + aggregate + a
+    composite-key shuffle join of fact against derived (that form
+    measured 2.1 s vs 1.2 s at sf0.1).  The orders join stays a real
+    shuffle join: at 100 TB orders is a fact table, never a
+    broadcast."""
     p = F.broadcast(_t(spark, sf_dir, "part")
                     .where(F.col("p_name").like("%red%"))
                     .select("p_partkey"))
@@ -3956,17 +3972,19 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.broadcast(_t(spark, sf_dir, "nation"))
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
-    ps = _ps_cost(spark, sf_dir)
+    unit_cents = F.expr(
+        "CAST(round(l_extendedprice * 100) AS BIGINT)"
+        " DIV CAST(l_quantity AS BIGINT)")
+    w = Window.partitionBy("l_partkey", "l_suppkey")
     amount = (F.round(F.col("l_extendedprice") * (1 - F.col("l_discount"))
                       * 100).cast("bigint")
               - F.col("ps_cost_cents")
               * F.col("l_quantity").cast("bigint"))
     return (
         li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+        .withColumn("ps_cost_cents", F.min(unit_cents).over(w))
         .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(n, F.col("n_nationkey") == F.col("s_nationkey"))
-        .join(ps, (F.col("ps_partkey") == F.col("l_partkey"))
-              & (F.col("ps_suppkey") == F.col("l_suppkey")))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .groupBy("n_name", F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(F.sum(amount).cast("bigint").alias("profit_cents"))
@@ -4089,11 +4107,10 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     size) over the derived part-supplier pairs, excluding an unwanted
     supplier set (negative balance = the complaints stand-in) via a
     broadcast ANTI join — the NOT IN rewrite that scales (NOT IN as a
-    non-broadcast subquery nulls-safe check would shuffle everything)."""
-    ps = (_t(spark, sf_dir, "lineitem")
-          .select(F.col("l_partkey").alias("ps_partkey"),
-                  F.col("l_suppkey").alias("ps_suppkey"))
-          .distinct())
+    non-broadcast subquery nulls-safe check would shuffle everything).
+    The part predicate and the supplier exclusion both semi/anti-filter
+    (broadcast, map-only) BELOW the distinct, so the dedup shuffle
+    carries only qualifying pairs."""
     p = F.broadcast(
         _t(spark, sf_dir, "part")
         .where((F.col("p_brand") != "Brand#1")
@@ -4101,9 +4118,15 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                & F.col("p_size").isin(1, 4, 7, 10, 15, 23, 45, 50)))
     bad = F.broadcast(_t(spark, sf_dir, "supplier")
                       .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    ps = (_t(spark, sf_dir, "lineitem")
+          .select(F.col("l_partkey").alias("ps_partkey"),
+                  F.col("l_suppkey").alias("ps_suppkey"))
+          .join(p.select("p_partkey"),
+                F.col("p_partkey") == F.col("ps_partkey"), "leftsemi")
+          .join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+          .distinct())
     return (
-        ps.join(bad, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
-        .join(p, F.col("p_partkey") == F.col("ps_partkey"))
+        ps.join(p, F.col("p_partkey") == F.col("ps_partkey"))
         .groupBy("p_brand", "p_type", F.col("p_size").cast("int").alias("p_size"))
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -4134,20 +4157,24 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q20 shape: suppliers whose 1996 shipments of pattern-named
     parts exceed half their all-time volume (the availqty-threshold
     stand-in, exact integer compare), restricted to one region — the
-    nested IN-chain as aggregate + semi joins."""
+    nested IN-chain as aggregate + semi joins.  The part-name filter
+    is per-partkey, so it semi-joins (broadcast) BELOW the
+    (partkey, suppkey) aggregation: the agg shuffle carries only the
+    pattern-matching fraction of the fact, with per-group sums
+    unchanged."""
     li = _t(spark, sf_dir, "lineitem")
     qty = F.col("l_quantity").cast("bigint")
     in96 = ((F.col("l_shipdate") >= "1996-01-01")
             & (F.col("l_shipdate") < "1997-01-01"))
-    pq = (li.groupBy("l_partkey", "l_suppkey")
-          .agg(F.sum(F.when(in96, qty).otherwise(0)).cast("bigint")
-               .alias("qty_1996"),
-               F.sum(qty).cast("bigint").alias("qty_all")))
     p = F.broadcast(_t(spark, sf_dir, "part")
                     .where(F.col("p_name").like("small%"))
                     .select("p_partkey"))
-    hot = (pq.join(p, F.col("p_partkey") == F.col("l_partkey"))
-           .where(F.col("qty_1996") * 2 > F.col("qty_all"))
+    pq = (li.join(p, F.col("p_partkey") == F.col("l_partkey"), "leftsemi")
+          .groupBy("l_partkey", "l_suppkey")
+          .agg(F.sum(F.when(in96, qty).otherwise(0)).cast("bigint")
+               .alias("qty_1996"),
+               F.sum(qty).cast("bigint").alias("qty_all")))
+    hot = (pq.where(F.col("qty_1996") * 2 > F.col("qty_all"))
            .select(F.col("l_suppkey").alias("suppkey")).distinct())
     s = (_t(spark, sf_dir, "supplier")
          .join(F.broadcast(_t(spark, sf_dir, "nation")),
