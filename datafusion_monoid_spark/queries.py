@@ -5603,27 +5603,40 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     division — both engines replay it bit-for-bit), reported above a
     minimum pair support.
 
-    Scale: the classic a-priori first pass.  Baskets are DISTINCT
-    (order, item) — one dedup shuffle; the pair generation is a
-    self-equi-join ON THE ORDER KEY, so fan-out is quadratic only in
-    per-basket item count (bounded by order size, ~7 here), never in
-    corpus size; per-item counts and the basket total are tiny
-    relations joined broadcast.  The support filter is the a-priori
-    prune that keeps the pair relation sparse at 100 TB."""
+    Scale: the classic a-priori first pass, in ONE shuffle of the fact:
+    each order's distinct item set is assembled with a single
+    ``groupBy(order).collect_set`` (the dedup IS the set), and pairs
+    are generated MAP-SIDE by exploding the in-array i<j combinations
+    of the sorted list — quadratic only in per-basket item count
+    (bounded by order size, ~7 here), never in corpus size, and never
+    a self-join (the previous self-equi-join on the order key
+    recomputed the dedup'd basket relation four times and shuffled it
+    twice more).  The small basket-list relation (one row per order)
+    is checkpointed and feeds the pair explode, the per-item counts,
+    and the basket total; per-item counts and the total join
+    broadcast.  The support filter is the a-priori prune that keeps
+    the pair relation sparse at 100 TB."""
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    baskets = (lineitem.join(F.broadcast(part),
-                             lineitem.l_partkey == part.p_partkey)
-               .select(F.col("l_orderkey").alias("ok"),
-                       F.col("p_brand").alias("item"))
-               .distinct())
-    n_b = baskets.select("ok").distinct().agg(
-        F.count(F.lit(1)).alias("n"))
-    item_n = baskets.groupBy("item").agg(F.count(F.lit(1)).alias("cnt"))
-    a = baskets.select(F.col("ok"), F.col("item").alias("item_a"))
-    b = baskets.select(F.col("ok").alias("ok_b"),
-                       F.col("item").alias("item_b"))
-    pairs = (a.join(b, (a.ok == b.ok_b) & (a.item_a < b.item_b))
+    lists = _track_ckpt(
+        lineitem.join(F.broadcast(part),
+                      lineitem.l_partkey == part.p_partkey)
+        .select(F.col("l_orderkey").alias("ok"),
+                F.col("p_brand").alias("item"))
+        .groupBy("ok")
+        .agg(F.sort_array(F.collect_set("item")).alias("its"))
+        .localCheckpoint(eager=True))
+    n_b = lists.agg(F.count(F.lit(1)).alias("n"))
+    item_n = (lists.select(F.explode("its").alias("item"))
+              .groupBy("item").agg(F.count(F.lit(1)).alias("cnt")))
+    combos = F.flatten(F.transform(
+        F.col("its"),
+        lambda x, i: F.transform(
+            F.slice(F.col("its"), i + 2,
+                    F.greatest(F.size(F.col("its")) - i - 1, F.lit(0))),
+            lambda y: F.struct(x.alias("item_a"), y.alias("item_b")))))
+    pairs = (lists.select(F.explode(combos).alias("p"))
+             .select("p.item_a", "p.item_b")
              .groupBy("item_a", "item_b")
              .agg(F.count(F.lit(1)).alias("pair_cnt")))
     ia = item_n.select(F.col("item").alias("item_a"),
@@ -5792,38 +5805,41 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-divisible mean ``(s - s%n)/n`` keep every step in BIGINT, so
     both engines produce identical drift values.
 
-    Scale: one posexplode partial-agg pass per half (the monoid
+    Scale: ONE posexplode partial-agg pass computes both halves'
+    per-(label, pos) sums as conditional aggregates (the monoid
     two-phase shape — the shuffle carries labels x dims rows, not
-    vectors), then a labels x dims join of two tiny centroid
-    relations.  At 100 TB the halves are separate partitions/snapshots
-    and the centroid relations are broadcast-sized by construction."""
+    vectors), so there is no per-half re-scan and no centroid
+    self-join; the per-label vector counts fall out of the same
+    relation (every vector contributes to every pos, so the pos-level
+    count IS the label's vector count).  At 100 TB the halves are
+    separate partitions/snapshots and the centroid relations are
+    broadcast-sized by construction."""
     e = _emb(spark, sf_dir)
+    is_old = F.col("vec_id") % 2 == 0
     q = e.select(
         F.col("label").cast("int").alias("label"),
-        F.when(F.col("vec_id") % 2 == 0, "old").otherwise("new")
-        .alias("half"),
+        is_old.alias("old"),
         F.posexplode(sim.quantize_micro("embedding")).alias("pos", "x"))
-    s = q.groupBy("label", "half", "pos").agg(
-        F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
-    m = s.select("label", "half", "pos",
-                 ((F.col("s") - F.col("s") % F.col("n")) / F.col("n"))
-                 .cast("bigint").alias("val"))
-    mo = m.where(F.col("half") == "old") \
-          .select("label", "pos", F.col("val").alias("vo"))
-    mn = m.where(F.col("half") == "new") \
-          .select("label", "pos", F.col("val").alias("vn"))
-    d = (mo.join(mn, ["label", "pos"])
-         .groupBy("label")
-         .agg(F.sum((F.col("vo") - F.col("vn"))
-                    * (F.col("vo") - F.col("vn"))).alias("drift_sq")))
-    c = (e.groupBy(F.col("label").cast("int").alias("label"))
-         .agg(F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
-              .cast("bigint").alias("n_old"),
-              F.sum(F.when(F.col("vec_id") % 2 == 0, 0).otherwise(1))
-              .cast("bigint").alias("n_new")))
-    return (c.join(d, "label")
-            .select("label", "n_old", "n_new",
-                    F.col("drift_sq").cast("bigint").alias("drift_sq")))
+    s = q.groupBy("label", "pos").agg(
+        F.sum(F.when(F.col("old"), F.col("x")).otherwise(0)).alias("s_o"),
+        F.sum(F.when(F.col("old"), 1).otherwise(0)).alias("n_o"),
+        F.sum(F.when(~F.col("old"), F.col("x")).otherwise(0)).alias("s_n"),
+        F.sum(F.when(~F.col("old"), 1).otherwise(0)).alias("n_n"))
+
+    def _mean(sc: str, nc: str) -> F.Column:
+        return ((F.col(sc) - F.col(sc) % F.col(nc)) / F.col(nc)) \
+            .cast("bigint")
+
+    m = s.select("label", "n_o", "n_n",
+                 _mean("s_o", "n_o").alias("vo"),
+                 _mean("s_n", "n_n").alias("vn"))
+    return (m.groupBy("label")
+            .agg(F.max("n_o").cast("bigint").alias("n_old"),
+                 F.max("n_n").cast("bigint").alias("n_new"),
+                 F.sum((F.col("vo") - F.col("vn"))
+                       * (F.col("vo") - F.col("vn")))
+                 .cast("bigint").alias("drift_sq"))
+            .select("label", "n_old", "n_new", "drift_sq"))
 
 
 _DPP_ORACLE = """

@@ -389,8 +389,11 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     bg_path, ctx_path = _qcat._fit_lm_persisted(spark, sf_dir,
                                                 overwrite=False)
-    bgc = spark.read.parquet(bg_path)
-    ctx = spark.read.parquet(ctx_path)
+    # cache the model relations: foreachBatch re-plans every micro-batch,
+    # and without this each batch re-reads the artifact parquet before
+    # re-building its broadcast
+    bgc = spark.read.parquet(bg_path).persist()
+    ctx = spark.read.parquet(ctx_path).persist()
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
@@ -433,6 +436,8 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_bigrams", "score_micro")
             .localCheckpoint(eager=True))
     finally:
+        bgc.unpersist()
+        ctx.unpersist()
         for d in (stage, sink):
             if d:
                 shutil.rmtree(d, ignore_errors=True)
