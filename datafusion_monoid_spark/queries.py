@@ -7645,6 +7645,146 @@ def embedding_abtt_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_abs_proj_micro")))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: BPE tokenizer — multi-round trainer + encode serve
+# ---------------------------------------------------------------------------
+
+from datafusion_monoid_spark.operators import bpe as bpem
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tok, cnt, seg): the weighted token vocabulary with initial
+    character segmentation — the ONE corpus-sized pass of BPE
+    training; every trainer round after this touches only this
+    model-sized relation."""
+    docs = _docs(spark, sf_dir)
+    return (docs.select(F.explode(dd.tokens("text")).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+            .select("tok", "cnt",
+                    bpem.padded_seg(F.col("tok")).alias("seg")))
+
+
+def _fit_bpe_persisted(spark: SparkSession, sf_dir: str,
+                       overwrite: bool = False) -> tuple[str, str]:
+    """Train the BPE merges and persist BOTH model artifacts — the
+    merge table and the final vocabulary segmentation (token ->
+    symbols) — as parquet; returns their paths.  Vocabulary-bounded
+    output, so a serve job broadcasts it (same contract as the LM and
+    IVF fits)."""
+    mpath = _artifact_path(sf_dir, "bpe_merges")
+    vpath = _artifact_path(sf_dir, "bpe_vocab_seg")
+    src = f"{sf_dir}/documents.parquet"
+    if (not overwrite and _artifact_fresh(mpath, src)
+            and _artifact_fresh(vpath, src)):
+        return mpath, vpath
+    merges, fin = bpem.train(_bpe_vocab(spark, sf_dir))
+    merges.coalesce(1).write.mode("overwrite").parquet(mpath)
+    fin.coalesce(1).write.mode("overwrite").parquet(vpath)
+    return mpath, vpath
+
+
+def _bpe_ctes(rounds: int = bpem.BPE_ROUNDS) -> str:
+    """Unrolled BPE trainer rounds as chained CTEs — the tokenizer
+    twin of ``_kmeans_ctes``.  Ends at ``bv{rounds}`` (the final
+    vocabulary segmentation) with each round's winning merge in
+    ``bm{r}``; composable.  MATERIALIZED on the per-round vocabulary
+    (referenced by both the next round and the pair count) and on the
+    1-row merge — the same inline-re-evaluation economics as the
+    k-core oracle."""
+    seg0 = bpem.PADDED_SEG_SQL.format(tok="tok")
+    parts = [f"""bv0 AS MATERIALIZED (
+  SELECT tok, cnt, {seg0} AS seg FROM (
+    SELECT t AS tok, count(*) AS cnt FROM (
+      SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t))"""]
+    for r in range(rounds):
+        parts.append(f""",
+bp{r} AS (SELECT x, y, sum(cnt) AS c FROM (
+    SELECT cnt,
+           unnest(list_transform(range(1, len(s)), i -> s[i])) AS x,
+           unnest(list_transform(range(1, len(s)), i -> s[i + 1])) AS y
+    FROM (SELECT cnt, string_split(trim(seg), '  ') AS s FROM bv{r}))
+  GROUP BY x, y),
+bm{r} AS MATERIALIZED (SELECT x, y, c FROM bp{r}
+                       ORDER BY c DESC, x, y LIMIT 1),
+bv{r + 1} AS MATERIALIZED (
+  SELECT tok, cnt,
+         replace(seg, ' ' || x || '  ' || y || ' ',
+                 ' ' || x || y || ' ') AS seg
+  FROM bv{r} CROSS JOIN bm{r})""")
+    return "".join(parts)
+
+
+def _bpe_train_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:
+    sels = [f"""SELECT CAST({r + 1} AS INTEGER) AS rk,
+       x AS left_sym, y AS right_sym, CAST(c AS BIGINT) AS pair_cnt
+FROM bm{r}""" for r in range(rounds)]
+    return f"WITH {_bpe_ctes(rounds)}\n" + "\nUNION ALL ".join(sels)
+
+
+@register("bpe_train_merges", _bpe_train_oracle_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE TRAINER (Sennrich et al. 2016) — the multi-round
+    companion of `bpe_top_merges` (which computes one round of
+    candidates): learn the 6 highest-value merges, where each round
+    re-counts adjacent symbol pairs over the merged vocabulary, so
+    later rounds merge the OUTPUTS of earlier ones (subword units
+    grow).  Returns the ordered merge table — the tokenizer model.
+
+    Scale: the corpus contributes exactly ONE shuffle (the token
+    vocabulary build); every round is vocabulary-sized — a pair-count
+    partial agg, a top-1 TakeOrdered, and a map-only replace against
+    the 1-row merge broadcast (see ``operators/bpe.py`` for the
+    doubled-delimiter representation that makes one replace() pass
+    equal greedy BPE application in both engines).  Both model
+    artifacts persist for the serve half (`bpe_encode_stats`)."""
+    mpath, _ = _fit_bpe_persisted(spark, sf_dir)
+    return (spark.read.parquet(mpath)
+            .select("rk", "left_sym", "right_sym", "pair_cnt"))
+
+
+def _bpe_encode_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:
+    return f"""
+WITH {_bpe_ctes(rounds)},
+model AS (SELECT tok, len(string_split(trim(seg), '  ')) AS n_sym
+          FROM bv{rounds}),
+corpus AS (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       CAST((sum(n_sym) * 1000000 - (sum(n_sym) * 1000000) % count(*))
+            / count(*) AS BIGINT) AS avg_symbols_micro
+FROM corpus JOIN model USING (tok) GROUP BY source
+"""
+
+
+@register("bpe_encode_stats", _bpe_encode_oracle_sql())
+def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BPE SERVE half: encode the corpus under the trained merges
+    and report per-source token/symbol totals and mean symbols per
+    token (micro-units) — the sequence-length accounting a packing or
+    cost model runs before training (fewer symbols per token = the
+    vocabulary compressing that source better).
+
+    Scale: the model is the persisted (token -> symbol count) table —
+    vocabulary-bounded, BROADCAST to the corpus token stream; encoding
+    is one map-side join + one partial agg, no shuffle of text.  A new
+    corpus batch would left-join with a character-count fallback for
+    OOV tokens; here corpus == training corpus, so the join is
+    complete by construction."""
+    _, vpath = _fit_bpe_persisted(spark, sf_dir)
+    model = (spark.read.parquet(vpath)
+             .select("tok", F.size(bpem.seg_symbols(F.col("seg")))
+                     .alias("n_sym")))
+    corpus = _docs(spark, sf_dir).select(
+        "source", F.explode(dd.tokens("text")).alias("tok"))
+    n = F.count(F.lit(1))
+    return (corpus.join(F.broadcast(model), "tok")
+            .groupBy("source")
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 F.sum("n_sym").cast("bigint").alias("n_symbols"),
+                 _idiv(F.sum("n_sym") * 1_000_000, n)
+                 .alias("avg_symbols_micro")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
