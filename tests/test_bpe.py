@@ -90,6 +90,19 @@ def test_encode_stats_conservation(spark):
         assert r["avg_symbols_micro"] >= 1_000_000
 
 
+def test_encode_serve_plan_is_broadcast_map_side(spark):
+    """The serve half must join the vocabulary model BROADCAST (the
+    model is vocabulary-bounded by construction) — a shuffle join here
+    would move the corpus token stream for a model-sized side."""
+    from datafusion_monoid_spark import queries as q
+
+    df = q.catalog()["bpe_encode_stats"][0](spark, SF001)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_trainer_matches_catalog_top_merge(spark):
     """Round 1 of the real trainer must agree with bpe_top_merges'
     rank-1 candidate (same corpus, same weighting)."""
