@@ -7652,12 +7652,24 @@ def embedding_abtt_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 from datafusion_monoid_spark.operators import bpe as bpem
 
 
-def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+#: the arriving-batch split of the incremental encode entry: documents
+#: with doc_id % MOD == 0 are "today's batch" (the
+#: dedup_incremental_newbatch convention — 11 is coprime with the
+#: source-blocked id layout, so the batch spans every source); the
+#: model trains on the rest (the standing corpus)
+_BPE_NEWBATCH_MOD = 11
+
+
+def _bpe_vocab(spark: SparkSession, sf_dir: str,
+               holdout: bool = False) -> DataFrame:
     """(tok, cnt, seg): the weighted token vocabulary with initial
     character segmentation — the ONE corpus-sized pass of BPE
     training; every trainer round after this touches only this
-    model-sized relation."""
+    model-sized relation.  ``holdout`` trains on the standing corpus
+    only (the arriving batch excluded)."""
     docs = _docs(spark, sf_dir)
+    if holdout:
+        docs = docs.where(F.col("doc_id") % _BPE_NEWBATCH_MOD != 0)
     return (docs.select(F.explode(dd.tokens("text")).alias("tok"))
             .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
             .select("tok", "cnt",
@@ -7665,25 +7677,27 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _fit_bpe_persisted(spark: SparkSession, sf_dir: str,
-                       overwrite: bool = False) -> tuple[str, str]:
+                       overwrite: bool = False,
+                       holdout: bool = False) -> tuple[str, str]:
     """Train the BPE merges and persist BOTH model artifacts — the
     merge table and the final vocabulary segmentation (token ->
     symbols) — as parquet; returns their paths.  Vocabulary-bounded
     output, so a serve job broadcasts it (same contract as the LM and
     IVF fits)."""
-    mpath = _artifact_path(sf_dir, "bpe_merges")
-    vpath = _artifact_path(sf_dir, "bpe_vocab_seg")
+    tag = "_hold" if holdout else ""
+    mpath = _artifact_path(sf_dir, f"bpe_merges{tag}")
+    vpath = _artifact_path(sf_dir, f"bpe_vocab_seg{tag}")
     src = f"{sf_dir}/documents.parquet"
     if (not overwrite and _artifact_fresh(mpath, src)
             and _artifact_fresh(vpath, src)):
         return mpath, vpath
-    merges, fin = bpem.train(_bpe_vocab(spark, sf_dir))
+    merges, fin = bpem.train(_bpe_vocab(spark, sf_dir, holdout=holdout))
     merges.coalesce(1).write.mode("overwrite").parquet(mpath)
     fin.coalesce(1).write.mode("overwrite").parquet(vpath)
     return mpath, vpath
 
 
-def _bpe_ctes(rounds: int = bpem.BPE_ROUNDS) -> str:
+def _bpe_ctes(rounds: int = bpem.BPE_ROUNDS, where: str = "") -> str:
     """Unrolled BPE trainer rounds as chained CTEs — the tokenizer
     twin of ``_kmeans_ctes``.  Ends at ``bv{rounds}`` (the final
     vocabulary segmentation) with each round's winning merge in
@@ -7695,7 +7709,7 @@ def _bpe_ctes(rounds: int = bpem.BPE_ROUNDS) -> str:
     parts = [f"""bv0 AS MATERIALIZED (
   SELECT tok, cnt, {seg0} AS seg FROM (
     SELECT t AS tok, count(*) AS cnt FROM (
-      SELECT unnest({_TOKS}) AS t FROM documents) GROUP BY t))"""]
+      SELECT unnest({_TOKS}) AS t FROM documents {where}) GROUP BY t))"""]
     for r in range(rounds):
         parts.append(f""",
 bp{r} AS (SELECT x, y, sum(cnt) AS c FROM (
@@ -7780,6 +7794,87 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (corpus.join(F.broadcast(model), "tok")
             .groupBy("source")
             .agg(n.cast("bigint").alias("n_tokens"),
+                 F.sum("n_sym").cast("bigint").alias("n_symbols"),
+                 _idiv(F.sum("n_sym") * 1_000_000, n)
+                 .alias("avg_symbols_micro")))
+
+
+def _bpe_newbatch_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:
+    mod = _BPE_NEWBATCH_MOD
+    seg0 = bpem.PADDED_SEG_SQL.format(tok="tok")
+    nvs = "".join(f""",
+nv{r + 1} AS MATERIALIZED (
+  SELECT tok, replace(seg, ' ' || x || '  ' || y || ' ',
+                      ' ' || x || y || ' ') AS seg
+  FROM nv{r} CROSS JOIN bm{r})""" for r in range(rounds))
+    return f"""
+WITH {_bpe_ctes(rounds, where=f"WHERE doc_id % {mod} <> 0")},
+nb AS (SELECT source, unnest({_TOKS}) AS tok FROM documents
+       WHERE doc_id % {mod} = 0),
+nv0 AS (SELECT tok, {seg0} AS seg FROM (SELECT DISTINCT tok FROM nb)){nvs},
+model AS (SELECT nv.tok, len(string_split(trim(nv.seg), '  ')) AS n_sym,
+                 CASE WHEN ov.tok IS NULL THEN 1 ELSE 0 END AS oov
+          FROM nv{rounds} nv
+          LEFT JOIN (SELECT DISTINCT tok FROM bv0) ov ON nv.tok = ov.tok)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(oov) AS BIGINT) AS n_oov_tokens,
+       CAST(sum(n_sym) AS BIGINT) AS n_symbols,
+       CAST((sum(n_sym) * 1000000 - (sum(n_sym) * 1000000) % count(*))
+            / count(*) AS BIGINT) AS avg_symbols_micro
+FROM nb JOIN model USING (tok) GROUP BY source
+"""
+
+
+@register("bpe_encode_newbatch", _bpe_newbatch_oracle_sql())
+def bpe_encode_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental BPE serve — encode an ARRIVING batch (doc_id %
+    11 == 0, the daily-ingest stand-in) under merges trained on the
+    STANDING corpus only, without retraining: the learned merge table
+    fully determines any token's segmentation (including
+    out-of-vocabulary tokens — they char-segment and take whatever
+    merges apply), so serving is a FOLD of the 6 persisted merges over
+    the batch's distinct tokens.  Reports per-source token/OOV/symbol
+    accounting — the coverage signal that tells an operator when the
+    tokenizer needs refitting (rising OOV share = vocabulary drift).
+
+    Scale: the merge artifact is 6 rows (crossJoin broadcast); the
+    fold runs over the batch's DISTINCT tokens (vocabulary-sized, one
+    dedup shuffle of the batch — never the corpus), the OOV check is a
+    broadcast left join against the persisted trained vocabulary, and
+    the batch token stream joins the resulting per-token model
+    broadcast — one partial agg, no retrain, no corpus access at all
+    (mirrors `kmv_incremental_merge` and `dedup_incremental_newbatch`:
+    ingest work is batch-sized)."""
+    mpath, vpath = _fit_bpe_persisted(spark, sf_dir, holdout=True)
+    marr = (spark.read.parquet(mpath)
+            .agg(F.array_sort(F.collect_list(
+                F.struct("rk", "left_sym", "right_sym"))).alias("ms")))
+    nb = (_docs(spark, sf_dir)
+          .where(F.col("doc_id") % _BPE_NEWBATCH_MOD == 0)
+          .select("source", F.explode(dd.tokens("text")).alias("tok")))
+    seg = F.aggregate(
+        F.col("ms"), bpem.padded_seg(F.col("tok")),
+        lambda acc, m: F.replace(
+            acc,
+            F.concat(F.lit(" "), m["left_sym"], F.lit("  "),
+                     m["right_sym"], F.lit(" ")),
+            F.concat(F.lit(" "), m["left_sym"], m["right_sym"],
+                     F.lit(" "))))
+    old_vocab = spark.read.parquet(vpath).select("tok")
+    model = (nb.select("tok").distinct()
+             .crossJoin(F.broadcast(marr))
+             .select("tok",
+                     F.size(bpem.seg_symbols(seg)).alias("n_sym"))
+             .join(F.broadcast(old_vocab.withColumn("__in", F.lit(1))),
+                   "tok", "left")
+             .select("tok", "n_sym",
+                     F.when(F.col("__in").isNull(), 1).otherwise(0)
+                     .alias("oov")))
+    n = F.count(F.lit(1))
+    return (nb.join(F.broadcast(model), "tok")
+            .groupBy("source")
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 F.sum("oov").cast("bigint").alias("n_oov_tokens"),
                  F.sum("n_sym").cast("bigint").alias("n_symbols"),
                  _idiv(F.sum("n_sym") * 1_000_000, n)
                  .alias("avg_symbols_micro")))

@@ -103,6 +103,19 @@ def test_encode_serve_plan_is_broadcast_map_side(spark):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_newbatch_oov_accounting(spark):
+    """Incremental encode: OOV counts bounded by token counts, and a
+    token is always at least one symbol (the char fallback makes OOV
+    tokens encodable, never dropped)."""
+    from datafusion_monoid_spark import queries as q
+
+    rows = q.catalog()["bpe_encode_newbatch"][0](spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_oov_tokens"] <= r["n_tokens"]
+        assert r["n_symbols"] >= r["n_tokens"] > 0
+
+
 def test_trainer_matches_catalog_top_merge(spark):
     """Round 1 of the real trainer must agree with bpe_top_merges'
     rank-1 candidate (same corpus, same weighting)."""
