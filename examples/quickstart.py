@@ -181,6 +181,15 @@ def main() -> None:
     print("one-pass column profile of orders:")
     prof.orderBy("column_name").show(truncate=False)
 
+    merges = cat["bpe_train_merges"][0](spark, SF_DIR)
+    print("BPE merges learned (later rounds build on earlier ones):")
+    merges.orderBy("rk").show(truncate=False)
+
+    enc = cat["bpe_encode_newbatch"][0](spark, SF_DIR)
+    print("arriving batch encoded under the standing-corpus tokenizer"
+          " (OOV share = the refit signal):")
+    enc.orderBy("source").show(3)
+
     spark.stop()
 
 

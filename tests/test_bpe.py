@@ -103,6 +103,21 @@ def test_encode_serve_plan_is_broadcast_map_side(spark):
     assert "ShuffledHashJoin" not in plan
 
 
+def test_segmentation_reconstructs_every_token(spark):
+    """Lossless-ness: after any number of merge rounds, the symbols of
+    every vocabulary entry concatenate back to the original token —
+    merging only moves boundaries, never characters."""
+    from datafusion_monoid_spark import queries as q
+
+    vocab = q._bpe_vocab(spark, SF001)
+    _, fin = bpe.train(vocab, rounds=3)
+    bad = (fin.select(
+        "tok",
+        F.concat_ws("", bpe.seg_symbols(F.col("seg"))).alias("re"))
+        .where(F.col("tok") != F.col("re")).count())
+    assert bad == 0
+
+
 def test_newbatch_oov_accounting(spark):
     """Incremental encode: OOV counts bounded by token counts, and a
     token is always at least one symbol (the char fallback makes OOV
