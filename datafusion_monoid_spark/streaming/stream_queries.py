@@ -394,7 +394,10 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # re-building its broadcast
     bgc = spark.read.parquet(bg_path).persist()
     ctx = spark.read.parquet(ctx_path).persist()
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # stage only what scoring reads — the arriving stream carries
+    # (doc_id, source, text), not the full document schema
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text"))
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
@@ -467,7 +470,9 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datafusion_monoid_spark.operators import sketch as _sk
 
     k = _qcat._KMV_K
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # stage only what sketching reads — (source, text)
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("source", "text"))
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
     stage = sink = None
