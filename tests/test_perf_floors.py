@@ -93,6 +93,14 @@ CEILINGS = {
     # Gram build is the only corpus-sized stage; 4096-group partial agg
     "embedding_pca_power": 8.0,
     "curation_dsir_weights": 8.0,
+    # third-session round-6 entries (~4x quiet sf0.01 best-of-3).
+    # k-core and the BPE serves read persisted artifacts (cascade /
+    # merge table) — best-of-3 measures the serve path; a blown
+    # ceiling means the per-call rebuild came back
+    "graph_kcore_sizes": 12.0,
+    "bpe_train_merges": 4.0,
+    "bpe_encode_stats": 5.0,
+    "bpe_encode_newbatch": 6.0,
 }
 
 pytestmark = pytest.mark.skipif(
