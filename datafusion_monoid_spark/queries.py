@@ -7880,6 +7880,26 @@ def bpe_encode_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_symbols_micro")))
 
 
+def _bpe_doc_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:
+    """Per-document encode accounting — the batch twin of the
+    streaming BPE serve (documents with zero tokens produce no rows,
+    matching the stream's inner join)."""
+    return f"""
+WITH {_bpe_ctes(rounds)},
+model AS (SELECT tok, len(string_split(trim(seg), '  ')) AS n_sym
+          FROM bv{rounds}),
+corpus AS (SELECT doc_id, source, unnest({_TOKS}) AS tok
+           FROM documents)
+SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_sym) AS BIGINT) AS n_symbols
+FROM corpus JOIN model USING (tok) GROUP BY doc_id, source
+"""
+
+
+register("streaming_bpe_encode_serve", _bpe_doc_oracle_sql())(
+    sq.streaming_bpe_encode_serve)
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

@@ -447,6 +447,91 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def streaming_bpe_encode_serve(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """Streaming BPE ENCODE serve: documents arrive as micro-batches
+    and are encoded under the PERSISTED tokenizer model — the
+    tokenize-and-count inference loop of a production ingest, the
+    tokenizer twin of `streaming_lm_score_serve`.  The model (token ->
+    symbol count, vocabulary-bounded) joins each micro-batch as a
+    BROADCAST; serving is STATELESS — the model carries all the state.
+
+    Each document lands in exactly one micro-batch and its symbol
+    accounting depends only on (its own tokens, the static model), so
+    the union of per-batch results equals the batch computation — the
+    per-doc batch twin is this entry's DuckDB oracle, full hash check.
+    Sink writes are idempotent per epoch (batch_id-keyed overwrite).
+    Documents with zero tokens produce no rows (inner-join semantics,
+    shared with the oracle); OOV is impossible here because the model
+    trains on the same corpus — the arriving-batch entry
+    (`bpe_encode_newbatch`) covers the OOV path."""
+    import tempfile as _tf
+
+    from datafusion_monoid_spark import queries as _qcat
+    from datafusion_monoid_spark.operators import bpe as _bpe
+    from datafusion_monoid_spark.operators import dedup as _dd
+
+    _, vpath = _qcat._fit_bpe_persisted(spark, sf_dir)
+    # cache the model: foreachBatch re-plans every micro-batch, and
+    # without this each batch re-reads the artifact parquet before
+    # re-building its broadcast
+    model = (spark.read.parquet(vpath)
+             .select("tok", F.size(_bpe.seg_symbols(F.col("seg")))
+                     .alias("n_sym"))).persist()
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _tf.mkdtemp(prefix="bpe_docs_", dir=_CKPT_ROOT or None)
+        sink = _tf.mkdtemp(prefix="bpe_counts_", dir=_CKPT_ROOT or None)
+        # 4 arrival files -> 4 micro-batches
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+        dstream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def encode_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # one-file micro-batch = one split: repartition before the
+            # tokenize explode or it runs one-core (the r3 finding)
+            toks = (batch_df.repartition(STREAM_SHUFFLE)
+                    .select("doc_id", "source",
+                            F.explode(_dd.tokens("text")).alias("tok")))
+            (toks.join(F.broadcast(model), "tok")
+             .groupBy("doc_id", "source")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                  F.sum("n_sym").cast("bigint").alias("n_symbols"))
+             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
+
+        ckpt = _ckpt_dir("streaming_bpe_encode_serve")
+        q = (dstream.writeStream.foreachBatch(encode_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            prog = q.recentProgress
+            LAST_STREAM_METRICS["streaming_bpe_encode_serve"] = {
+                "processing_sec": round(sum(
+                    (p.get("durationMs") or {}).get("triggerExecution", 0)
+                    for p in prog) / 1000.0, 3),
+                "batches": len(prog),
+            }
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return _qcat._track_ckpt(
+            spark.read.option("recursiveFileLookup", "true").parquet(sink)
+            .select("doc_id", "source", "n_tokens", "n_symbols")
+            .localCheckpoint(eager=True))
+    finally:
+        model.unpersist()
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming DISTINCT-cardinality maintenance — the always-on twin
     of the KMV batch build: documents arrive as micro-batches (file

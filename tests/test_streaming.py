@@ -372,6 +372,38 @@ def test_streaming_ann_serve_equals_batch_search(spark):
     assert key(served) == key(batch)
 
 
+def test_streaming_bpe_serve_equals_batch_encode(spark):
+    """The streamed tokenizer serve (per-micro-batch encode against
+    the persisted merge model) must equal the batch encode per
+    document — stream==batch for a stateless serve — and must actually
+    stream (multiple micro-batches)."""
+    from pyspark.sql import functions as F
+
+    from datafusion_monoid_spark import queries as qcat
+    from datafusion_monoid_spark.operators import bpe, dedup as dd
+    from datafusion_monoid_spark.streaming import stream_queries as sq
+
+    cat = qcat.catalog()
+    served = cat["streaming_bpe_encode_serve"][0](spark, SF).collect()
+    met = sq.LAST_STREAM_METRICS["streaming_bpe_encode_serve"]
+    assert met["batches"] >= 2, met
+    _, vpath = qcat._fit_bpe_persisted(spark, SF)
+    model = (spark.read.parquet(vpath)
+             .select("tok", F.size(bpe.seg_symbols(F.col("seg")))
+                     .alias("n_sym")))
+    batch = (qcat._docs(spark, SF)
+             .select("doc_id", "source",
+                     F.explode(dd.tokens("text")).alias("tok"))
+             .join(F.broadcast(model), "tok")
+             .groupBy("doc_id", "source")
+             .agg(F.count(F.lit(1)).alias("n_tokens"),
+                  F.sum("n_sym").alias("n_symbols"))).collect()
+    key = lambda rows: sorted(
+        (r["doc_id"], r["source"], r["n_tokens"], r["n_symbols"])
+        for r in rows)
+    assert key(served) == key(batch)
+
+
 def test_streaming_rollup_maintenance_equals_batch_recompute(spark):
     """The streamed materialized view (per-batch partials appended,
     merged on read) must equal the full batch recompute row-for-row,
