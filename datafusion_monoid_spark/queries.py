@@ -5602,16 +5602,18 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     are generated MAP-SIDE by exploding the in-array i<j combinations
     of the sorted list — quadratic only in per-basket item count
     (bounded by order size, ~7 here), never in corpus size, and never
-    a self-join (the previous self-equi-join on the order key
-    recomputed the dedup'd basket relation four times and shuffled it
-    twice more).  The basket-list relation feeds the pair explode,
-    the per-item counts, and the basket total from ONE shuffle —
-    Catalyst's ReusedExchange shares the collect_set exchange across
-    all three consumers (plan-verified; an eager checkpoint here
-    measured 20x slower by serializing an extra materialization job).
-    Per-item counts and the total join broadcast.  The support filter
-    is the a-priori prune that keeps the pair relation sparse at
-    100 TB."""
+    a self-join.  The basket-list relation feeds the pair explode,
+    the per-item counts, and the basket total from ONE exchange —
+    Catalyst's ReusedExchange shares the collect_set shuffle across
+    all three consumers (plan-verified; an eager checkpoint here only
+    serialized an extra materialization job for the same reuse).
+    Local cost matches the previous distinct + self-equi-join form
+    (~2 s at sf0.1 — the collect_set pays ObjectHashAggregate's
+    sort-based fallback, the join form pays the re-key), but at scale
+    this form shuffles the fact ONCE, where the join form re-keys the
+    dedup'd relation onto the order key for both join sides.  Per-item
+    counts and the total join broadcast.  The support filter is the
+    a-priori prune that keeps the pair relation sparse at 100 TB."""
     lineitem = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
     lists = (
