@@ -101,6 +101,7 @@ CEILINGS = {
     "bpe_train_merges": 4.0,
     "bpe_encode_stats": 5.0,
     "bpe_encode_newbatch": 6.0,
+    "streaming_bpe_encode_serve": 16.0,
 }
 
 pytestmark = pytest.mark.skipif(
