@@ -319,3 +319,48 @@ def test_abtt_final_pass_has_no_shuffle_joins(spark, catalog):
     p = _explain(catalog["embedding_abtt_whiten"][0](spark, SF),
                  "simple")
     assert "SortMergeJoin" not in p
+
+
+def test_q9_derived_cost_is_window_over_filtered_fact(spark, catalog):
+    """Q9's per-(partkey, suppkey) supply cost must be a WINDOW over
+    the part-filtered lineitem — one scan, one shuffle on the group
+    key — not a second full-fact aggregate joined back on the
+    composite key.  Dims stay broadcast."""
+    p = _explain(catalog["q9_product_profit"][0](spark, SF), "simple")
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_q2_min_cost_is_window_not_rejoin(spark, catalog):
+    """Q2's per-part minimum must be a window over the aggregated cost
+    relation (one shuffle on ps_partkey), not a groupBy + equality
+    re-join; EUROPE filtering must happen via broadcast semi BELOW the
+    aggregation."""
+    p = _explain(catalog["q2_min_cost_supplier"][0](spark, SF),
+                 "simple")
+    assert "Window" in p
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "SortMergeJoin" not in p
+
+
+def test_drift_single_pass_no_self_join(spark, catalog):
+    """Embedding drift must compute both corpus halves as conditional
+    aggregates of ONE posexplode pass: exactly two exchanges
+    ((label, pos) then label), zero joins of any kind."""
+    p = _explain(catalog["embedding_drift_by_label"][0](spark, SF),
+                 "simple")
+    assert p.count("Exchange hashpartitioning") == 2
+    assert "Join" not in p
+
+
+def test_basket_consumers_reuse_one_exchange(spark, catalog):
+    """The basket-list relation's three consumers (pair explode, item
+    counts, basket total) must share the collect_set exchange via
+    ReusedExchange — the fact shuffles once.  AQE inserts the reuse at
+    runtime, so the FINAL (executed) plan is what must show it."""
+    df = catalog["basket_pair_lift"][0](spark, SF)
+    df.collect()   # a noop write clones the plan; collect() finalizes
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    assert "SortMergeJoin" not in p
