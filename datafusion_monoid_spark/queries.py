@@ -7902,6 +7902,135 @@ register("streaming_bpe_encode_serve", _bpe_doc_oracle_sql())(
     sq.streaming_bpe_encode_serve)
 
 
+# ---------------------------------------------------------------------------
+# Round 6: curation filter funnel + vocabulary drift
+# ---------------------------------------------------------------------------
+
+_FUNNEL_ORACLE = f"""
+WITH t AS (
+  SELECT source, lang, text, {_NORM} AS norm, {_TOKS} AS toks
+  FROM documents
+),
+f AS (
+  SELECT source, toks,
+         (lang = 'en') AS s1,
+         (length(text) BETWEEN 120 AND 20000) AS s2,
+         (len(toks) >= 20) AS s3,
+         (length(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) * 20
+            <= greatest(length(text), 1)) AS s4,
+         (len(list_filter(toks, t -> list_contains(
+             ['the','and','of','to','a','in','is','that'], t))) * 25
+            >= greatest(len(toks), 1)) AS s5
+  FROM t
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lang,
+       CAST(sum(CASE WHEN s1 AND s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+       CAST(sum(CASE WHEN s1 AND s2 AND s3 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_tok,
+       CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_punct,
+       CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 AND s5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clean,
+       CAST(sum(CASE WHEN s1 AND s2 AND s3 AND s4 AND s5
+                     THEN len(toks) ELSE 0 END) AS BIGINT)
+         AS clean_tokens
+FROM f GROUP BY source
+"""
+
+
+@register("curation_filter_funnel", _FUNNEL_ORACLE)
+def curation_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter FUNNEL report — the acceptance accounting a curation
+    pipeline publishes per ingest: for each source, how many documents
+    survive each cumulative filter stage (language -> length -> token
+    floor -> punctuation soup -> stopword presence), plus the
+    surviving token budget.  Which stage eats a source's documents is
+    the FIRST operational question when a mix target is missed; the
+    cumulative (not independent) counts are what an operator needs to
+    re-order or re-tune stages.
+
+    Scale: every stage is a scalar expression on the row — the whole
+    funnel is ONE map-only scan and ONE partial aggregation on source;
+    thresholds compare in cross-multiplied exact integers (punct * 20
+    <= chars, stopwords * 25 >= tokens), so no float ratio sits in the
+    gate and both engines agree bit-for-bit."""
+    d = _docs(spark, sf_dir)
+    norm = dd.normalize_text("text")
+    toks = dd.tokens("text")
+    en = tx.LANG_MARKERS["en"]
+    s1 = F.col("lang") == "en"
+    s2 = F.length("text").between(120, 20000)
+    s3 = F.size(toks) >= 20
+    s4 = (F.length(F.regexp_replace(norm, r"[a-z0-9 ]", "")) * 20
+          <= F.greatest(F.length("text"), F.lit(1)))
+    s5 = (F.size(F.filter(toks, lambda t: t.isin(*en))) * 25
+          >= F.greatest(F.size(toks), F.lit(1)))
+    stages = [s1, s1 & s2, s1 & s2 & s3, s1 & s2 & s3 & s4,
+              s1 & s2 & s3 & s4 & s5]
+    names = ["n_lang", "n_len", "n_tok", "n_punct", "n_clean"]
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    aggs += [F.sum(c.cast("int")).cast("bigint").alias(n)
+             for c, n in zip(stages, names)]
+    aggs.append(F.sum(F.when(stages[-1], F.size(toks)).otherwise(0))
+                .cast("bigint").alias("clean_tokens"))
+    return d.groupBy("source").agg(*aggs)
+
+
+_VOCAB_DRIFT_K = 20
+
+_VOCAB_DRIFT_ORACLE = f"""
+WITH occ AS (
+  SELECT unnest({_TOKS}) AS tok, doc_id % {_BPE_NEWBATCH_MOD} = 0 AS is_new
+  FROM documents
+),
+c AS (SELECT tok,
+             CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT) AS c_old,
+             CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS c_new
+      FROM occ GROUP BY tok),
+tot AS (SELECT sum(c_old) AS n_old, sum(c_new) AS n_new FROM c)
+SELECT tok, c_old, c_new,
+       CAST(abs(c_new * n_old - c_old * n_new) AS BIGINT) AS drift_x
+FROM c CROSS JOIN tot
+ORDER BY drift_x DESC, tok LIMIT {_VOCAB_DRIFT_K}
+"""
+
+
+@register("vocab_drift_topk", _VOCAB_DRIFT_ORACLE)
+def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary drift between the standing corpus and the arriving
+    batch (the `bpe_encode_newbatch` split): the tokens whose relative
+    frequency moved most, ranked by the cross-multiplied exact-integer
+    divergence ``|c_new * N_old - c_old * N_new|`` — zero iff the
+    token's share is identical in both slices, no float division in
+    the ranking.  The companion signal to the OOV share: OOV says the
+    tokenizer is missing words; drift says the MIX changed (topic or
+    source composition shift) even where coverage holds.
+
+    Scale: one corpus scan -> one (token) partial agg with both
+    slices as conditional sums; the totals aggregate the SAME grouped
+    relation (ReusedExchange shares the shuffle) and ride a 1-row
+    broadcast; ranking is TakeOrderedAndProject — per-partition top-k,
+    never a global sort."""
+    occ = _docs(spark, sf_dir).select(
+        F.explode(dd.tokens("text")).alias("tok"),
+        (F.col("doc_id") % _BPE_NEWBATCH_MOD == 0).alias("is_new"))
+    c = occ.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).cast("bigint")
+        .alias("c_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).cast("bigint")
+        .alias("c_new"))
+    tot = c.agg(F.sum("c_old").alias("n_old"),
+                F.sum("c_new").alias("n_new"))
+    return (c.crossJoin(F.broadcast(tot))
+            .select("tok", "c_old", "c_new",
+                    F.abs(F.col("c_new") * F.col("n_old")
+                          - F.col("c_old") * F.col("n_new"))
+                    .cast("bigint").alias("drift_x"))
+            .orderBy(F.desc("drift_x"), "tok").limit(_VOCAB_DRIFT_K))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

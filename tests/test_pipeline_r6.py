@@ -174,3 +174,65 @@ def test_streaming_lm_serve_equals_batch(spark):
                       .select("doc_id", "source", "n_bigrams",
                               "score_micro").collect()))
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# filter funnel + vocabulary drift (third session)
+# ---------------------------------------------------------------------------
+
+def test_filter_funnel_is_monotone_cumulative(spark):
+    """Cumulative stages can only lose documents; the surviving token
+    budget is zero iff no document survives."""
+    for r in _run(spark, "curation_filter_funnel").collect():
+        seq = [r["n_docs"], r["n_lang"], r["n_len"], r["n_tok"],
+               r["n_punct"], r["n_clean"]]
+        assert seq == sorted(seq, reverse=True), seq
+        assert (r["clean_tokens"] > 0) == (r["n_clean"] > 0)
+
+
+def test_vocab_drift_hand_recompute(spark):
+    """The top-ranked drift score must equal the cross-multiplied
+    divergence recomputed from raw per-slice counts, and ranking must
+    be descending with the deterministic tie-break."""
+    from datafusion_monoid_spark.operators import dedup as dd
+
+    rows = _run(spark, "vocab_drift_topk").collect()
+    assert len(rows) == 20
+    scores = [r["drift_x"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    occ = (q._docs(spark, SF)
+           .select(F.explode(dd.tokens("text")).alias("tok"),
+                   (F.col("doc_id") % q._BPE_NEWBATCH_MOD == 0)
+                   .alias("is_new")))
+    top = rows[0]
+    c_old = occ.where(~F.col("is_new"))
+    c_new = occ.where(F.col("is_new"))
+    n_old, n_new = c_old.count(), c_new.count()
+    t_old = c_old.where(F.col("tok") == top["tok"]).count()
+    t_new = c_new.where(F.col("tok") == top["tok"]).count()
+    assert (t_old, t_new) == (top["c_old"], top["c_new"])
+    assert abs(t_new * n_old - t_old * n_new) == top["drift_x"]
+
+
+def test_vocab_drift_zero_for_identical_share(spark):
+    """A token appearing with identical relative frequency in both
+    slices must score exactly zero (the cross-multiplied form has no
+    rounding)."""
+    df = spark.createDataFrame(
+        # old slice: 2 docs x "a b"; new slice: 1 doc x "a b" ->
+        # every token's share identical across slices
+        [(1, "a b"), (2, "a b"), (11, "a b")],
+        "doc_id long, text string")
+    from datafusion_monoid_spark.operators import dedup as dd
+    occ = df.select(F.explode(dd.tokens("text")).alias("tok"),
+                    (F.col("doc_id") % q._BPE_NEWBATCH_MOD == 0)
+                    .alias("is_new"))
+    c = occ.groupBy("tok").agg(
+        F.sum(F.when(F.col("is_new"), 0).otherwise(1)).alias("c_old"),
+        F.sum(F.when(F.col("is_new"), 1).otherwise(0)).alias("c_new"))
+    tot = c.agg(F.sum("c_old").alias("n_old"), F.sum("c_new").alias("n_new"))
+    out = (c.crossJoin(tot)
+           .select(F.abs(F.col("c_new") * F.col("n_old")
+                         - F.col("c_old") * F.col("n_new")).alias("d"))
+           .collect())
+    assert all(r["d"] == 0 for r in out)
