@@ -8094,6 +8094,8 @@ _DRIVER_WINDOW_R6 = [
     # third-session sentinels (BPE tier)
     "bpe_train_merges", "bpe_encode_stats", "bpe_encode_newbatch",
     "streaming_bpe_encode_serve",
+    # fourth-session sentinels (funnel + drift)
+    "curation_filter_funnel", "vocab_drift_topk",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
@@ -8102,8 +8104,7 @@ _DRIVER_WINDOW_R6 = [
     "q14_promo_revenue", "q18_large_volume_customer", "q19_disjunctive_revenue",
     "embedding_quantize_int8", "zorder_layout_stats", "fuzzy_customer_matches",
     "per_group_sample", "hist_quantile_prices", "bpe_top_merges",
-    "funnel_view_click_purchase", "retention_cohorts", "pipeline_curation_full",
-    "unpivot_lineitem_measures",
+    "funnel_view_click_purchase", "retention_cohorts",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
@@ -8111,8 +8112,10 @@ _DRIVER_WINDOW_R6 = [
     # q9_product_profit / q2_min_cost_supplier / q12_late_shipments /
     # kmeans_quantized_centroids dropped to fit the 12 late sentinels,
     # and q8_market_share / boilerplate_spans / group_quantile_tokens
-    # / q7_volume_shipping for the 4 BPE sentinels; all stay
-    # r3-current and rotate next round)
+    # / q7_volume_shipping for the 4 BPE sentinels, and
+    # unpivot_lineitem_measures / pipeline_curation_full for the 2
+    # funnel/drift sentinels;
+    # all stay r3-current and rotate next round)
 ]
 
 
