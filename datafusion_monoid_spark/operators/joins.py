@@ -126,3 +126,53 @@ def asof_join_cogrouped(left: DataFrame, right: DataFrame, on: str, by: str,
 
     return (left.groupBy(by).cogroup(right.groupBy(by))
             .applyInPandas(merge, schema))
+
+
+def interval_overlap_join(left: DataFrame, right: DataFrame,
+                          start_col: str, end_col: str, width: int,
+                          r_prefix: str = "r_") -> DataFrame:
+    """Interval x interval OVERLAP join (closed intervals): every
+    (left, right) pair with ``l.start <= r.end AND r.start <= l.end``,
+    each pair emitted exactly ONCE — without a distinct.
+
+    The third member of the join family (as-of = most-recent-point,
+    range = point-in-interval, this = interval-intersects-interval —
+    the relation neither an equi- nor a band-join expresses).  Naive
+    Spark gives a broadcast nested loop; the classic distributed
+    answer is temporal bucketing:
+
+    * each side explodes its interval into the fixed-width buckets it
+      covers (fan-out = interval length / width, ~1 when ``width`` is
+      chosen near the typical interval length);
+    * candidates equi-join on the bucket key — ONE hash shuffle per
+      side, co-temporal rows only;
+    * the exact overlap predicate drops bucket-collision false
+      positives, and the **first-shared-bucket rule** — keep a pair
+      only where ``bucket == max(floor(l.start/w), floor(r.start/w))``
+      — makes every surviving pair unique by construction, so no
+      post-join distinct (which would re-shuffle the pair relation)
+      is needed.  For overlapping pairs that bucket is shared: both
+      floors are <= floor(min(l.end, r.end)/w) exactly when the
+      intervals intersect.
+
+    Right columns come back ``r_``-prefixed; both sides may share a
+    lineage (self-join safe).  ``width`` must match the units of the
+    interval columns (integer seconds here).
+    """
+    w = int(width)
+
+    def buckets(s: str, e: str) -> Column:
+        return F.sequence(F.floor(F.col(s) / w).cast("bigint"),
+                          F.floor(F.col(e) / w).cast("bigint"))
+
+    lb = left.withColumn("__lbkt", F.explode(buckets(start_col, end_col)))
+    rs, re_ = r_prefix + start_col, r_prefix + end_col
+    rb = right.select([F.col(c).alias(r_prefix + c) for c in right.columns])
+    rb = rb.withColumn("__rbkt", F.explode(buckets(rs, re_)))
+    first_shared = F.greatest(
+        F.floor(F.col(start_col) / w), F.floor(F.col(rs) / w)).cast("bigint")
+    return (lb.join(rb, F.col("__lbkt") == F.col("__rbkt"))
+            .where((F.col(start_col) <= F.col(re_))
+                   & (F.col(rs) <= F.col(end_col))
+                   & (F.col("__lbkt") == first_shared))
+            .drop("__lbkt", "__rbkt"))

@@ -8031,6 +8031,100 @@ def vocab_drift_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy(F.desc("drift_x"), "tok").limit(_VOCAB_DRIFT_K))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: interval-overlap join (session concurrency)
+# ---------------------------------------------------------------------------
+
+_SESS_CTES = """
+flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                   - CAST(floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))) AS BIGINT)
+                   > 1800 OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+sess0 AS (
+  SELECT user_id,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS sid,
+         CAST(floor(epoch(ts)) AS BIGINT) AS sec
+  FROM flagged
+),
+sess AS (
+  SELECT user_id, sid, min(sec) AS s_start, max(sec) AS s_end
+  FROM sess0 GROUP BY user_id, sid
+)"""
+
+_SESS_OVERLAP_ORACLE = f"""
+WITH {_SESS_CTES}
+SELECT a.user_id AS u_lo, b.user_id AS u_hi,
+       CAST(count(*) AS BIGINT) AS n_overlaps,
+       CAST(sum(least(a.s_end, b.s_end) - greatest(a.s_start, b.s_start))
+            AS BIGINT) AS overlap_s
+FROM sess a JOIN sess b
+  ON a.user_id < b.user_id AND a.s_start <= b.s_end AND b.s_start <= a.s_end
+GROUP BY u_lo, u_hi
+ORDER BY overlap_s DESC, n_overlaps DESC, u_lo, u_hi
+LIMIT 20
+"""
+
+
+def _sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based (30 min) sessions as closed [s_start, s_end] epoch-second
+    intervals — the shared input of the interval-overlap tier.  Same
+    lag + running-sum shape as `events_sessionize`; the groupBy key
+    (user_id, sid) is a superset of the window's partition key, so
+    Catalyst satisfies it with the SAME hash distribution — one
+    shuffle for sessionize + interval build."""
+    e = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("sec").over(w)
+    new_s = F.when(prev.isNull() | ((F.col("sec") - prev) > 1800), 1) \
+        .otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (e.select("user_id", "ts", "event_id", "sec",
+                     new_s.alias("new_s"))
+            .select("user_id",
+                    F.sum("new_s").over(wsum).cast("bigint").alias("sid"),
+                    "sec")
+            .groupBy("user_id", "sid")
+            .agg(F.min("sec").alias("s_start"), F.max("sec").alias("s_end")))
+
+
+@register("session_overlap_topk", _SESS_OVERLAP_ORACLE)
+def session_overlap_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concurrent-session analysis: for every pair of users whose
+    sessions overlap in time, the number of overlapping session pairs
+    and the total overlapped seconds — top 20 pairs.  The interval x
+    interval OVERLAP join is the relation Spark has no native operator
+    for (as-of and range joins cover point-vs-interval only); the
+    oracle states it as the declarative inequality join DuckDB's
+    IEJoin executes directly.
+
+    Scale: `jn.interval_overlap_join` buckets time into 600 s cells
+    (~ the mean session length, so per-interval fan-out ~1), equi-joins
+    on the cell — co-temporal candidates only, never all-pairs — and
+    dedups pair multiplicity with the first-shared-bucket rule instead
+    of a distinct, so the pair relation shuffles ONCE into the final
+    aggregation.  Worst-case per-bucket cost is concurrency^2: at
+    higher density shrink the width (more, smaller cells) — the knob
+    trades fan-out rows for candidate precision, exactly like the
+    range join's granularity."""
+    s = _sessions(spark, sf_dir)
+    pairs = jn.interval_overlap_join(s, s, "s_start", "s_end", width=600)
+    return (pairs.where(F.col("user_id") < F.col("r_user_id"))
+            .groupBy(F.col("user_id").alias("u_lo"),
+                     F.col("r_user_id").alias("u_hi"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlaps"),
+                 F.sum(F.least("s_end", F.col("r_s_end"))
+                       - F.greatest("s_start", F.col("r_s_start")))
+                 .cast("bigint").alias("overlap_s"))
+            .orderBy(F.desc("overlap_s"), F.desc("n_overlaps"),
+                     "u_lo", "u_hi")
+            .limit(20))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
