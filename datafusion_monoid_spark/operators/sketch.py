@@ -386,3 +386,79 @@ def kmv_estimate(sketch: Column, k: int = 128) -> Column:
     hk = F.element_at(sketch, -1)
     return (F.when(n < k, n.cast("bigint"))
             .otherwise(_trunc_div(F.lit((k - 1) * KMV_SPACE), hk)))
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (the deterministic counter-based frequent-items
+# summary; Misra & Gries 1982, merge analysis Agarwal et al. 2012)
+# ---------------------------------------------------------------------------
+
+def mg_partition_candidates(docs: DataFrame, arr_col: str,
+                            k: int) -> DataFrame:
+    """Per-partition Misra-Gries candidate keys over a token-array
+    column: each partition streams its arrays through k counters
+    (hit -> +1; room -> insert; full -> decrement ALL, drop zeros) and
+    emits its surviving keys — at most ``k`` rows per partition.
+
+    Guarantee (the reason two phases give an EXACT distributed
+    algorithm): any key whose share within a partition exceeds
+    1/(k+1) ends with a positive counter, and a key whose GLOBAL
+    share exceeds 1/(k+1) must exceed it in at least one partition
+    (weighted-average argument) — so the union of per-partition
+    candidates is a superset of the true heavy hitters no matter how
+    rows are partitioned.  Candidates depend on the partitioning;
+    the exact verify pass makes the final answer invariant to it.
+
+    Scale: the candidate relation is <= k x num_partitions rows
+    (broadcastable at any corpus size); the full vocabulary never
+    shuffles.  Python-side by necessity (a data-dependent counter
+    eviction no Catalyst expression expresses), Arrow-batched via
+    ``mapInPandas``.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for arr in pdf[arr_col]:
+                for t in arr:
+                    if t in counters:
+                        counters[t] += 1
+                    elif len(counters) < k:
+                        counters[t] = 1
+                    else:
+                        dead = []
+                        for key in counters:
+                            counters[key] -= 1
+                            if counters[key] == 0:
+                                dead.append(key)
+                        for key in dead:
+                            del counters[key]
+        yield pd.DataFrame({"tok": list(counters)})
+
+    return docs.select(F.col(arr_col).alias(arr_col)) \
+        .mapInPandas(gen, schema="tok string")
+
+
+def mg_heavy_hitters(docs: DataFrame, arr_col: str, k: int) -> DataFrame:
+    """Exact heavy hitters (share > 1/(k+1)) in two passes: MG
+    candidates, then exact counts of ONLY the candidate keys.
+
+    The exact pass filters the exploded stream against the broadcast
+    candidate set BEFORE its aggregation, so the count shuffle carries
+    <= k x num_partitions distinct keys instead of the vocabulary;
+    the total-token denominator is a map-side sum of array sizes (no
+    explode, 1-row broadcast).  Output: (tok, cnt, share_ppm) with
+    ``cnt * (k+1) > total`` — exact integers, engine-independent.
+    """
+    cand = mg_partition_candidates(docs, arr_col, k).distinct()
+    tot = docs.select(F.sum(F.size(arr_col)).cast("bigint").alias("n"))
+    occ = docs.select(F.explode(arr_col).alias("tok"))
+    return (occ.join(F.broadcast(cand), "tok")
+            .groupBy("tok").agg(F.count(F.lit(1)).cast("bigint")
+                                .alias("cnt"))
+            .crossJoin(F.broadcast(tot))
+            .where(F.col("cnt") * (k + 1) > F.col("n"))
+            .select("tok", "cnt",
+                    F.expr("cnt * 1000000 DIV n").cast("bigint")
+                    .alias("share_ppm")))

@@ -303,3 +303,57 @@ def test_session_overlap_plan_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters (fourth session)
+# ---------------------------------------------------------------------------
+
+def _mg_input(spark, toks_rows, parts):
+    df = spark.createDataFrame([(r,) for r in toks_rows],
+                               "toks array<string>")
+    return df.repartition(parts)
+
+
+def test_mg_exact_on_toy_stream(spark):
+    """100 a's vs 10 b's with k=1: only 'a' clears share > 1/2."""
+    from datafusion_monoid_spark.operators.sketch import mg_heavy_hitters
+    rows = [["a"] * 10 for _ in range(10)] + [["b"] * 10]
+    out = {r["tok"]: (r["cnt"], r["share_ppm"])
+           for r in mg_heavy_hitters(
+               _mg_input(spark, rows, 3), "toks", 1).collect()}
+    assert out == {"a": (100, 100 * 1_000_000 // 110)}
+
+
+def test_mg_partitioning_invariant(spark):
+    """The final answer must not depend on how rows were partitioned,
+    even though the candidate sets do."""
+    from datafusion_monoid_spark.operators.sketch import mg_heavy_hitters
+    import random
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(40)]
+    rows = [[rng.choice(vocab) for _ in range(20)] for _ in range(200)]
+    want = None
+    for parts in (1, 7, 32):
+        got = sorted(map(tuple, mg_heavy_hitters(
+            _mg_input(spark, rows, parts), "toks", 25).collect()))
+        if want is None:
+            want = got
+        assert got == want, parts
+
+
+def test_mg_candidates_bounded_and_superset(spark):
+    """Candidates: <= k per partition, and always a superset of the
+    true heavy hitters — including one spread thinly but heavily
+    across every partition."""
+    from datafusion_monoid_spark.operators.sketch import (
+        mg_heavy_hitters, mg_partition_candidates)
+    # 'hot' is ~40% of every partition; chaff differs per row
+    rows = [["hot"] * 4 + [f"c{i}_{j}" for j in range(6)]
+            for i in range(60)]
+    df = _mg_input(spark, rows, 8)
+    cand = mg_partition_candidates(df, "toks", 3).collect()
+    assert len(cand) <= 3 * df.rdd.getNumPartitions()
+    hh = {r["tok"] for r in mg_heavy_hitters(df, "toks", 3).collect()}
+    assert hh == {"hot"}
+    assert {"hot"} <= {r["tok"] for r in cand}
