@@ -8162,6 +8162,91 @@ def mg_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.mg_heavy_hitters(d, "toks", _MG_K)
 
 
+# ---------------------------------------------------------------------------
+# Round 6: exact order statistics without a global sort
+# ---------------------------------------------------------------------------
+
+_PCTL_QS = (500000, 900000, 990000)
+_PCTL_B = 256
+
+_PCTL_ORACLE = f"""
+WITH v AS (SELECT l_extendedprice AS val FROM lineitem),
+n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+r AS (SELECT val, row_number() OVER (ORDER BY val) AS rn FROM v),
+qs AS (SELECT CAST(q_ppm AS BIGINT) AS q_ppm
+       FROM (VALUES {', '.join(f'({q})' for q in _PCTL_QS)}) t(q_ppm))
+SELECT q_ppm, val
+FROM qs CROSS JOIN n JOIN r
+  ON r.rn = greatest(1, (n.n * qs.q_ppm + 999999) // 1000000)
+ORDER BY q_ppm
+"""
+
+
+def exact_percentiles_2pass(v: DataFrame, spark: SparkSession,
+                            q_ppms: tuple[int, ...] = _PCTL_QS,
+                            buckets: int = _PCTL_B) -> DataFrame:
+    """EXACT nearest-rank percentiles of ``v.val`` (k-th smallest,
+    k = max(1, ceil(n*q))) in two passes and NO global sort — the
+    selection-algorithm answer to "exact p99 over 100 TB":
+
+    * pass 1 buckets values into ``buckets`` equi-width cells (min/max
+      ride a 1-row broadcast) and takes cumulative cell counts — a
+      map-side partial agg; the 256-row running sum is driver-scale;
+    * each quantile resolves to (cell, offset-within-cell); pass 2
+      ranks ONLY the rows of the target cells — ~n/buckets rows per
+      quantile shuffle into the rank window instead of n into a
+      global sort.
+
+    The bucketing floats never touch the answer: they only choose
+    which cell is ranked exactly, so the k-th VALUE is returned
+    arithmetic-untouched (hash-comparable across engines).  Ties need
+    no tie-break — the k-th order statistic of a multiset is
+    well-defined whatever order equal values rank in."""
+    stats = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+                  F.min("val").alias("mn"), F.max("val").alias("mx"))
+    width = (F.col("mx") - F.col("mn")) / _PCTL_B
+    cell = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
+        F.least(F.lit(buckets - 1),
+                F.floor((F.col("val") - F.col("mn")) / width))) \
+        .cast("bigint").alias("b")
+    vb = v.crossJoin(F.broadcast(stats)).select("val", "n", cell)
+    hist = vb.groupBy("b").agg(F.count(F.lit(1)).cast("bigint")
+                               .alias("cnt"),
+                               F.first("n").alias("n"))
+    wcum = Window.orderBy("b").rowsBetween(Window.unboundedPreceding,
+                                           Window.currentRow)
+    hist = hist.withColumn("cum", F.sum("cnt").over(wcum))
+    qdf = spark.createDataFrame([(int(q),) for q in q_ppms],
+                                "q_ppm long")
+    k = F.greatest(F.lit(1).cast("bigint"),
+                   F.expr("(n * q_ppm + 999999) DIV 1000000"))
+    wfirst = Window.partitionBy("q_ppm").orderBy("b")
+    targets = (qdf.crossJoin(F.broadcast(hist))
+               .withColumn("k", k)
+               .where(F.col("cum") >= F.col("k"))
+               .withColumn("rn", F.row_number().over(wfirst))
+               .where(F.col("rn") == 1)
+               .select("q_ppm", "b",
+                       (F.col("k") - (F.col("cum") - F.col("cnt")))
+                       .alias("off")))
+    wrank = Window.partitionBy("q_ppm").orderBy("val")
+    return (vb.join(F.broadcast(targets), "b")
+            .withColumn("rnk", F.row_number().over(wrank))
+            .where(F.col("rnk") == F.col("off"))
+            .select("q_ppm", "val")
+            .orderBy("q_ppm"))
+
+
+@register("exact_percentiles_price", _PCTL_ORACLE)
+def exact_percentiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 of lineitem extended price by histogram-prune
+    selection (see :func:`exact_percentiles_2pass`); the oracle states
+    the definition directly as a global row_number."""
+    v = _t(spark, sf_dir, "lineitem") \
+        .select(F.col("l_extendedprice").alias("val"))
+    return exact_percentiles_2pass(v, spark)
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

@@ -357,3 +357,42 @@ def test_mg_candidates_bounded_and_superset(spark):
     hh = {r["tok"] for r in mg_heavy_hitters(df, "toks", 3).collect()}
     assert hh == {"hot"}
     assert {"hot"} <= {r["tok"] for r in cand}
+
+
+# ---------------------------------------------------------------------------
+# exact two-pass percentiles (fourth session)
+# ---------------------------------------------------------------------------
+
+def _pctl(spark, vals, qs=(500000, 900000, 990000), buckets=8):
+    df = spark.createDataFrame([(float(x),) for x in vals], "val double")
+    got = q.exact_percentiles_2pass(df, spark, q_ppms=qs,
+                                    buckets=buckets).collect()
+    return {r["q_ppm"]: r["val"] for r in got}
+
+
+def _nearest_rank(vals, q_ppm):
+    s = sorted(vals)
+    k = max(1, -(-len(s) * q_ppm // 1000000))  # ceil
+    return s[k - 1]
+
+
+def test_pctl_matches_definition_randomized(spark):
+    import random
+    rng = random.Random(11)
+    vals = [rng.uniform(-50, 50) for _ in range(500)] + [7.0] * 40
+    got = _pctl(spark, vals)
+    for qp, v in got.items():
+        assert v == _nearest_rank(vals, qp), qp
+
+
+def test_pctl_degenerate_inputs(spark):
+    """Constant column (zero-width histogram) and a single row."""
+    assert set(_pctl(spark, [3.14] * 10).values()) == {3.14}
+    assert set(_pctl(spark, [42.0]).values()) == {42.0}
+
+
+def test_pctl_extreme_quantiles(spark):
+    """q -> 0 clamps to the minimum (k >= 1); q = 1.0 is the maximum."""
+    vals = list(range(100))
+    got = _pctl(spark, vals, qs=(1, 1000000))
+    assert got[1] == 0.0 and got[1000000] == 99.0
