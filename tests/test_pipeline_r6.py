@@ -396,3 +396,44 @@ def test_pctl_extreme_quantiles(spark):
     vals = list(range(100))
     got = _pctl(spark, vals, qs=(1, 1000000))
     assert got[1] == 0.0 and got[1000000] == 99.0
+
+
+# ---------------------------------------------------------------------------
+# 2D skyline (fourth session)
+# ---------------------------------------------------------------------------
+
+def _sky(spark, pts, parts=4):
+    from datafusion_monoid_spark.operators.skyline import skyline_2d
+    df = spark.createDataFrame([(float(a), float(b)) for a, b in pts],
+                               "x double, y double").repartition(parts)
+    return sorted(map(tuple, skyline_2d(df, "x", "y").collect()))
+
+
+def _naive_sky(pts):
+    s = set(pts)
+    return sorted({a for a in s
+                   if not any(b[0] <= a[0] and b[1] <= a[1] and b != a
+                              for b in s)})
+
+
+def test_skyline_hand_case(spark):
+    """Staircase + interior points; duplicates collapse."""
+    pts = [(1, 9), (2, 7), (3, 8), (4, 4), (5, 5), (4, 4), (9, 1)]
+    assert _sky(spark, pts) == [(1.0, 9.0), (2.0, 7.0), (4.0, 4.0),
+                                (9.0, 1.0)]
+
+
+def test_skyline_matches_naive_randomized(spark):
+    import random
+    rng = random.Random(13)
+    pts = [(rng.randrange(0, 40), rng.randrange(0, 40))
+           for _ in range(300)]
+    want = [(float(a), float(b)) for a, b in _naive_sky(pts)]
+    assert _sky(spark, pts, parts=7) == want
+
+
+def test_skyline_equal_coordinate_ties(spark):
+    """Equal x keeps only min y; equal y keeps only min x; a single
+    point is its own frontier."""
+    assert _sky(spark, [(1, 5), (1, 3), (2, 3)]) == [(1.0, 3.0)]
+    assert _sky(spark, [(7, 7)]) == [(7.0, 7.0)]
