@@ -8282,6 +8282,75 @@ def pareto_parts_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
                         (-F.col("negsize")).alias("p_size"))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: OLS trend as a sufficient-statistics aggregation
+# ---------------------------------------------------------------------------
+
+_TREND_ORACLE = """
+WITH m AS (
+  SELECT n_name,
+         CAST((year(o_orderdate)-1992)*12 + month(o_orderdate)-1 AS BIGINT)
+           AS x,
+         CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation   ON c_nationkey = n_nationkey
+  GROUP BY n_name, x),
+s AS (SELECT n_name, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x*y) AS BIGINT) AS sxy,
+             CAST(sum(x*x) AS BIGINT) AS sxx
+      FROM m GROUP BY n_name)
+SELECT n_name, n AS n_months, sy AS revenue_cents,
+       CAST(n*sxy - sx*sy AS BIGINT) AS slope_num,
+       CAST(n*sxx - sx*sx AS BIGINT) AS slope_den
+FROM s
+"""
+
+
+@register("trend_monthly_revenue", _TREND_ORACLE)
+def trend_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation revenue TREND: the OLS slope of monthly revenue over
+    the month index, reported as the exact integer pair
+    (slope_num, slope_den) = (nΣxy − ΣxΣy, nΣx² − (Σx)²) — the
+    closed-form numerator/denominator, undivided so no float or
+    engine-specific integer-division rule touches the hash (floor vs
+    truncate differ on negative slopes).
+
+    The point for THIS engine: regression is an AGGREGATION — the
+    sufficient statistics (n, Σx, Σy, Σxy, Σx²) form a monoid (zero
+    identity, componentwise sum), so the fit partial-aggregates
+    map-side, merges associatively, and would stream/backfill exactly
+    like every other monoid here.  One broadcast-dim join, one fact
+    partial agg to (nation, month), one tiny second agg."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.year("o_orderdate") - 1992) * 12 + F.month("o_orderdate") - 1)
+        .cast("bigint").alias("x"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    c = F.broadcast(_t(spark, sf_dir, "customer")
+                    .select("c_custkey", "c_nationkey"))
+    n = F.broadcast(_t(spark, sf_dir, "nation")
+                    .select("n_nationkey", "n_name"))
+    m = (o.join(c, o.o_custkey == c.c_custkey)
+         .join(n, c.c_nationkey == n.n_nationkey)
+         .groupBy("n_name", "x")
+         .agg(F.sum("cents").cast("bigint").alias("y")))
+    s = m.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"))
+    return s.select(
+        "n_name", F.col("n").alias("n_months"),
+        F.col("sy").alias("revenue_cents"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+        .cast("bigint").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        .cast("bigint").alias("slope_den"))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

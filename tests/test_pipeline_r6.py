@@ -437,3 +437,40 @@ def test_skyline_equal_coordinate_ties(spark):
     point is its own frontier."""
     assert _sky(spark, [(1, 5), (1, 3), (2, 3)]) == [(1.0, 3.0)]
     assert _sky(spark, [(7, 7)]) == [(7.0, 7.0)]
+
+
+# ---------------------------------------------------------------------------
+# OLS trend sufficient statistics (fourth session)
+# ---------------------------------------------------------------------------
+
+def test_trend_slope_hand_recompute(spark):
+    """slope_num/slope_den must equal the closed form recomputed from
+    the monthly series, and den must be positive whenever a nation has
+    >= 2 distinct months."""
+    rows = _run(spark, "trend_monthly_revenue").collect()
+    assert rows
+    got = {r["n_name"]: r for r in rows}
+    import duckdb
+    con = duckdb.connect()
+    for t in ("orders", "customer", "nation"):
+        con.sql(f"CREATE VIEW {t} AS FROM '{SF}/{t}.parquet'")
+    m = con.sql("""
+        SELECT n_name,
+               (year(o_orderdate)-1992)*12 + month(o_orderdate)-1 AS x,
+               sum(CAST(round(o_totalprice*100) AS BIGINT)) AS y
+        FROM orders JOIN customer ON o_custkey=c_custkey
+        JOIN nation ON c_nationkey=n_nationkey GROUP BY n_name, x
+    """).fetchall()
+    series = {}
+    for name, x, y in m:
+        series.setdefault(name, []).append((int(x), int(y)))
+    for name, pts in series.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+        r = got[name]
+        assert (r["n_months"], r["revenue_cents"]) == (n, sy)
+        assert r["slope_num"] == n * sxy - sx * sy
+        assert r["slope_den"] == n * sxx - sx * sx
+        if n >= 2:
+            assert r["slope_den"] > 0
