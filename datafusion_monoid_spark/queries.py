@@ -8351,6 +8351,97 @@ def trend_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint").alias("slope_den"))
 
 
+# ---------------------------------------------------------------------------
+# Round 6: Johnson-Lindenstrauss projection distortion audit
+# ---------------------------------------------------------------------------
+
+_JL_K, _JL_D = 16, 64
+
+
+def _jl_signs() -> list[list[int]]:
+    """The deterministic +/-1 projection matrix (k x d), derived from
+    md5 so both engines inline the SAME literals — the matrix is a
+    CONSTANT of the query, not data."""
+    import hashlib
+    return [[1 if hashlib.md5(f"jl{j}_{i}".encode()).digest()[0] % 2 == 0
+             else -1 for i in range(_JL_D)] for j in range(_JL_K)]
+
+
+def _jl_oracle_sql() -> str:
+    signs = _jl_signs()
+    rows = ", ".join(f"({j}, {i}, {signs[j][i]})"
+                     for j in range(_JL_K) for i in range(_JL_D))
+    return f"""
+WITH qi AS (
+  SELECT vec_id, label,
+         CAST(floor(unnest(embedding::DOUBLE[]) * 1000) AS BIGINT) AS q,
+         unnest(range(0, len(embedding))) AS i
+  FROM embeddings),
+signs(j, i, s) AS (VALUES {rows}),
+p AS (SELECT vec_id, label, j, CAST(sum(s * q) AS BIGINT) AS pj
+      FROM qi JOIN signs USING (i) GROUP BY vec_id, label, j),
+pn AS (SELECT vec_id, label, CAST(sum(pj * pj) AS BIGINT) AS pn
+       FROM p GROUP BY vec_id, label),
+qn AS (SELECT vec_id, CAST(sum(q * q) AS BIGINT) AS qn
+       FROM qi GROUP BY vec_id),
+r AS (SELECT label,
+             CAST(pn * 1000000 // ({_JL_K} * qn) AS BIGINT) AS ratio_ppm
+      FROM pn JOIN qn USING (vec_id))
+SELECT CAST(label AS INTEGER) AS label,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(ratio_ppm) AS BIGINT) AS sum_ratio_ppm,
+       CAST(min(ratio_ppm) AS BIGINT) AS min_ratio_ppm,
+       CAST(max(ratio_ppm) AS BIGINT) AS max_ratio_ppm
+FROM r GROUP BY label
+"""
+
+
+@register("embedding_jl_distortion", _jl_oracle_sql())
+def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss dimensionality reduction (64 -> 16 via a
+    deterministic +/-1 sign matrix) with its honesty check: the
+    per-vector norm-distortion ratio ||Pq||^2 / (k*||q||^2) in ppm
+    (expectation exactly 1e6 for +/-1 projections), rolled up per
+    label as n/sum/min/max.  Vectors quantize to exact milli-integers
+    first, so every product is integer math both engines agree on
+    bit-for-bit; magnitudes are overflow-checked for int64
+    (|q|<=~5e3, |p_j|<=3.2e5, pn*1e6<=~2e18).
+
+    Scale: the projection is the PQ-serve literal-expression pattern —
+    the k x d matrix inlines as constant arrays, each output
+    coordinate is one zip_with+aggregate over the vector, MAP-ONLY
+    with zero joins and zero shuffles on the corpus; only the
+    label-level rollup aggregates.  The oracle replays the identical
+    matrix through a 1024-row VALUES relation."""
+    signs = _jl_signs()
+    emb = _emb(spark, sf_dir)
+    q = F.expr("transform(cast(embedding as array<double>), "
+               "x -> cast(floor(x * 1000) as bigint))")
+    d = emb.select("vec_id", F.col("label").cast("int").alias("label"),
+                   q.alias("q"))
+    pj_cols = []
+    for j in range(_JL_K):
+        arr = "array(" + ",".join(f"{s}L" for s in signs[j]) + ")"
+        pj_cols.append(F.expr(
+            f"aggregate(zip_with(q, {arr}, (x, s) -> x * s), "
+            f"0L, (acc, v) -> acc + v)").alias(f"p{j}"))
+    qn = F.expr("aggregate(q, 0L, (acc, x) -> acc + x * x)").alias("qn")
+    proj = d.select("vec_id", "label", qn, *pj_cols)
+    pn = sum((F.col(f"p{j}") * F.col(f"p{j}") for j in range(1, _JL_K)),
+             F.col("p0") * F.col("p0"))
+    # integer DIV, not `/`: pn*1e6 exceeds 2^53, a double round-trip
+    # would silently lose exactness
+    ratio = (proj.withColumn("pn", pn)
+             .select("label",
+                     F.expr(f"pn * 1000000L DIV ({_JL_K} * qn)")
+                     .cast("bigint").alias("ratio_ppm")))
+    return ratio.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("ratio_ppm").cast("bigint").alias("sum_ratio_ppm"),
+        F.min("ratio_ppm").cast("bigint").alias("min_ratio_ppm"),
+        F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

@@ -474,3 +474,34 @@ def test_trend_slope_hand_recompute(spark):
         assert r["slope_den"] == n * sxx - sx * sx
         if n >= 2:
             assert r["slope_den"] > 0
+
+
+# ---------------------------------------------------------------------------
+# JL projection distortion (fourth session)
+# ---------------------------------------------------------------------------
+
+def test_jl_basis_vectors_distort_exactly_zero(spark):
+    """For a +/-1 sign matrix, ||P e_i||^2 = k exactly — every basis
+    vector's ratio is exactly 1e6 ppm (the projection math in minature,
+    bit-exact)."""
+    signs = q._jl_signs()
+    k, d = q._JL_K, q._JL_D
+    for i in (0, 17, 63):
+        vec = [0.0] * d
+        vec[i] = 1.0
+        qv = [int(x * 1000 // 1) for x in vec]
+        pn = sum(sum(signs[j][t] * qv[t] for t in range(d)) ** 2
+                 for j in range(k))
+        qn = sum(x * x for x in qv)
+        assert pn * 1_000_000 // (k * qn) == 1_000_000
+
+
+def test_jl_catalog_mean_ratio_near_unity(spark):
+    """E[ratio] = 1e6; with ~50 vectors per label the mean must land
+    well inside +/-20%, and every ratio is positive."""
+    rows = _run(spark, "embedding_jl_distortion").collect()
+    assert rows
+    for r in rows:
+        mean = r["sum_ratio_ppm"] / r["n_vecs"]
+        assert 800_000 < mean < 1_200_000, (r["label"], mean)
+        assert 0 < r["min_ratio_ppm"] <= r["max_ratio_ppm"]
