@@ -8505,17 +8505,18 @@ _DRIVER_WINDOW_R6 = [
     # third-session sentinels (BPE tier)
     "bpe_train_merges", "bpe_encode_stats", "bpe_encode_newbatch",
     "streaming_bpe_encode_serve",
-    # fourth-session sentinels (funnel + drift)
+    # fourth-session sentinels (funnel/drift + the new operator batch)
     "curation_filter_funnel", "vocab_drift_topk",
+    "session_overlap_topk", "mg_heavy_hitter_tokens",
+    "exact_percentiles_price", "pareto_parts_frontier",
+    "trend_monthly_revenue", "embedding_jl_distortion",
     # least-recently-checked rotation (r3-era)
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats", "stratified_sample_mix",
     "doc_chunk_windows", "decontam_ngram_overlap", "quality_repetition_filters",
-    "tfidf_top_terms", "vocab_topk_coverage", "q6_forecast_revenue",
+    "tfidf_top_terms", "q6_forecast_revenue",
     "q14_promo_revenue", "q18_large_volume_customer", "q19_disjunctive_revenue",
     "embedding_quantize_int8", "zorder_layout_stats", "fuzzy_customer_matches",
-    "per_group_sample", "hist_quantile_prices", "bpe_top_merges",
-    "funnel_view_click_purchase", "retention_cohorts",
     # (streaming_cms_cells / streaming_dedup_redelivery /
     # q22_global_sales_opportunity / q20_excess_supply /
     # q16_supplier_part_counts / q15_top_supplier /
@@ -8525,7 +8526,10 @@ _DRIVER_WINDOW_R6 = [
     # and q8_market_share / boilerplate_spans / group_quantile_tokens
     # / q7_volume_shipping for the 4 BPE sentinels, and
     # unpivot_lineitem_measures / pipeline_curation_full for the 2
-    # funnel/drift sentinels;
+    # funnel/drift sentinels, and per_group_sample /
+    # hist_quantile_prices / bpe_top_merges / funnel_view_click_purchase
+    # / retention_cohorts / vocab_topk_coverage for the
+    # fourth-session operator batch;
     # all stay r3-current and rotate next round)
 ]
 
