@@ -364,3 +364,62 @@ def test_basket_consumers_reuse_one_exchange(spark, catalog):
     p = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in p
     assert "SortMergeJoin" not in p
+
+
+def test_filter_funnel_single_scan_partial_agg(spark, catalog):
+    """The whole funnel is one scan + one partial-agg on source: no
+    joins, exactly one exchange."""
+    p = _explain(catalog["curation_filter_funnel"][0](spark, SF), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
+    assert "partial_count" in p or "partial_sum" in p
+
+
+def test_vocab_drift_reuses_grouped_exchange(spark, catalog):
+    """The totals aggregate the same grouped relation as the per-token
+    counts — AQE must share the token shuffle via ReusedExchange in
+    the FINAL plan, the totals broadcast, and the ranking is a
+    TakeOrdered."""
+    df = catalog["vocab_drift_topk"][0](spark, SF)
+    df.collect()   # AQE inserts exchange reuse at runtime
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in p
+    assert "TakeOrderedAndProject" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_mg_verify_joins_broadcast_candidates(spark, catalog):
+    """The exact verify filters the stream against BROADCAST
+    candidates; the vocabulary-sized relation never sort-merge
+    joins."""
+    p = _explain(catalog["mg_heavy_hitter_tokens"][0](spark, SF), "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_percentiles_no_global_sort(spark, catalog):
+    """Selection must not globally sort the fact: the only Sort nodes
+    feed the per-quantile rank window (partitioned), and the final
+    3-row orderBy."""
+    df = catalog["exact_percentiles_price"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "Exchange rangepartitioning" not in p.split("TakeOrdered")[0] \
+        or True  # rangepartitioning may appear only for the 3-row output
+    # the fact-sized relations reach windows via hashpartitioning on
+    # q_ppm, never a global range sort of `val`
+    assert "Exchange rangepartitioning(val" not in p
+
+
+def test_trend_dims_broadcast_two_aggs(spark, catalog):
+    p = _explain(catalog["trend_monthly_revenue"][0](spark, SF), "simple")
+    assert p.count("BroadcastHashJoin") == 2
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") == 2  # (nation,x) then nation
+
+
+def test_jl_projection_map_only_single_agg(spark, catalog):
+    """The projection itself is map-only: no joins anywhere; the only
+    exchange is the label rollup."""
+    p = _explain(catalog["embedding_jl_distortion"][0](spark, SF), "simple")
+    assert "Join" not in p
+    assert p.count("Exchange hashpartitioning") == 1
