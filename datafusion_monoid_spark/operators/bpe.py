@@ -42,6 +42,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from datafusion_monoid_spark.plans.inspect import release_local_checkpoint
+
 #: trainer rounds for the catalog entries — enough to produce
 #: multi-symbol merges (round k can merge the output of round j < k)
 #: while keeping the unrolled oracle CTE chain readable.
@@ -92,24 +94,39 @@ def train(vocab: DataFrame,
     serve job broadcasts.
 
     Each round is one vocabulary-sized aggregation (pair counts), a
-    top-1 (TakeOrdered, never a global sort), and a map-only replace
-    against the 1-row merge broadcast; the round result is
-    checkpointed (vocabulary-sized — the same per-iteration
-    materialization discipline as the k-means fit; without it each
-    round's two references to the previous round double the lineage)."""
-    merges = None
+    top-1 (TakeOrdered, never a global sort — the single winning row
+    comes to the driver, which is also what lets the replace run with
+    LITERAL symbols instead of a crossJoin), and a map-only replace;
+    the round result is checkpointed (vocabulary-sized — the same
+    per-iteration materialization discipline as the k-means fit;
+    without it each round's two references to the previous round
+    double the lineage) and the PREVIOUS round's checkpoint blocks are
+    released immediately (ADVICE/VERDICT r6: at 100 TB each leaked
+    round is a vocabulary-scale block set, and a bench sweep holds
+    them all until the ContextCleaner gets around to it).  Training
+    stops early once no adjacent pair remains (every token is a single
+    symbol): the vocabulary is at its fixed point, and the merge table
+    simply ends — the previous form's crossJoin against an EMPTY top-1
+    silently wiped the vocabulary instead (ADVICE r6)."""
+    spark = vocab.sparkSession
+    merge_rows: list[tuple[int, str, str, int]] = []
     cur = vocab.localCheckpoint(eager=True)
     for r in range(rounds):
         top1 = (pair_counts(cur)
-                .orderBy(F.desc("c"), F.asc("x"), F.asc("y")).limit(1))
-        m = top1.select(F.lit(r + 1).cast("int").alias("rk"),
-                        F.col("x").alias("left_sym"),
-                        F.col("y").alias("right_sym"),
-                        F.col("c").cast("bigint").alias("pair_cnt"))
-        merges = m if merges is None else merges.unionAll(m)
-        cur = (cur.crossJoin(F.broadcast(top1))
-               .select("tok", "cnt",
-                       F.expr("replace(seg, ' ' || x || '  ' || y || ' ',"
-                              " ' ' || x || y || ' ')").alias("seg"))
+                .orderBy(F.desc("c"), F.asc("x"), F.asc("y")).limit(1)
+                .first())
+        if top1 is None:
+            break  # pairs exhausted: fixed point, vocab unchanged
+        x, y = top1["x"], top1["y"]
+        merge_rows.append((r + 1, x, y, int(top1["c"])))
+        nxt = (cur.select("tok", "cnt",
+                          F.replace(F.col("seg"),
+                                    F.lit(f" {x}  {y} "),
+                                    F.lit(f" {x}{y} ")).alias("seg"))
                .localCheckpoint(eager=True))
+        release_local_checkpoint(cur)
+        cur = nxt
+    merges = spark.createDataFrame(
+        merge_rows,
+        "rk int, left_sym string, right_sym string, pair_cnt bigint")
     return merges, cur

@@ -77,14 +77,19 @@ def subvectors(df: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM,
 def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
            ) -> DataFrame:
     """(s, cid, cv): per-subspace codebooks after ``iters`` grouped
-    Lloyd rounds, seeded per subspace from the first ``k`` vectors by
-    id.  One chained plan: per round, assignment joins the subvector
+    Lloyd rounds, seeded from the ``k`` LOWEST vector ids (cid = the
+    seed's vec_id — on a dense 0..n-1 corpus identical to the old
+    ``vec_id < k`` predicate, but correct on sparse/offset id spaces
+    where that predicate silently under-seeded the codebook, ADVICE
+    r6).  One chained plan: per round, assignment joins the subvector
     relation with the BROADCAST codebook on the subspace id (argmin
     exact squared-L2, ties to the lower cid), and the update is a
     posexplode partial-agg floor-division mean per (s, cid, pos) —
     the monoid two-phase shape, grouped by subspace.  Empty clusters
     keep their previous centroid."""
-    cents = (sub.where(F.col("vec_id") < k)
+    seed_ids = (sub.select("vec_id").distinct()
+                .orderBy("vec_id").limit(k))
+    cents = (sub.join(F.broadcast(seed_ids), "vec_id")
              .select("s", F.col("vec_id").alias("cid"),
                      F.col("sv").alias("cv")))
     for _ in range(iters):

@@ -637,7 +637,12 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
     centroids once — the persisted-centroids pattern)."""
     v = df.select(F.col(id_col).alias("__vid"),
                   quantize_micro(vec_col).alias("__v"))
-    cents = (v.where(F.col("__vid") < k)
+    # seed from the k LOWEST ids (cid = the seed's id) — identical to
+    # ``__vid < k`` on a dense 0..n-1 id space but correct when ids
+    # are sparse or offset, where that predicate silently under-seeds
+    # (ADVICE r6, flagged on the pq_fit twin)
+    seed_ids = v.select("__vid").orderBy("__vid").limit(k)
+    cents = (v.join(F.broadcast(seed_ids), "__vid")
              .select(F.col("__vid").alias("cid"), F.col("__v").alias("cv")))
     for _ in range(iters):
         d = (v.crossJoin(F.broadcast(cents))

@@ -34,18 +34,27 @@ def skyline_2d(pts: DataFrame, x: str, y: str) -> DataFrame:
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}"
                        for f in fields)
 
-    def local_prune(batches):
-        chunks = [pdf[[x, y]] for pdf in batches]
-        if not chunks:
-            return
-        pdf = pd.concat(chunks).sort_values([x, y], kind="mergesort")
+    def prune_one(pdf):
+        pdf = pdf.sort_values([x, y], kind="mergesort")
         keep_x, keep_y, best = [], [], None
         for xv, yv in zip(pdf[x], pdf[y]):
             if best is None or yv < best:
                 keep_x.append(xv)
                 keep_y.append(yv)
                 best = yv
-        yield pd.DataFrame({x: keep_x, y: keep_y})
+        return pd.DataFrame({x: keep_x, y: keep_y})
+
+    def local_prune(batches):
+        # prune each Arrow batch to its OWN skyline first — the reduce
+        # is idempotent (skyline(A∪B) = skyline(skyline(A)∪skyline(B))),
+        # so peak memory is one batch + the accumulated ~O(log n)-point
+        # batch skylines, not the whole partition (ADVICE r6: a whole-
+        # partition concat broke the bounded map-side contract)
+        chunks = [prune_one(pdf[[x, y]]) for pdf in batches]
+        chunks = [c for c in chunks if len(c)]
+        if not chunks:
+            return
+        yield prune_one(pd.concat(chunks))
 
     local = pts.select(x, y).mapInPandas(local_prune, schema=schema)
     g = local.groupBy(x).agg(F.min(y).alias(y))

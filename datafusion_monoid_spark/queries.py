@@ -3543,7 +3543,9 @@ def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
     parts = [f"""vecs AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
               FROM embeddings),
-cents0 AS (SELECT vec_id AS cid, v AS cv FROM vecs WHERE vec_id < {k})"""]
+cents0 AS (SELECT vec_id AS cid, v AS cv FROM vecs
+           WHERE vec_id IN (SELECT vec_id FROM vecs
+                            ORDER BY vec_id LIMIT {k}))"""]
     for i in range(iters):
         parts.append(f""",
 d{i} AS (SELECT vec_id, v, cid,
@@ -5827,9 +5829,15 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         return ((F.col(sc) - F.col(sc) % F.col(nc)) / F.col(nc)) \
             .cast("bigint")
 
-    m = s.select("label", "n_o", "n_n",
+    # a label with vectors in only ONE half has no drift to report —
+    # the oracle's old/new inner join drops it; without this filter
+    # the conditional-aggregate form would divide by the empty half's
+    # zero count instead (ADVICE r6: NULL drift under non-ANSI,
+    # exception under ANSI, either way an oracle mismatch)
+    m = (s.where((F.col("n_o") > 0) & (F.col("n_n") > 0))
+         .select("label", "n_o", "n_n",
                  _mean("s_o", "n_o").alias("vo"),
-                 _mean("s_n", "n_n").alias("vn"))
+                 _mean("s_n", "n_n").alias("vn")))
     return (m.groupBy("label")
             .agg(F.max("n_o").cast("bigint").alias("n_old"),
                  F.max("n_n").cast("bigint").alias("n_new"),
@@ -6297,7 +6305,8 @@ psub AS (SELECT vec_id, unnest(range(0, {m})) AS s,
                   AS sv
          FROM pvecs),
 pcents0 AS (SELECT s, vec_id AS cid, sv AS cv FROM psub
-            WHERE vec_id < {k})"""]
+            WHERE vec_id IN (SELECT DISTINCT vec_id FROM psub
+                             ORDER BY vec_id LIMIT {k}))"""]
     dist = (f"list_sum(list_transform(range(1, {subdim + 1}), "
             f"j -> (sv[j] - cv[j]) * (sv[j] - cv[j])))")
     for i in range(iters):
@@ -7696,6 +7705,11 @@ def _fit_bpe_persisted(spark: SparkSession, sf_dir: str,
     merges, fin = bpem.train(_bpe_vocab(spark, sf_dir, holdout=holdout))
     merges.coalesce(1).write.mode("overwrite").parquet(mpath)
     fin.coalesce(1).write.mode("overwrite").parquet(vpath)
+    # both model artifacts are on disk — the final round's checkpoint
+    # blocks are dead (serves read the parquet back, never this frame)
+    from datafusion_monoid_spark.plans.inspect import \
+        release_local_checkpoint
+    release_local_checkpoint(fin)
     return mpath, vpath
 
 
@@ -8204,7 +8218,11 @@ def exact_percentiles_2pass(v: DataFrame, spark: SparkSession,
     well-defined whatever order equal values rank in."""
     stats = v.agg(F.count(F.lit(1)).cast("bigint").alias("n"),
                   F.min("val").alias("mn"), F.max("val").alias("mx"))
-    width = (F.col("mx") - F.col("mn")) / _PCTL_B
+    # cell width derives from the CALLER's bucket count — a width tied
+    # to the module default while indices clamp to ``buckets`` would
+    # silently funnel the tail into the last cell at buckets != 256,
+    # degrading the prune (ADVICE r6; answers stay exact either way)
+    width = (F.col("mx") - F.col("mn")) / buckets
     cell = F.when(F.col("mx") == F.col("mn"), F.lit(0)).otherwise(
         F.least(F.lit(buckets - 1),
                 F.floor((F.col("val") - F.col("mn")) / width))) \
