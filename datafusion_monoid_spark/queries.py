@@ -2136,7 +2136,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _minhash_shared(spark, sf_dir)
     strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
                  .select("id_a", "id_b")
-    cc = connected_components(strong)
+    cc = connected_components(strong, track=_track_ckpt)
     return cc.select(F.col("node").alias("doc_id"), "component")
 
 
@@ -2216,7 +2216,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, cand = _minhash_shared(spark, sf_dir)
     strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
                  .select("id_a", "id_b")
-    cc = connected_components(strong)
+    cc = connected_components(strong, track=_track_ckpt)
     score = _docs(spark, sf_dir).select(
         "doc_id",
         F.round(tx.quality_score("text") * 1_000_000).cast("bigint")
@@ -5951,12 +5951,47 @@ def events_user_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 _SPAN_N = 8  # token n-gram width for duplicate-span detection
+#: coarse-tier minimum span length in tokens — Lee et al. 2022's
+#: production setting for substring dedup; a duplicated substring of
+#: >= 50 tokens is an island of >= 43 consecutive duplicated 8-gram
+#: positions, so the coarse tier is a FILTER over the fine tier's
+#: span relation (shared hash relation, no second scan)
+_SPAN_COARSE_TOKENS = 50
 
 
-def _span_oracle_sql() -> str:
+def _dup_span_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, grp, n_grams, span_tokens): maximal per-doc
+    spans of corpus-duplicated token ``_SPAN_N``-grams — the SHARED
+    relation both span-dedup entries aggregate (see
+    `dedup_substring_spans` for semantics and the scale argument)."""
     n = _SPAN_N
-    return f"""
-WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+    docs = _docs(spark, sf_dir)
+    toks = dd.tokens("text")
+    gram_arr = F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
+                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = (docs.select("doc_id", "source",
+                         F.posexplode(gram_arr).alias("pos", "gram"))
+             .select("doc_id", "source", "pos",
+                     dd.md5_long("gram").alias("h")))
+    counts = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+              .where(F.col("cnt") > 1))
+    dup = grams.join(counts, "h").select("doc_id", "source", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return (dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
+            .groupBy("doc_id", "source", "grp")
+            .agg(F.count(F.lit(1)).alias("n_grams"),
+                 (F.max("pos") - F.min("pos") + n).cast("bigint")
+                 .alias("span_tokens")))
+
+
+def _span_ctes() -> str:
+    """The shared duplicated-span CTE chain (ends at ``s`` — the span
+    relation both span-dedup oracles aggregate); no WITH keyword."""
+    n = _SPAN_N
+    return f"""t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
 g AS (SELECT doc_id, source,
              unnest(range(0, greatest(len(toks) - {n - 1}, 0))) AS pos,
              unnest(list_transform(range(0, greatest(len(toks) - {n - 1}, 0)),
@@ -5970,7 +6005,12 @@ i AS (SELECT doc_id, source, pos,
       FROM d),
 s AS (SELECT doc_id, source, grp, count(*) AS n_grams,
              max(pos) - min(pos) + {n} AS span_tokens
-      FROM i GROUP BY doc_id, source, grp)
+      FROM i GROUP BY doc_id, source, grp)"""
+
+
+def _span_oracle_sql() -> str:
+    return f"""
+WITH {_span_ctes()}
 SELECT source,
        CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs_dup,
        CAST(count(*) AS BIGINT) AS n_spans,
@@ -6008,33 +6048,75 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     RESOLUTION (multiples of one token, minimum ``_SPAN_N`` = 8) for
     linear distributed scaling — the standard production trade.
     """
-    n = _SPAN_N
-    docs = _docs(spark, sf_dir)
-    toks = dd.tokens("text")
-    gram_arr = F.when(
-        F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
-    ).otherwise(F.array().cast("array<string>"))
-    grams = (docs.select("doc_id", "source",
-                         F.posexplode(gram_arr).alias("pos", "gram"))
-             .select("doc_id", "source", "pos",
-                     dd.md5_long("gram").alias("h")))
-    counts = (grams.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
-              .where(F.col("cnt") > 1))
-    dup = grams.join(counts, "h").select("doc_id", "source", "pos")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    spans = (dup.withColumn("grp", F.col("pos") - F.row_number().over(w))
-             .groupBy("doc_id", "source", "grp")
-             .agg(F.count(F.lit(1)).alias("n_grams"),
-                  (F.max("pos") - F.min("pos") + n).cast("bigint")
-                  .alias("span_tokens")))
+    spans = _dup_span_relation(spark, sf_dir)
     return (spans.groupBy("source")
             .agg(F.countDistinct("doc_id").alias("n_docs_dup"),
                  F.count(F.lit(1)).alias("n_spans"),
                  F.sum("n_grams").cast("bigint").alias("dup_grams"),
                  F.sum("span_tokens").cast("bigint").alias("span_tokens_sum"),
                  F.max("span_tokens").cast("bigint").alias("span_tokens_max")))
+
+
+def _span_multires_oracle_sql() -> str:
+    c = _SPAN_COARSE_TOKENS
+    return f"""
+WITH {_span_ctes()}
+SELECT source,
+       CAST(count(*) AS BIGINT) AS fine_n_spans,
+       CAST(sum(span_tokens) AS BIGINT) AS fine_dup_tokens,
+       CAST(sum(CASE WHEN span_tokens >= {c} THEN 1 ELSE 0 END)
+            AS BIGINT) AS coarse_n_spans,
+       CAST(count(DISTINCT CASE WHEN span_tokens >= {c} THEN doc_id END)
+            AS BIGINT) AS coarse_n_docs,
+       CAST(coalesce(sum(CASE WHEN span_tokens >= {c}
+                              THEN span_tokens END), 0)
+            AS BIGINT) AS coarse_dup_tokens,
+       CAST(coalesce(max(CASE WHEN span_tokens >= {c}
+                              THEN span_tokens END), 0)
+            AS BIGINT) AS coarse_span_max
+FROM s GROUP BY source
+"""
+
+
+@register("dedup_substring_multires", _span_multires_oracle_sql())
+def dedup_substring_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution duplicate-span report: the fine tier (every
+    duplicated span at the token-8-gram resolution, minimum 8 tokens)
+    and Lee et al. 2022's PRODUCTION setting — duplicated regions of
+    at least 50 tokens, the length at which removal is near-lossless
+    — side by side, per source.  ``coarse_dup_tokens`` is what a
+    cut-the-span pass would delete per source at the production
+    threshold; comparing it to ``fine_dup_tokens`` shows how much of
+    the duplication lives in long template runs vs short phrase echo.
+
+    The coarse tier is a PREDICATE over the fine tier's span relation
+    — a >= 50-token duplicated substring is exactly an island of
+    >= 43 consecutive duplicated 8-gram positions (span_tokens =
+    n_grams + 7 on consecutive islands), so recall vs Lee et al.'s
+    50-token exact-match criterion is 1 by construction and the entry
+    costs ONE pass: both tiers are conditional aggregates over the
+    SHARED ``_dup_span_relation`` — the gram-hash shuffle and count
+    join are paid once, exactly the fine entry's plan (pinned in
+    tests/test_plans.py: 2 scans / 1 join, what a tier-per-pass
+    formulation would double); the 100 TB sharing story for running
+    every resolution a curation team wants from one hash pass."""
+    c = _SPAN_COARSE_TOKENS
+    spans = _dup_span_relation(spark, sf_dir)
+    coarse = F.col("span_tokens") >= c
+    return (spans.groupBy("source")
+            .agg(F.count(F.lit(1)).alias("fine_n_spans"),
+                 F.sum("span_tokens").cast("bigint")
+                 .alias("fine_dup_tokens"),
+                 F.sum(F.when(coarse, 1).otherwise(0)).cast("bigint")
+                 .alias("coarse_n_spans"),
+                 F.countDistinct(F.when(coarse, F.col("doc_id")))
+                 .cast("bigint").alias("coarse_n_docs"),
+                 F.coalesce(F.sum(F.when(coarse, F.col("span_tokens"))),
+                            F.lit(0)).cast("bigint")
+                 .alias("coarse_dup_tokens"),
+                 F.coalesce(F.max(F.when(coarse, F.col("span_tokens"))),
+                            F.lit(0)).cast("bigint")
+                 .alias("coarse_span_max")))
 
 
 _LM_LOW_QUALITY_MICRO = 50_000  # docs whose mean bigram prob < 5% flagged
@@ -8676,12 +8758,58 @@ _DRIVER_WINDOW_R6 = [
 ]
 
 
+#: Round-7 window — the VERIFICATION-BACKLOG round (VERDICT r6 item 1).
+#: CORRECTNESS_r05.json was never written back into the checkout, so
+#: the entire round-5 batch (28 entries) has no driver check on
+#: record, and 14 entries' latest check is still r2.  This window is
+#: exactly that backlog — 28 never-checked + 14 r2-stale = 42 — plus
+#: 8 sentinels: the two NEW round-7 entries and the six r6-checked
+#: entries whose code or oracle changed this round (seed-rule change
+#: in the k-means/PQ fits, BPE trainer rewrite, k-core rewrite,
+#: percentile width fix, skyline batch prune).  Credit RULE (the r6
+#: failure mode): a round with no CORRECTNESS_r*.json file in the
+#: checkout contributes NOTHING to the staleness ordering — never
+#: trust a manifest as if it had been checked (enforced by
+#: tests/test_packaging.py::test_driver_window_covers_backlog).
+_DRIVER_WINDOW_R7 = [
+    # new round-7 entries
+    "pq_ivfadc_residual_topk", "dedup_substring_multires",
+    # r6-checked entries whose code/oracle changed this round
+    "pq_ivfadc_topk", "pq_fit_codebooks", "bpe_train_merges",
+    "graph_kcore_sizes", "exact_percentiles_price",
+    "pareto_parts_frontier",
+    # the 28 round-5 entries with NO driver check on record
+    "monoid_sql_routed_hugegroup", "sim_ivf_fit_centroids",
+    "sim_topk_ivf_pretrained", "semdedup_prune_pretrained",
+    "skew_aqe_join_deviation", "pipeline_dedup_cascade",
+    "dedup_cluster_keep_best", "dedup_incremental_newbatch",
+    "dedup_lsh_bucket_stats", "dedup_simhash_bucket_stats",
+    "pagerank_neardup_graph", "pagerank_dedup_survivors",
+    "basket_pair_lift", "events_transition_matrix",
+    "orders_rfm_segments", "curation_token_budget_mix",
+    "dq_integrity_report", "events_gapfill_ffill",
+    "cdc_scd2_customer", "events_anomaly_mad",
+    "gdpr_delete_cascade", "incremental_rollup_merge",
+    "streaming_rollup_maintenance", "streaming_ann_serve",
+    "schema_evolution_read", "embedding_drift_by_label",
+    "dpp_partition_pruning", "events_user_gap_stats",
+    # the 14 entries whose latest driver check is still round 2
+    "monoid_sql_udaf", "q4_semi_join", "q5_local_supplier_volume",
+    "q10_returned_items", "pivot_status_by_priority",
+    "cube_order_stats", "left_join_customer_orders",
+    "full_outer_join_activity", "anti_join_silent_customers",
+    "percentile_prices", "events_json_extract",
+    "events_multi_rollup", "pipeline_clean_corpus",
+    "scalar_functions_smoke",
+]
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R6 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R7 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}

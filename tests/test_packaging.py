@@ -43,3 +43,32 @@ def test_package_import_roundtrip_in_clean_interpreter():
                          capture_output=True, text=True, timeout=120)
     assert out.returncode == 0, out.stderr[-2000:]
     assert out.stdout.strip().endswith("ok")
+
+
+def test_driver_window_covers_backlog():
+    """The committed driver window must lead with every catalog entry
+    that has NO driver check on record — computed from the ACTUAL
+    CORRECTNESS_r*.json artifacts in the checkout, never from a
+    window manifest standing in for a check (the round-6 failure:
+    CORRECTNESS_r05.json was never written back, and crediting the r5
+    manifest as if it had run left 28 entries unverified for two
+    rounds).  New entries are sentinels in-window by construction, so
+    this invariant is the per-round discipline: no entry ships
+    outside the driver's gate."""
+    import glob
+    import json
+
+    from datafusion_monoid_spark import queries as qcat
+
+    seen: set = set()
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            data = json.load(f)
+        assert isinstance(data, dict), f"unreadable {path}"
+        seen |= set(data)
+    window = list(qcat.catalog())[:50]
+    never = [n for n in qcat._CATALOG if n not in seen]
+    missing = [n for n in never if n not in window]
+    assert not missing, (
+        f"{len(missing)} never-driver-checked entries outside the "
+        f"50-entry window: {missing}")

@@ -423,3 +423,17 @@ def test_jl_projection_map_only_single_agg(spark, catalog):
     p = _explain(catalog["embedding_jl_distortion"][0](spark, SF), "simple")
     assert "Join" not in p
     assert p.count("Exchange hashpartitioning") == 1
+
+
+def test_substring_multires_single_shared_scan(spark, catalog):
+    """Both resolutions of the duplicate-span report are conditional
+    aggregates over ONE span relation: the plan pays the span chain
+    once — 2 documents scans (the two sides of the gram-count join,
+    same as the fine-tier entry alone) and exactly one join; a
+    tier-per-pass formulation would double both."""
+    p = _explain(catalog["dedup_substring_multires"][0](spark, SF),
+                 "simple")
+    assert p.count("Scan parquet") == 2
+    # exactly one gram-hash count join feeds the islands window
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") \
+        + p.count("BroadcastHashJoin") == 1

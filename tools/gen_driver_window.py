@@ -34,16 +34,19 @@ def main() -> None:
     from datafusion_monoid_spark import queries as qcat
 
     sentinels = sys.argv[1:]
+    # CREDIT RULE (the round-6 failure mode): staleness ordering comes
+    # ONLY from CORRECTNESS_r*.json files actually present in the
+    # checkout.  A round whose artifact was never written back gets no
+    # credit — its entries sort as never-checked and lead the window;
+    # an unreadable artifact is a hard error, not a silent skip.
     seen: dict[str, str] = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
-        try:
-            with open(path) as f:
-                data = json.load(f)
-        except (OSError, ValueError):
-            continue
-        if isinstance(data, dict):
-            for name in data:
-                seen[name] = os.path.basename(path)
+        with open(path) as f:
+            data = json.load(f)
+        if not isinstance(data, dict):
+            sys.exit(f"malformed correctness artifact: {path}")
+        for name in data:
+            seen[name] = os.path.basename(path)
 
     names = list(qcat._CATALOG)
     order = {n: i for i, n in enumerate(names)}
