@@ -79,8 +79,8 @@ def subvectors(df: DataFrame, m: int = PQ_M, subdim: int = PQ_SUBDIM,
                      F.posexplode(slices).alias("s", "sv"))
 
 
-def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
-           ) -> DataFrame:
+def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
+           ckpt=None) -> DataFrame:
     """(s, cid, cv): per-subspace codebooks after ``iters`` grouped
     Lloyd rounds, seeded from the ``k`` LOWEST vector ids (cid = the
     seed's vec_id — on a dense 0..n-1 corpus identical to the old
@@ -91,13 +91,32 @@ def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
     exact squared-L2, ties to the lower cid), and the update is a
     posexplode partial-agg floor-division mean per (s, cid, pos) —
     the monoid two-phase shape, grouped by subspace.  Empty clusters
-    keep their previous centroid."""
+    keep their previous centroid.
+
+    ``ckpt`` (optional, DataFrame -> DataFrame): materializes the
+    FINAL codebook (callers pass a tracked ``localCheckpoint``).
+    When given, every intermediate round is also checkpointed and the
+    superseded round's blocks are released the moment its successor
+    materializes (the ``graph.connected_components`` discipline).
+    Without it, round r's centroid plan references round r-1 TWICE
+    (assignment + the empty-cluster coalesce), so the chained lineage
+    re-evaluates the base relation O(2^iters) times wherever the
+    result is referenced — fine when ``sub`` is a cheap scan
+    projection, pathological when it embeds a fit of its own (the
+    round-7 ``pq_ivfadc_residual_topk`` cold sweep: 293 s fused vs
+    ~15 s materialized at sf0.1)."""
+    from datafusion_monoid_spark.plans.inspect import (
+        release_local_checkpoint,
+    )
+
     seed_ids = (sub.select("vec_id").distinct()
                 .orderBy("vec_id").limit(k))
     cents = (sub.join(F.broadcast(seed_ids), "vec_id")
              .select("s", F.col("vec_id").alias("cid"),
                      F.col("sv").alias("cv")))
-    for _ in range(iters):
+    if ckpt is not None:
+        cents = cents.localCheckpoint(eager=True)
+    for i in range(iters):
         assigned = _assign(sub, cents)
         sums = (assigned.select("s", "cid", F.posexplode("sv")
                                 .alias("pos", "x"))
@@ -111,9 +130,14 @@ def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS
                      .agg(F.transform(
                          F.array_sort(F.collect_list(F.struct("pos", "val"))),
                          lambda t: t["val"]).alias("cv")))
-        cents = (cents.select("s", "cid", F.col("cv").alias("__old"))
-                 .join(new_cents, ["s", "cid"], "left")
-                 .select("s", "cid", F.coalesce("cv", "__old").alias("cv")))
+        nxt = (cents.select("s", "cid", F.col("cv").alias("__old"))
+               .join(new_cents, ["s", "cid"], "left")
+               .select("s", "cid", F.coalesce("cv", "__old").alias("cv")))
+        if ckpt is not None:
+            nxt = (ckpt(nxt) if i == iters - 1
+                   else nxt.localCheckpoint(eager=True))
+            release_local_checkpoint(cents)
+        cents = nxt
     return cents
 
 
@@ -431,7 +455,8 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
                             m: int = PQ_M, subdim: int = PQ_SUBDIM,
                             kq: int = PQ_K, iters: int = PQ_ITERS,
                             id_col: str = "vec_id",
-                            vec_col: str = "embedding") -> DataFrame:
+                            vec_col: str = "embedding",
+                            ckpt=None) -> DataFrame:
     """IVFADC with RESIDUAL encoding (Jegou et al. 2011 §IV.B — the
     FAISS IndexIVFPQ default, lifting the raw-vector simplification of
     :func:`pq_ivfadc_topk`): the product quantizer trains on and codes
@@ -449,14 +474,26 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
     finish (residuals are differences of micro-ints), so a SQL engine
     replays coarse fit, residuals, PQ fit, codes, probe, ADC, and both
     rank stages bit-for-bit.  ADC shortlist + exact re-rank as
-    everywhere in the tier."""
+    everywhere in the tier.
+
+    ``ckpt`` (optional, DataFrame -> DataFrame, e.g. a tracked
+    ``localCheckpoint``): materializes the residual relation and the
+    residual codebooks.  Unlike the raw-code twin — whose subvector
+    base is a pure scan projection — every re-reference of THIS
+    chain's base replays the coarse k-means fit plus a corpus
+    assignment, and the fused plan references it O(2^iters) times
+    through the Lloyd lineage (measured 293 s vs ~15 s at sf0.1, the
+    round-7 cold sweep).  Production would persist both as index
+    artifacts anyway; pass None only for small-data correctness
+    tests."""
     from pyspark.sql import Window
 
-    resid = residual_vectors(corpus, coarse_cents, id_col, vec_col)
+    mk = ckpt if ckpt is not None else (lambda df: df)
+    resid = mk(residual_vectors(corpus, coarse_cents, id_col, vec_col))
     rsub = resid.select("vec_id",
                         F.posexplode(_sub_slices(F.col("rv"), m, subdim))
                         .alias("s", "sv"))
-    cents = pq_fit(rsub, k=kq, iters=iters)
+    cents = pq_fit(rsub, k=kq, iters=iters, ckpt=ckpt)
     codes = pq_codes(rsub, cents)
     cells = resid.select("vec_id", "ccid")
 

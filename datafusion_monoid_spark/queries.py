@@ -58,6 +58,15 @@ def _track_ckpt(df: DataFrame) -> DataFrame:
     return df
 
 
+def _ckpt(df: DataFrame) -> DataFrame:
+    """Tracked eager localCheckpoint — the one-liner catalog entries
+    pass as the ``ckpt`` hook of iterative operators (pq_fit, the
+    IVFADC residual chain): materialize an index artifact once, let
+    :func:`release_pending_checkpoints` reclaim it between sweep
+    entries."""
+    return _track_ckpt(df.localCheckpoint(eager=True))
+
+
 def release_pending_checkpoints() -> int:
     """Free blocks of every tracked checkpoint; call only when prior
     catalog DataFrames are fully consumed.  Returns the release count."""
@@ -6566,7 +6575,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly why the re-rank stage is the shipped shape."""
     e = _emb(spark, sf_dir)
     sub = pqm.subvectors(e)
-    cents = pqm.pq_fit(sub)
+    # the codebook artifact is referenced by both the encode join and
+    # the distance table — materialize it once (1024 ints)
+    cents = pqm.pq_fit(sub, ckpt=_ckpt)
     queries = e.where(F.col("vec_id") < 20)
     return pqm.pq_adc_rerank_topk(e, sub, cents, queries, k=5)
 
@@ -6845,12 +6856,17 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_similarity.py with the probe-coverage rationale."""
     e = _emb(spark, sf_dir)
     sub = pqm.subvectors(e)
-    cents = pqm.pq_fit(sub)
+    # materialize the two small index artifacts (1024-int codebooks,
+    # 8-row coarse centroids): both are referenced several times in
+    # the search plan, and each unmaterialized reference replays its
+    # whole Lloyd chain (the serve deployment persists them anyway)
+    cents = pqm.pq_fit(sub, ckpt=_ckpt)
     coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
-    ccr = (coarse.groupBy("cid")
-           .agg(F.transform(F.array_sort(F.collect_list(
-               F.struct("pos", "val"))), lambda t: t["val"]).alias("cv"))
-           .select(F.lit(0).alias("s"), "cid", "cv"))
+    ccr = _ckpt(coarse.groupBy("cid")
+                .agg(F.transform(F.array_sort(F.collect_list(
+                    F.struct("pos", "val"))), lambda t: t["val"])
+                     .alias("cv"))
+                .select(F.lit(0).alias("s"), "cid", "cv"))
     queries = e.where(F.col("vec_id") < 20)
     return pqm.pq_ivfadc_topk(e, sub, cents, ccr, queries, k=5, nprobe=6)
 
@@ -6959,12 +6975,19 @@ def pq_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-for-bit."""
     e = _emb(spark, sf_dir)
     coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
-    ccr = (coarse.groupBy("cid")
-           .agg(F.transform(F.array_sort(F.collect_list(
-               F.struct("pos", "val"))), lambda t: t["val"]).alias("cv"))
-           .select(F.lit(0).alias("s"), "cid", "cv"))
+    # materialize the 8-row coarse-centroid artifact and (via the ckpt
+    # hook) the residual relation + residual codebooks: the fused
+    # lineage re-ran the coarse fit + corpus assignment O(2^iters)
+    # times (293 s vs ~15 s at sf0.1, round-7 cold sweep); these ARE
+    # the published index artifacts in the serve deployment
+    ccr = _ckpt(coarse.groupBy("cid")
+                .agg(F.transform(F.array_sort(F.collect_list(
+                    F.struct("pos", "val"))), lambda t: t["val"])
+                     .alias("cv"))
+                .select(F.lit(0).alias("s"), "cid", "cv"))
     queries = e.where(F.col("vec_id") < 20)
-    return pqm.pq_ivfadc_residual_topk(e, ccr, queries, k=5, nprobe=6)
+    return pqm.pq_ivfadc_residual_topk(e, ccr, queries, k=5, nprobe=6,
+                                       ckpt=_ckpt)
 
 
 def _dsir_oracle_sql() -> str:

@@ -36,6 +36,11 @@ CHECKPOINT_HEAVY = [
     "dedup_clusters",        # connected components (self-releasing)
     "pq_adc_pretrained",     # materialize_codes (bench-loop released)
     "pipeline_curation_full",  # the r6 victim — must also not leak
+    # round 7: the PQ fit chains materialize their index artifacts
+    # (tracked final ckpt + self-released per-round intermediates)
+    "pq_adc_topk",
+    "pq_ivfadc_topk",
+    "pq_ivfadc_residual_topk",
 ]
 
 
