@@ -615,7 +615,8 @@ def _sqdist_micro(a, b) -> F.Column:
 
 def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           ckpt=None) -> DataFrame:
     """(cid, pos, val): centroids after ``iters`` Lloyd rounds, seeded
     from the first ``k`` vectors by id.
 
@@ -628,13 +629,23 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
     (not convergence-tested): deterministic work, and each round is a
     full lineage checkpointable stage at scale.
 
-    The iterations stay CHAINED lineage on purpose: a per-iteration
-    driver round-trip of the centroids (the MLlib pattern) was measured
-    SLOWER here (2.9 s vs 1.9 s for the 3-round fit at sf0.1) — three
-    separate jobs pay more scheduling than the fused chain recomputes.
-    At a scale where one assignment pass dominates scheduling, flip to
-    per-round materialization (consumers already collect the FINAL
-    centroids once — the persisted-centroids pattern)."""
+    ``ckpt`` (optional, DataFrame -> DataFrame): materializes the
+    FINAL centroid relation (callers pass a tracked
+    ``localCheckpoint``); intermediate rounds are then checkpointed
+    too and each superseded round's blocks are released the moment
+    its successor materializes (the pq_fit discipline).  Without it,
+    round r references round r-1 TWICE (the assignment crossJoin and
+    the empty-cluster coalesce), so even a single consumer evaluates
+    the corpus scan O(2^iters) times inside one job — ~4 s of the
+    fused 3-round fit at sf0.1 vs ~1.5 s materialized.  (An earlier
+    note here measured per-round DRIVER round-trips slower than the
+    fused chain — collect + re-createDataFrame each round, the MLlib
+    pattern; executor-side localCheckpoint avoids that driver hop,
+    which is why it wins where the round-trip lost.)"""
+    from datafusion_monoid_spark.plans.inspect import (
+        release_local_checkpoint,
+    )
+
     v = df.select(F.col(id_col).alias("__vid"),
                   quantize_micro(vec_col).alias("__v"))
     # seed from the k LOWEST ids (cid = the seed's id) — identical to
@@ -644,6 +655,8 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
     seed_ids = v.select("__vid").orderBy("__vid").limit(k)
     cents = (v.join(F.broadcast(seed_ids), "__vid")
              .select(F.col("__vid").alias("cid"), F.col("__v").alias("cv")))
+    if ckpt is not None:
+        cents = cents.localCheckpoint(eager=True)
     for _ in range(iters):
         d = (v.crossJoin(F.broadcast(cents))
              .select("__vid", "__v", "cid",
@@ -663,7 +676,18 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
                      .agg(F.transform(
                          F.array_sort(F.collect_list(F.struct("pos", "val"))),
                          lambda t: t["val"]).alias("cv")))
-        cents = (cents.select("cid", F.col("cv").alias("__old"))
-                 .join(new_cents, "cid", "left")
-                 .select("cid", F.coalesce("cv", "__old").alias("cv")))
+        nxt = (cents.select("cid", F.col("cv").alias("__old"))
+               .join(new_cents, "cid", "left")
+               .select("cid", F.coalesce("cv", "__old").alias("cv")))
+        if ckpt is not None:
+            nxt = nxt.localCheckpoint(eager=True)
+            release_local_checkpoint(cents)
+        cents = nxt
+    if ckpt is not None:
+        # hand the final round through the caller's (tracked) hook and
+        # release the loop's own checkpoint of it
+        final = ckpt(cents.select(
+            "cid", F.posexplode("cv").alias("pos", "val")))
+        release_local_checkpoint(cents)
+        return final
     return cents.select("cid", F.posexplode("cv").alias("pos", "val"))

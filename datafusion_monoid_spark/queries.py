@@ -3601,7 +3601,7 @@ def kmeans_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast k x dim centroid table; the mean is a posexplode
     partial-agg — the monoid two-phase shape."""
     e = _emb(spark, sf_dir)
-    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
     return cents.select(F.col("cid").cast("bigint").alias("cid"),
                         F.col("pos").cast("int").alias("pos"),
                         F.col("val").cast("bigint").alias("val"))
@@ -3680,7 +3680,7 @@ def sim_topk_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the ~4.5 s total is the 3-round Lloyd fit, which is what the
     fit/serve split entries exist to separate)."""
     e = _emb(spark, sf_dir)
-    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
     by_cid: dict[int, list[tuple[int, int]]] = {}
     for r in cents.collect():   # k x dim rows — bounded by construction
         by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
@@ -3740,7 +3740,7 @@ def _fit_centroids_persisted(spark: SparkSession, sf_dir: str,
             path, f"{sf_dir}/embeddings.parquet"):
         return path
     e = _emb(spark, sf_dir)
-    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
     cents.coalesce(1).write.mode("overwrite").parquet(path)
     return path
 
@@ -4681,7 +4681,7 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side once (bounded k x dim collect — the persisted-centroids
     pattern, same as sim_topk_ivf_kmeans)."""
     e = _emb(spark, sf_dir)
-    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
     by_cid: dict[int, list[tuple[int, int]]] = {}
     for r in cents.collect():   # k x dim rows — bounded by construction
         by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
@@ -6861,7 +6861,7 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the search plan, and each unmaterialized reference replays its
     # whole Lloyd chain (the serve deployment persists them anyway)
     cents = pqm.pq_fit(sub, ckpt=_ckpt)
-    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
     ccr = _ckpt(coarse.groupBy("cid")
                 .agg(F.transform(F.array_sort(F.collect_list(
                     F.struct("pos", "val"))), lambda t: t["val"])
@@ -6974,7 +6974,7 @@ def pq_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     PQ fit, codes, probes, per-cell tables, ADC, and both rank stages
     bit-for-bit."""
     e = _emb(spark, sf_dir)
-    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
     # materialize the 8-row coarse-centroid artifact and (via the ckpt
     # hook) the residual relation + residual codebooks: the fused
     # lineage re-ran the coarse fit + corpus assignment O(2^iters)
