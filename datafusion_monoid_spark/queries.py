@@ -6497,7 +6497,7 @@ def _fit_pq_persisted(spark: SparkSession, sf_dir: str,
             path, f"{sf_dir}/embeddings.parquet"):
         return path
     e = _emb(spark, sf_dir)
-    cents = pqm.pq_fit(pqm.subvectors(e))
+    cents = pqm.pq_fit(pqm.subvectors(e), ckpt=_ckpt)
     (cents.select("s", "cid", F.posexplode("cv").alias("pos", "val"))
      .coalesce(1).write.mode("overwrite").parquet(path))
     return path
