@@ -448,6 +448,16 @@ def residual_vectors(corpus: DataFrame, coarse_cents: DataFrame,
                     .alias("rv")))
 
 
+def residual_subvectors(resid: DataFrame, m: int = PQ_M,
+                        subdim: int = PQ_SUBDIM) -> DataFrame:
+    """(vec_id, s, sv): subvector slices of the residual relation's
+    ``rv`` column — :func:`subvectors` for already-residualized
+    micro-int vectors (pure projection + posexplode)."""
+    return resid.select("vec_id",
+                        F.posexplode(_sub_slices(F.col("rv"), m, subdim))
+                        .alias("s", "sv"))
+
+
 def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
                             queries: DataFrame, k: int = 5,
                             nprobe: int = 6,
@@ -490,16 +500,39 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
 
     mk = ckpt if ckpt is not None else (lambda df: df)
     resid = mk(residual_vectors(corpus, coarse_cents, id_col, vec_col))
-    rsub = resid.select("vec_id",
-                        F.posexplode(_sub_slices(F.col("rv"), m, subdim))
-                        .alias("s", "sv"))
+    rsub = residual_subvectors(resid, m, subdim)
     cents = pq_fit(rsub, k=kq, iters=iters, ckpt=ckpt)
     codes = pq_codes(rsub, cents)
     cells = resid.select("vec_id", "ccid")
+    return ivfadc_residual_search(
+        corpus, coarse_cents, cents, codes, cells, queries, k=k,
+        nprobe=nprobe, shortlist=shortlist, m=m, subdim=subdim,
+        id_col=id_col, vec_col=vec_col)
 
-    # probe: nprobe nearest coarse cells per query, and the query's
-    # PER-CELL residual (the dt must be built against each probed
-    # cell's centroid, not the nearest one only)
+
+def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
+                           cents: DataFrame, codes: DataFrame,
+                           cells: DataFrame, queries: DataFrame,
+                           k: int = 5, nprobe: int = 6,
+                           shortlist: int = PQ_SHORTLIST,
+                           m: int = PQ_M, subdim: int = PQ_SUBDIM,
+                           id_col: str = "vec_id",
+                           vec_col: str = "embedding") -> DataFrame:
+    """The QUERY side of residual IVFADC over prebuilt index relations
+    — what a serve deployment runs against the published artifacts:
+    ``coarse_cents`` (s=0, cid, cv), ``cents`` (the residual PQ
+    codebooks, (s, cid, cv)), ``codes`` ((vec_id, s, cid) — the
+    compressed corpus) and ``cells`` ((vec_id, ccid) — the inverted
+    lists).  Shared verbatim by the fused fit+search entry
+    (:func:`pq_ivfadc_residual_topk`), so both paths are bit-identical
+    by construction and share one oracle.
+
+    Probe: nprobe nearest coarse cells per query, and the query's
+    PER-CELL residual (the distance table must be built against each
+    probed cell's centroid, not the nearest one only).  Candidate and
+    table relations broadcast; the code relation stays map-side."""
+    from pyspark.sql import Window
+
     qwhole = (corpus.join(F.broadcast(queries.select(id_col)), id_col)
               .select(F.col(id_col).alias("q_id"), F.lit(0).alias("s"),
                       quantize_micro(vec_col).alias("qv")))

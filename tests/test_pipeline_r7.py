@@ -87,3 +87,18 @@ def test_multires_coarse_threshold_fixture(spark, tmp_path):
     assert b.coarse_n_docs == 0
     assert b.coarse_dup_tokens == 0
     assert b.coarse_span_max == 0
+
+
+# ---------------------------------------------------------------------------
+# residual IVFADC fit/serve split: the serve path over persisted index
+# artifacts must reproduce the fused fit+search bit-for-bit (the
+# deterministic-fit guarantee that lets both entries share one oracle)
+# ---------------------------------------------------------------------------
+
+def test_ivfadc_residual_pretrained_matches_fused(spark):
+    fused = sorted(map(tuple,
+                       _run(spark, "pq_ivfadc_residual_topk").collect()))
+    served = sorted(map(tuple,
+                        _run(spark,
+                             "pq_ivfadc_residual_pretrained").collect()))
+    assert fused == served

@@ -41,6 +41,7 @@ CHECKPOINT_HEAVY = [
     "pq_adc_topk",
     "pq_ivfadc_topk",
     "pq_ivfadc_residual_topk",
+    "pq_ivfadc_residual_pretrained",
 ]
 
 
