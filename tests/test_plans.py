@@ -255,6 +255,20 @@ def test_pq_pretrained_encode_is_map_only(spark, catalog):
     assert p.count("Exchange hashpartitioning") <= 3
 
 
+def test_ivfadc_residual_serve_has_no_fit_stages(spark, catalog):
+    """Round-7: the residual-IVFADC serve entry reads the persisted
+    index relations — coarse centroids, residual codebooks, codes,
+    cells — so its plan must contain NO Lloyd-iteration machinery:
+    zero SortMergeJoins (every join is a broadcast against the
+    bounded probe/table/candidate relations or the point-lookup
+    re-rank), and shuffles bounded by the ADC partial-agg plus the
+    two rank windows and the tiny artifact reshapes."""
+    df = catalog["pq_ivfadc_residual_pretrained"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 6
+
+
 def test_substring_spans_narrow_shuffles(spark, catalog):
     """Round-6: only the narrow gram relation shuffles — the document
     text column must not appear in any exchange's schema (checked via
