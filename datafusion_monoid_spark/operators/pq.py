@@ -115,6 +115,11 @@ def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
              .select("s", F.col("vec_id").alias("cid"),
                      F.col("sv").alias("cv")))
     if ckpt is not None:
+        # iters=0 returns the seed itself: route it through the
+        # caller's TRACKED hook so its blocks are releasable (the
+        # internal checkpoint below is self-released by the loop)
+        if iters == 0:
+            return ckpt(cents)
         cents = cents.localCheckpoint(eager=True)
     for i in range(iters):
         assigned = _assign(sub, cents)
@@ -221,7 +226,9 @@ def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
     This is the shape a 100 TB store runs: scans touch the
     32x-compressed code relation; full-precision vectors are only ever
     point-looked-up."""
-    qsub = sub.join(F.broadcast(queries.select(id_col)), "vec_id")
+    # query subvectors straight from the bounded queries relation (not
+    # a corpus-scan join) — same quantize+slice path, identical values
+    qsub = subvectors(queries, id_col=id_col, vec_col=vec_col)
     short = pq_adc_topk(sub, cents, qsub, k=shortlist)
     return pq_rerank(short, corpus, queries, k, id_col, vec_col)
 
@@ -395,11 +402,13 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
                           quantize_micro(vec_col).alias("sv"))
     assigned = (_assign(whole, coarse_cents)
                 .select("vec_id", F.col("cid").alias("ccid")))
-    qd = (whole.join(F.broadcast(queries.select(F.col(id_col)
-                                                .alias("vec_id"))),
-                     "vec_id")
+    # query vectors come straight from the (bounded) queries relation
+    # — re-deriving them via a corpus join would pay a second full
+    # scan for rows the caller already has
+    qd = (queries.select(F.col(id_col).alias("q_id"), F.lit(0).alias("s"),
+                         quantize_micro(vec_col).alias("sv"))
           .join(F.broadcast(coarse_cents), "s")
-          .select(F.col("vec_id").alias("q_id"), "cid",
+          .select("q_id", "cid",
                   _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
     wq = Window.partitionBy("q_id").orderBy(F.asc("d"), F.asc("cid"))
     probes = (qd.withColumn("rn", F.row_number().over(wq))
@@ -408,17 +417,19 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
     cands = (assigned.join(F.broadcast(probes), "ccid")
              .select("q_id", "vec_id"))
     codes = pq_codes(sub, cents)
-    dt = (sub.join(F.broadcast(queries.select(F.col(id_col)
-                                              .alias("vec_id"))),
-                   "vec_id")
+    dt = (subvectors(queries, id_col=id_col, vec_col=vec_col)
           .withColumnRenamed("vec_id", "q_id")
           .join(F.broadcast(cents), "s")
           .select("q_id", "s", "cid",
                   _sqdist_micro(F.col("sv"), F.col("cv")).alias("d")))
-    # the candidate relation is |queries| x mean cell occupancy —
-    # bounded by the query batch, never the corpus — so BROADCAST it:
-    # the 32x-compressed code relation then stays map-side instead of
-    # re-shuffling to meet the candidates (VERDICT r6 plan audit)
+    # the candidate relation is |queries| x nprobe x mean cell
+    # occupancy — SUB-corpus (occupancy = corpus / k_coarse, and
+    # production sizes k_coarse ~ sqrt(corpus)) but NOT constant in
+    # corpus size; the broadcast keeps the 32x-compressed code
+    # relation map-side (VERDICT r6 plan audit) and is right while
+    # queries x nprobe x occupancy fits the broadcast budget — at a
+    # scale where it does not, drop the hint and let the planner
+    # shuffle codes and candidates on vec_id instead
     adc = (codes.join(F.broadcast(cands), "vec_id")
            .join(F.broadcast(dt), ["q_id", "s", "cid"])
            .groupBy("q_id", "vec_id")
@@ -496,8 +507,6 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
     round-7 cold sweep).  Production would persist both as index
     artifacts anyway; pass None only for small-data correctness
     tests."""
-    from pyspark.sql import Window
-
     mk = ckpt if ckpt is not None else (lambda df: df)
     resid = mk(residual_vectors(corpus, coarse_cents, id_col, vec_col))
     rsub = residual_subvectors(resid, m, subdim)
@@ -529,13 +538,19 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
 
     Probe: nprobe nearest coarse cells per query, and the query's
     PER-CELL residual (the distance table must be built against each
-    probed cell's centroid, not the nearest one only).  Candidate and
-    table relations broadcast; the code relation stays map-side."""
+    probed cell's centroid, not the nearest one only).  The candidate
+    and table relations broadcast so the code relation stays map-side
+    — right while |queries| x nprobe x cell occupancy fits the
+    broadcast budget (occupancy = corpus / k_coarse: SUB-corpus, not
+    constant; at a scale past the budget, drop the hint and shuffle
+    codes/candidates on vec_id)."""
     from pyspark.sql import Window
 
-    qwhole = (corpus.join(F.broadcast(queries.select(id_col)), id_col)
-              .select(F.col(id_col).alias("q_id"), F.lit(0).alias("s"),
-                      quantize_micro(vec_col).alias("qv")))
+    # query vectors straight from the bounded queries relation — not
+    # a corpus-scan join re-deriving rows the caller already has
+    qwhole = queries.select(F.col(id_col).alias("q_id"),
+                            F.lit(0).alias("s"),
+                            quantize_micro(vec_col).alias("qv"))
     qd = (qwhole.join(F.broadcast(coarse_cents), "s")
           .select("q_id", F.col("cid").alias("ccid"),
                   _sqdist_micro(F.col("qv"), F.col("cv")).alias("d"),

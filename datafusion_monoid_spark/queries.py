@@ -8033,9 +8033,10 @@ bm{r} AS MATERIALIZED (SELECT x, y, c FROM bp{r}
                        ORDER BY c DESC, x, y LIMIT 1),
 bv{r + 1} AS MATERIALIZED (
   SELECT tok, cnt,
-         replace(seg, ' ' || x || '  ' || y || ' ',
-                 ' ' || x || y || ' ') AS seg
-  FROM bv{r} CROSS JOIN bm{r})""")
+         CASE WHEN m.x IS NULL THEN seg
+              ELSE replace(seg, ' ' || m.x || '  ' || m.y || ' ',
+                           ' ' || m.x || m.y || ' ') END AS seg
+  FROM bv{r} LEFT JOIN bm{r} m ON TRUE)""")
     return "".join(parts)
 
 
@@ -8852,10 +8853,13 @@ _DRIVER_WINDOW_R6 = [
 #: the entire round-5 batch (28 entries) has no driver check on
 #: record, and 14 entries' latest check is still r2.  This window is
 #: exactly that backlog — 28 never-checked + 14 r2-stale = 42 — plus
-#: 8 sentinels: the two NEW round-7 entries and the six r6-checked
+#: 8 sentinels: the three NEW round-7 entries (residual IVFADC fused
+#: + pretrained, multi-resolution span dedup) and five r6-checked
 #: entries whose code or oracle changed this round (seed-rule change
-#: in the k-means/PQ fits, BPE trainer rewrite, k-core rewrite,
-#: percentile width fix, skyline batch prune).  Credit RULE (the r6
+#: in the k-means/PQ fits, k-core rewrite, percentile width fix,
+#: skyline batch prune; bpe_train_merges also changed but only its
+#: behavior-neutral checkpoint release — see the in-list note).
+#: Credit RULE (the r6
 #: failure mode): a round with no CORRECTNESS_r*.json file in the
 #: checkout contributes NOTHING to the staleness ordering — never
 #: trust a manifest as if it had been checked (enforced by

@@ -102,3 +102,51 @@ def test_ivfadc_residual_pretrained_matches_fused(spark):
                         _run(spark,
                              "pq_ivfadc_residual_pretrained").collect()))
     assert fused == served
+
+
+# ---------------------------------------------------------------------------
+# BPE pair-exhaustion parity: when merge candidates run out before
+# BPE_ROUNDS, the trainer stops at the fixed point and keeps the
+# vocabulary — and the ORACLE must agree (review r7: the old CTE chain
+# CROSS JOINed the vocabulary against an empty top-1 merge, wiping it,
+# so Spark and DuckDB diverged on exactly the degenerate corpus the
+# trainer fix was written for)
+# ---------------------------------------------------------------------------
+
+def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
+    import duckdb
+
+    # every token is 2 chars: round 1 merges (x, y) pairs into single
+    # symbols, after which NO adjacent pair exists anywhere
+    rows = [(1, "ab ab cd", "en", "srcA", 0),
+            (2, "cd ab", "en", "srcA", 0)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    spark_rows = sorted(map(tuple,
+                            _run(spark, "bpe_train_merges",
+                                 str(tmp_path)).collect()))
+    con = duckdb.connect()
+    # Spark writes the table as a directory of part files
+    con.sql(f"CREATE VIEW documents AS "
+            f"FROM '{tmp_path}/documents.parquet/*.parquet'")
+    _, oracle = qcat.catalog()["bpe_train_merges"]
+    duck_rows = sorted(map(tuple, con.sql(oracle).fetchall()))
+
+    assert spark_rows == duck_rows
+    # only the realizable merges appear (ab x3 beats cd x2), none of
+    # the post-exhaustion rounds fabricate rows
+    assert [r[0] for r in spark_rows] == [1, 2]
+    assert spark_rows[0][1:] == ("a", "b", 3)
+    assert spark_rows[1][1:] == ("c", "d", 2)
+
+    # the encode serve path still sees the fixed-point vocabulary —
+    # every token segments to ONE merged symbol, not an empty model —
+    # and both engines agree on the encoded stats
+    spark_enc = sorted(map(tuple, _run(spark, "bpe_encode_stats",
+                                       str(tmp_path)).collect()))
+    duck_enc = sorted(map(tuple, con.sql(
+        qcat.catalog()["bpe_encode_stats"][1]).fetchall()))
+    assert spark_enc == duck_enc and spark_enc
