@@ -10,11 +10,11 @@ compact JSON line:
      "duckdb": {"value": total, "queries": {...}}, "ratio": spark/duckdb,
      "sf": 0.1}
 
-The line is BOTH printed to stdout (the only stdout line this module
-produces — Spark logs go to stderr) AND written to ``bench_result.json``
-(``out_path`` argument / ``$SPARK_GRAFT_BENCH_OUT`` / cwd), so a
-pipeline that truncates captured stdout can still read the full
-artifact.
+The FULL record is written to ``bench_result.json`` (``out_path``
+argument / ``$SPARK_GRAFT_BENCH_OUT`` / cwd); stdout gets a COMPACT
+summary line (totals, ratio, recalls, the 10 slowest queries) because
+the driver keeps only a ~2000-char tail of captured output — the full
+per-query map overflowed it every round (VERDICT r7 item 4).
 
 Timing protocol: each query is forced end-to-end with the noop writer
 (full materialization, no driver collect); the reported number is the
@@ -226,7 +226,32 @@ def main(out_path: str | None = None) -> None:
     line = json.dumps(result, separators=(",", ":"))
     with open(out_path, "w") as f:
         f.write(line + "\n")
-    print(line)
+    # stdout gets a COMPACT summary line: the driver's log capture keeps
+    # only a ~2000-char tail, so the full 173-entry per-query map turned
+    # every BENCH_r*.json into an unparseable fragment (VERDICT r7 item
+    # 4).  Totals/ratio/recalls plus the 10 slowest queries fit the
+    # capture; the complete record lives in ``bench_result.json``.
+    slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:10])
+    compact = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "sf": sf,
+        "n_queries": len(times),
+        "queries": slowest,
+        "queries_truncated": len(times) > len(slowest),
+        "full_result": os.path.basename(out_path),
+        "recall": recall,
+    }
+    if "duckdb" in result:
+        compact["duckdb_value"] = result["duckdb"]["value"]
+        if "timeout" in result["duckdb"]:
+            compact["duckdb_timeout"] = result["duckdb"]["timeout"]
+    if "ratio" in result:
+        compact["ratio"] = result["ratio"]
+    if errors:
+        compact["n_errors"] = len(errors)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 if __name__ == "__main__":
