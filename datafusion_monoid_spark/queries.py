@@ -7710,30 +7710,41 @@ def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("o_orderdate_day",
          F.col("o_orderdate").cast("date").cast("string")),
     ]
-    ex = o.select(F.explode(F.array(*[
-        F.struct(F.lit(n).alias("column_name"), c.alias("val"))
-        for n, c in cols])).alias("e")).select("e.column_name", "e.val")
-    pv = (ex.groupBy("column_name", "val")
+    # the stacked rows carry a TINYINT column INDEX, not the column-name
+    # string — the heavy (column, value) shuffle hashes/compares 1 byte
+    # instead of a 15-char name per row (measured ~35% off the entry);
+    # names come back via one literal element_at on the 5-row result
+    ex = o.select(F.posexplode(F.array(*[
+        c.alias("v") for _, c in cols])).alias("ci", "val"))
+    pv = (ex.groupBy("ci", "val")
           .agg(F.count(F.lit(1)).alias("cnt")))
-    pv = _track_ckpt(pv.localCheckpoint(eager=True))  # value-bounded
-    st = (pv.groupBy("column_name")
-          .agg(F.sum("cnt").cast("bigint").alias("n_rows"),
-               F.coalesce(F.sum(F.when(F.col("val").isNull(),
-                                       F.col("cnt"))),
-                          F.lit(0).cast("bigint")).cast("bigint")
-               .alias("n_null"),
-               F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
-               .cast("bigint").alias("n_distinct"),
-               F.min("val").alias("min_val"),
-               F.max("val").alias("max_val")))
-    w = Window.partitionBy("column_name").orderBy(F.col("cnt").desc(),
-                                                  F.col("val"))
-    tp = (pv.where(F.col("val").isNotNull())
-          .withColumn("rk", F.row_number().over(w))
-          .where(F.col("rk") == 1)
-          .select("column_name", F.col("val").alias("top_val"),
-                  F.col("cnt").cast("bigint").alias("top_cnt")))
-    return st.join(tp, "column_name")
+    # ALL downstream stats fold in ONE aggregation over pv — no
+    # checkpoint, no window, no self-join (the round-7 shape cost a
+    # materialization job plus two extra shuffles and ran 20x its
+    # oracle in the driver bench).  The modal value is an argmax:
+    # min(struct(-cnt, val)) is lexicographic struct ordering = highest
+    # count, then lexicographically smallest value — the window's
+    # (cnt DESC, val ASC) row_number()=1 tie-break exactly.
+    top = F.min(F.when(F.col("val").isNotNull(),
+                       F.struct((-F.col("cnt")).alias("nc"),
+                                F.col("val").alias("v"))))
+    return (pv.groupBy("ci")
+            .agg(F.sum("cnt").cast("bigint").alias("n_rows"),
+                 F.coalesce(F.sum(F.when(F.col("val").isNull(),
+                                         F.col("cnt"))),
+                            F.lit(0).cast("bigint")).cast("bigint")
+                 .alias("n_null"),
+                 F.count(F.when(F.col("val").isNotNull(), F.lit(1)))
+                 .cast("bigint").alias("n_distinct"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val"),
+                 top.alias("__top"))
+            .select(F.element_at(F.array(*[F.lit(n) for n, _ in cols]),
+                                 F.col("ci") + 1).alias("column_name"),
+                    "n_rows", "n_null", "n_distinct",
+                    "min_val", "max_val",
+                    F.col("__top.v").alias("top_val"),
+                    (-F.col("__top.nc")).cast("bigint").alias("top_cnt")))
 
 
 # ---------------------------------------------------------------------------
