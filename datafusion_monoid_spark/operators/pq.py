@@ -321,19 +321,33 @@ def pq_encode_pretrained(corpus: DataFrame,
                     .alias("codes")))
 
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def wholestage_off(spark):
+    """Whole-stage codegen OFF for the jobs run inside the block: the
+    literal-codebook argmin trees (m x k x subdim terms) compile past
+    the JVM's 64 KB method limit when fused into one processNext(), so
+    Spark burns seconds on a doomed Janino attempt before falling back
+    — per-operator codegen splits the expression and compiles fine.
+    Used by every literal-fit collect job and code materialization."""
+    prev = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prev)
+
+
 def materialize_codes(codes: DataFrame) -> DataFrame:
     """localCheckpoint the encode projection with whole-stage codegen
     OFF for just this job (see :func:`pq_encode_pretrained`: the fused
     processNext() exceeds the JVM 64 KB method limit and the failed
     Janino attempt costs seconds; per-operator codegen splits the
     expression and compiles fine)."""
-    spark = codes.sparkSession
-    prev = spark.conf.get("spark.sql.codegen.wholeStage")
-    spark.conf.set("spark.sql.codegen.wholeStage", "false")
-    try:
+    with wholestage_off(codes.sparkSession):
         return codes.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set("spark.sql.codegen.wholeStage", prev)
 
 
 def pq_adc_search(codes_arr: DataFrame, corpus: DataFrame,
@@ -577,3 +591,210 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
     short = (adc.withColumn("srk", F.row_number().over(ws))
              .where(F.col("srk") <= shortlist))
     return pq_rerank(short, corpus, queries, k, id_col, vec_col)
+
+# ---------------------------------------------------------------------------
+# Driver-literal Lloyd fits — "fewer, wider jobs" for the fused entries
+# ---------------------------------------------------------------------------
+#
+# The checkpointed DataFrame-chained fits (pq_fit / kmeans_lloyd_
+# quantized) cost one materialization JOB per Lloyd round, each with a
+# broadcast build plus three shuffle stages — ~1-2 s of scheduling
+# constants per round at sf0.1, ~16 s across the two fits of the fused
+# residual entry.  The literal path is the MLlib KMeans shape instead:
+# centroids live on the DRIVER as plain integer lists (k x dim ints —
+# bytes), each round is ONE job (scan -> literal-centroid argmin ->
+# posexplode -> partial-agg sums -> collect k x dim rows) and the
+# update is exact Python integer math, bit-identical to the in-plan
+# floor-division update.  At 100 TB the per-round corpus work is
+# strictly LESS than the chained form (no broadcast exchange, no
+# centroid join, one k*dim-group shuffle) and the collected state is
+# k x dim integers regardless of corpus size.
+#
+# Expression shape matters here: an UNROLLED literal argmin (the
+# codes_expr_sql form — k x dim multiply terms) is a new plan every
+# round, and Catalyst + Janino spend ~4.5 s per NEW giant-projection
+# plan (measured; re-running the same plan costs 0.35 s).  So the
+# literal fits build TINY trees instead: the codebook is one literal
+# array-of-structs (ConstantFolding collapses it to a single Literal)
+# and the argmin is array_min(transform(...)) with an
+# aggregate(zip_with(...)) squared-L2 — higher-order functions whose
+# lambdas are interpreted, which is the right trade for a per-row
+# k x dim integer loop (no 64 KB codegen cliff, nothing to recompile
+# per round).
+
+
+def _truncdiv(s: int, n: int) -> int:
+    """Truncate-toward-zero integer division — exactly Spark's
+    ``(s - s % n) / n`` on BIGINT (Java remainder keeps the dividend's
+    sign, so the subtraction truncates toward zero; Python's ``//``
+    floors, differing on negative sums)."""
+    return s // n if s >= 0 else -((-s) // n)
+
+
+def _cents_lit_sql(entries: list[tuple[int, list[int]]],
+                   idx_field: bool = False) -> str:
+    """One literal SQL array of ``named_struct('cid', ..., 'cv', ...)``
+    (plus the list position ``'i'`` when ``idx_field`` — for literal
+    2D-array lookups).  Foldable: Catalyst collapses it to a single
+    Literal, so referencing it costs nothing per row."""
+    parts = []
+    for i, (cid, cv) in enumerate(entries):
+        arr = ", ".join(f"{int(x)}L" for x in cv)
+        idx = f", 'i', {i}" if idx_field else ""
+        parts.append(f"named_struct('cid', {int(cid)}L, "
+                     f"'cv', array({arr}){idx})")
+    return f"array({', '.join(parts)})"
+
+
+_SQDIST_LAMBDA = ("aggregate(zip_with({x}, {c}, (a, b) -> (a-b)*(a-b)), "
+                  "0L, (acc, t) -> acc + t)")
+
+
+def _argmin_hof_sql(entries: list[tuple[int, list[int]]], x_col: str,
+                    idx_field: bool = False) -> str:
+    """``array_min(transform(<literal codebook>, c -> struct(d, cid
+    [, i])))`` — exact squared-L2 argmin against literal centroids with
+    the (d, cid) tie-break of :func:`_assign`, as a TINY expression
+    tree (see module note on per-plan codegen cost)."""
+    d = _SQDIST_LAMBDA.format(x=x_col, c="c.cv")
+    idx = ", 'i', c.i" if idx_field else ""
+    return (f"array_min(transform({_cents_lit_sql(entries, idx_field)}, "
+            f"c -> named_struct('d', {d}, 'cid', c.cid{idx})))")
+
+
+def kmeans_fit_literal(df: DataFrame, k: int = 8, iters: int = 3,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding"
+                       ) -> list[tuple[int, list[int]]]:
+    """Quantized-Lloyd k-means returning the centroids as DRIVER
+    literals ``[(cid, [micro-int]*dim), ...]`` sorted by cid —
+    bit-identical to ``similarity.kmeans_lloyd_quantized`` (same seeds:
+    the k lowest ids; same argmin tie-break on (d, cid); same exact
+    floor-division update; empty clusters keep their previous centroid)
+    at one JOB per round instead of one checkpointed multi-stage plan
+    per round.  Seeds are quantized JVM-side (collect of
+    ``quantize_micro``) so the round-half-up semantics are exactly
+    Spark's.  Each round's job: scan -> literal argmin -> posexplode ->
+    map-side partial agg into k x dim groups -> collect k x dim rows."""
+    from datafusion_monoid_spark.operators.similarity import (
+        quantize_micro,
+    )
+
+    seeds = (df.select(F.col(id_col).alias("__vid"),
+                       quantize_micro(vec_col).alias("__v"))
+             .orderBy("__vid").limit(k).collect())
+    cents = [(int(r["__vid"]), [int(x) for x in r["__v"]]) for r in seeds]
+    if not cents:
+        return cents
+    base = df.select(quantize_micro(vec_col).alias("__xv"))
+    for _ in range(iters):
+        amin = F.expr(_argmin_hof_sql(cents, "__xv") + ".cid")
+        sums_df = (base.select(amin.alias("cid"),
+                               F.posexplode("__xv").alias("pos", "x"))
+                   .groupBy("cid", "pos")
+                   .agg(F.sum("x").alias("sm"),
+                        F.count(F.lit(1)).alias("n")))
+        rows = {(int(r["cid"]), int(r["pos"])): r
+                for r in sums_df.collect()}
+        cents = [(cid,
+                  [_truncdiv(int(rows[(cid, p)]["sm"]),
+                             int(rows[(cid, p)]["n"]))
+                   for p in range(len(old))]
+                  if (cid, 0) in rows else old)
+                 for cid, old in cents]
+    return cents
+
+
+def residual_vectors_literal(corpus: DataFrame,
+                             cent_list: list[tuple[int, list[int]]],
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, ccid, rv): :func:`residual_vectors` against LITERAL
+    coarse centroids — a pure map-side projection (literal argmin +
+    zip_with against the matched centroid), no assignment join, no
+    shuffle."""
+    from datafusion_monoid_spark.operators.similarity import (
+        quantize_micro,
+    )
+
+    assert [c for c, _ in cent_list] == sorted(c for c, _ in cent_list), \
+        "cent_list must be sorted by cid"
+    cc2d = F.expr("array(" + ", ".join(
+        "array(" + ", ".join(f"{int(x)}L" for x in cv) + ")"
+        for _, cv in cent_list) + ")")
+    step = (corpus.select(F.col(id_col).alias("vec_id"),
+                          quantize_micro(vec_col).alias("__xv"))
+            .select("vec_id", "__xv",
+                    F.expr(_argmin_hof_sql(cent_list, "__xv",
+                                           idx_field=True)).alias("__a")))
+    return step.select(
+        "vec_id", F.col("__a.cid").alias("ccid"),
+        F.zip_with("__xv", F.element_at(cc2d, F.col("__a.i").cast("int") + 1),
+                   lambda a, b: a - b).alias("rv"))
+
+
+def _books_lit_sql(codebooks: dict[int, list[tuple[int, list[int]]]]) -> str:
+    """Literal array-of-arrays: element s+1 is subspace s's codebook as
+    an array of (cid, cv) structs — one foldable Literal."""
+    assert sorted(codebooks) == list(range(len(codebooks)))
+    return "array(" + ", ".join(_cents_lit_sql(codebooks[s])
+                                for s in sorted(codebooks)) + ")"
+
+
+def _codes_case_expr(codebooks: dict[int, list[tuple[int, list[int]]]],
+                     s_col: str = "s", sv_col: str = "sv") -> F.Column:
+    """cid of the nearest codebook entry for an EXPLODED (s, sv) row —
+    per-subspace literal argmin via one indexed literal codebook
+    array."""
+    d = _SQDIST_LAMBDA.format(x=sv_col, c="c.cv")
+    return F.expr(
+        f"array_min(transform(element_at({_books_lit_sql(codebooks)}, "
+        f"{s_col} + 1), c -> named_struct('d', {d}, 'cid', c.cid))).cid")
+
+
+def pq_fit_literal(resid: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
+                   m: int = PQ_M, subdim: int = PQ_SUBDIM
+                   ) -> dict[int, list[tuple[int, list[int]]]]:
+    """Grouped-Lloyd PQ fit over a (vec_id, ccid, rv) residual relation
+    returning the codebooks as DRIVER literals ``{s: [(cid, cv), ...]}``
+    — bit-identical to :func:`pq_fit` on :func:`residual_subvectors`
+    of the same relation (same k-lowest-id seeds, argmin tie-break,
+    floor-division update, empty-cluster carry) at one JOB per round:
+    all m subspaces share each round's single scan -> literal argmin ->
+    (s, cid, pos) partial-agg pass, and the collected state is
+    m x k x subdim integers."""
+    seeds = resid.select("vec_id", "rv").orderBy("vec_id").limit(k).collect()
+    books = {s: [(int(r["vec_id"]),
+                  [int(x) for x in r["rv"][s * subdim:(s + 1) * subdim]])
+                 for r in seeds]
+             for s in range(m)}
+    rsub = resid.select("vec_id", F.posexplode(
+        _sub_slices(F.col("rv"), m, subdim)).alias("s", "sv"))
+    for _ in range(iters):
+        sums_df = (rsub.select("s", _codes_case_expr(books).alias("cid"),
+                               F.posexplode("sv").alias("pos", "x"))
+                   .groupBy("s", "cid", "pos")
+                   .agg(F.sum("x").alias("sm"),
+                        F.count(F.lit(1)).alias("n")))
+        rows = {(int(r["s"]), int(r["cid"]), int(r["pos"])): r
+                for r in sums_df.collect()}
+        books = {s: [(cid,
+                      [_truncdiv(int(rows[(s, cid, p)]["sm"]),
+                                 int(rows[(s, cid, p)]["n"]))
+                       for p in range(subdim)]
+                      if (s, cid, 0) in rows else old)
+                     for cid, old in entries]
+                 for s, entries in books.items()}
+    return books
+
+
+def pq_codes_literal(resid: DataFrame,
+                     codebooks: dict[int, list[tuple[int, list[int]]]],
+                     m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
+    """(vec_id, s, cid): encode the residual relation against LITERAL
+    codebooks — a pure projection (explode + literal argmin), no join,
+    no shuffle; the :func:`pq_codes` twin for driver-literal
+    codebooks."""
+    return (resid.select("vec_id", F.posexplode(
+                _sub_slices(F.col("rv"), m, subdim)).alias("s", "sv"))
+            .select("vec_id", "s", _codes_case_expr(codebooks).alias("cid")))

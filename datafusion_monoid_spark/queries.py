@@ -6978,18 +6978,32 @@ def pq_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic (residuals are differences of micro-ints), so the
     oracle replays coarse fit, residuals, the grouped-Lloyd residual
     PQ fit, codes, probes, per-cell tables, ADC, and both rank stages
-    bit-for-bit."""
+    bit-for-bit.
+
+    Both fits run as DRIVER-LITERAL Lloyd (``pqm.kmeans_fit_literal`` /
+    ``pq_fit_literal`` — the MLlib shape: one job per round, centroids
+    as k x dim driver integers), bit-identical to the chained form but
+    without its per-round checkpoint-job constants; round 7's
+    checkpoint-per-round fused plan spent ~16 s of its 19 s in fit
+    scheduling at sf0.1.  Residuals and codes materialize once (they
+    ARE the published index artifacts in the serve deployment) and the
+    search runs against those relations plus the literal codebooks."""
     e = _emb(spark, sf_dir)
-    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
-    # materialize the 8-row coarse-centroid artifact and (via the ckpt
-    # hook) the residual relation + residual codebooks: the fused
-    # lineage re-ran the coarse fit + corpus assignment O(2^iters)
-    # times (293 s vs ~15 s at sf0.1, round-7 cold sweep); these ARE
-    # the published index artifacts in the serve deployment
-    ccr = _ckpt(_ccr_from_exploded(coarse))
+    cl = pqm.kmeans_fit_literal(e, k=8, iters=3)
+    ccr = spark.createDataFrame(
+        [(0, cid, cv) for cid, cv in cl],
+        "s int, cid bigint, cv array<bigint>")
+    resid = _ckpt(pqm.residual_vectors_literal(e, cl))
+    books = pqm.pq_fit_literal(resid)
+    cents = spark.createDataFrame(
+        [(s, cid, cv) for s, entries in sorted(books.items())
+         for cid, cv in entries],
+        "s int, cid bigint, cv array<bigint>")
+    codes = _ckpt(pqm.pq_codes_literal(resid, books))
+    cells = resid.select("vec_id", "ccid")
     queries = e.where(F.col("vec_id") < 20)
-    return pqm.pq_ivfadc_residual_topk(e, ccr, queries, k=5, nprobe=6,
-                                       ckpt=_ckpt)
+    return pqm.ivfadc_residual_search(e, ccr, cents, codes, cells,
+                                      queries, k=5, nprobe=6)
 
 
 def _fit_ivfadc_residual_persisted(spark: SparkSession, sf_dir: str,

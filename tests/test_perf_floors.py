@@ -102,6 +102,19 @@ CEILINGS = {
     "bpe_encode_stats": 5.0,
     "bpe_encode_newbatch": 6.0,
     "streaming_bpe_encode_serve": 16.0,
+    # round-8 pins for the r7 driver-bench outliers (~4x quiet sf0.01
+    # best-of-3 on local[8]).  dq_column_profile is one stacked scan +
+    # two agg shuffles, NO checkpoint — a blown ceiling means a
+    # materialization job or the window/self-join came back.
+    "dq_column_profile": 3.5,
+    # driver-literal Lloyd fits (one job per round, tiny HOF argmin
+    # trees): a blown ceiling means per-round checkpoint jobs or a
+    # per-round giant-projection recompile (~4.5 s/plan) came back
+    "pq_ivfadc_residual_topk": 20.0,
+    "pq_ivfadc_residual_pretrained": 16.0,
+    # exact NumPy recall baseline: Arrow-batched matmul over one corpus
+    # scan — a blown ceiling means a per-row path or a second scan
+    "sim_topk_numpy": 3.0,
 }
 
 pytestmark = pytest.mark.skipif(
