@@ -217,6 +217,7 @@ def pq_rerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
 def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
                        cents: DataFrame, queries: DataFrame, k: int = 5,
                        shortlist: int = PQ_SHORTLIST,
+                       m: int = PQ_M, subdim: int = PQ_SUBDIM,
                        id_col: str = "vec_id", vec_col: str = "embedding"
                        ) -> DataFrame:
     """(q_id, vec_id, exact_d, rk): two-stage ADC + exact re-rank.
@@ -225,10 +226,14 @@ def pq_adc_rerank_topk(corpus: DataFrame, sub: DataFrame,
     ``shortlist`` candidates per query; stage 2 is :func:`pq_rerank`.
     This is the shape a 100 TB store runs: scans touch the
     32x-compressed code relation; full-precision vectors are only ever
-    point-looked-up."""
+    point-looked-up.  ``m``/``subdim`` must describe the geometry of
+    ``sub``/``cents`` (the query side re-slices with them — ADVICE r7:
+    a caller with non-default geometry previously got default-sliced
+    query subvectors)."""
     # query subvectors straight from the bounded queries relation (not
     # a corpus-scan join) — same quantize+slice path, identical values
-    qsub = subvectors(queries, id_col=id_col, vec_col=vec_col)
+    qsub = subvectors(queries, m=m, subdim=subdim,
+                      id_col=id_col, vec_col=vec_col)
     short = pq_adc_topk(sub, cents, qsub, k=shortlist)
     return pq_rerank(short, corpus, queries, k, id_col, vec_col)
 
@@ -391,8 +396,9 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
                    coarse_cents: DataFrame, queries: DataFrame,
                    k: int = 5, nprobe: int = 6,
                    shortlist: int = PQ_SHORTLIST,
-                   id_col: str = "vec_id", vec_col: str = "embedding"
-                   ) -> DataFrame:
+                   m: int = PQ_M, subdim: int = PQ_SUBDIM,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   codes: DataFrame | None = None) -> DataFrame:
     """IVFADC (Jegou et al. 2011, §IV): the coarse quantizer prunes
     WHICH vectors are scored, the product quantizer compresses HOW
     they are scored — composed, this is the production billion-scale
@@ -408,7 +414,14 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
     its ``nprobe`` nearest cells, and ONLY vectors in probed cells
     reach the ADC stage — at 100 TB this is what turns the full code
     scan into a cells-proportional read.  ADC shortlist + exact
-    re-rank as in :func:`pq_adc_topk`."""
+    re-rank as in :func:`pq_adc_topk`.
+
+    ``m``/``subdim`` must describe the geometry of ``sub``/``cents``
+    (the query side re-slices with them — ADVICE r7).  ``codes``: a
+    prebuilt (vec_id, s, cid) code relation (e.g. a materialized
+    :func:`pq_codes_literal`); when given, ``sub`` may be None and no
+    assignment join runs — the literal-fit entries pass their encoded
+    artifact here."""
     from pyspark.sql import Window
 
     whole = corpus.select(F.col(id_col).alias("vec_id"),
@@ -430,8 +443,10 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
               .select("q_id", F.col("cid").alias("ccid")))
     cands = (assigned.join(F.broadcast(probes), "ccid")
              .select("q_id", "vec_id"))
-    codes = pq_codes(sub, cents)
-    dt = (subvectors(queries, id_col=id_col, vec_col=vec_col)
+    if codes is None:
+        codes = pq_codes(sub, cents)
+    dt = (subvectors(queries, m=m, subdim=subdim,
+                     id_col=id_col, vec_col=vec_col)
           .withColumnRenamed("vec_id", "q_id")
           .join(F.broadcast(cents), "s")
           .select("q_id", "s", "cid",
@@ -755,7 +770,8 @@ def _codes_case_expr(codebooks: dict[int, list[tuple[int, list[int]]]],
 def pq_fit_literal(resid: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
                    m: int = PQ_M, subdim: int = PQ_SUBDIM
                    ) -> dict[int, list[tuple[int, list[int]]]]:
-    """Grouped-Lloyd PQ fit over a (vec_id, ccid, rv) residual relation
+    """Grouped-Lloyd PQ fit over a (vec_id, rv) relation — residuals
+    for the residual tier, or quantized RAW vectors for raw-code PQ —
     returning the codebooks as DRIVER literals ``{s: [(cid, cv), ...]}``
     — bit-identical to :func:`pq_fit` on :func:`residual_subvectors`
     of the same relation (same k-lowest-id seeds, argmin tie-break,
@@ -791,8 +807,8 @@ def pq_fit_literal(resid: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
 def pq_codes_literal(resid: DataFrame,
                      codebooks: dict[int, list[tuple[int, list[int]]]],
                      m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
-    """(vec_id, s, cid): encode the residual relation against LITERAL
-    codebooks — a pure projection (explode + literal argmin), no join,
+    """(vec_id, s, cid): encode a (vec_id, rv) relation (residuals or
+    quantized raw vectors) against LITERAL codebooks — a pure projection (explode + literal argmin), no join,
     no shuffle; the :func:`pq_codes` twin for driver-literal
     codebooks."""
     return (resid.select("vec_id", F.posexplode(

@@ -6865,16 +6865,25 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     demonstrate the split halves).  Recall@5 vs exact is pinned in
     tests/test_similarity.py with the probe-coverage rationale."""
     e = _emb(spark, sf_dir)
-    sub = pqm.subvectors(e)
-    # materialize the two small index artifacts (1024-int codebooks,
-    # 8-row coarse centroids): both are referenced several times in
-    # the search plan, and each unmaterialized reference replays its
-    # whole Lloyd chain (the serve deployment persists them anyway)
-    cents = pqm.pq_fit(sub, ckpt=_ckpt)
-    coarse = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
-    ccr = _ckpt(_ccr_from_exploded(coarse))
+    # both fits run as DRIVER-LITERAL Lloyd (one job per round; see
+    # pq_ivfadc_residual_topk) — bit-identical to the chained form;
+    # the raw tier fits pq_fit_literal on the QUANTIZED vectors
+    # themselves instead of residuals.  Codes materialize once (the
+    # published index artifact of the serve deployment).
+    cl = pqm.kmeans_fit_literal(e, k=8, iters=3)
+    ccr = spark.createDataFrame(
+        [(0, cid, cv) for cid, cv in cl],
+        "s int, cid bigint, cv array<bigint>")
+    raw = e.select("vec_id", sim.quantize_micro("embedding").alias("rv"))
+    books = pqm.pq_fit_literal(raw)
+    cents = spark.createDataFrame(
+        [(s, cid, cv) for s, entries in sorted(books.items())
+         for cid, cv in entries],
+        "s int, cid bigint, cv array<bigint>")
+    codes = _ckpt(pqm.pq_codes_literal(raw, books))
     queries = e.where(F.col("vec_id") < 20)
-    return pqm.pq_ivfadc_topk(e, sub, cents, ccr, queries, k=5, nprobe=6)
+    return pqm.pq_ivfadc_topk(e, None, cents, ccr, queries, k=5,
+                              nprobe=6, codes=codes)
 
 
 def _pq_ivfadc_residual_oracle_sql(k: int = 5, nprobe: int = 6) -> str:
