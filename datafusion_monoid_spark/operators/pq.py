@@ -106,15 +106,26 @@ def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
     round-7 ``pq_ivfadc_residual_topk`` cold sweep: 293 s fused vs
     ~15 s materialized at sf0.1)."""
     from datafusion_monoid_spark.plans.inspect import (
+        is_checkpoint_scan,
         release_local_checkpoint,
     )
 
-    seed_ids = (sub.select("vec_id").distinct()
-                .orderBy("vec_id").limit(k))
-    cents = (sub.join(F.broadcast(seed_ids), "vec_id")
-             .select("s", F.col("vec_id").alias("cid"),
-                     F.col("sv").alias("cv")))
-    if ckpt is not None:
+    if ckpt is None:
+        # fused (tests-only) path: the whole chain replays O(2^iters)
+        # times, so seed from a LITERAL id list (one driver collect of
+        # k ids) instead of embedding a distinct+sort+limit+join that
+        # would pay a shuffle per replay (ADVICE r7)
+        ids = [r[0] for r in (sub.select("vec_id").distinct()
+                              .orderBy("vec_id").limit(k).collect())]
+        cents = (sub.where(F.col("vec_id").isin(ids))
+                 .select("s", F.col("vec_id").alias("cid"),
+                         F.col("sv").alias("cv")))
+    else:
+        seed_ids = (sub.select("vec_id").distinct()
+                    .orderBy("vec_id").limit(k))
+        cents = (sub.join(F.broadcast(seed_ids), "vec_id")
+                 .select("s", F.col("vec_id").alias("cid"),
+                         F.col("sv").alias("cv")))
         # iters=0 returns the seed itself: route it through the
         # caller's TRACKED hook so its blocks are releasable (the
         # internal checkpoint below is self-released by the loop)
@@ -141,7 +152,13 @@ def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
         if ckpt is not None:
             nxt = (ckpt(nxt) if i == iters - 1
                    else nxt.localCheckpoint(eager=True))
-            release_local_checkpoint(cents)
+            # releasing the predecessor is only safe once the
+            # successor is MATERIALIZED — a lazy ckpt hook would hand
+            # back a plan still referencing these blocks (ADVICE r7);
+            # leak-safe beats silently recomputing through freed
+            # lineage, so skip the release when the contract is broken
+            if is_checkpoint_scan(nxt):
+                release_local_checkpoint(cents)
         cents = nxt
     return cents
 
@@ -398,7 +415,8 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
                    shortlist: int = PQ_SHORTLIST,
                    m: int = PQ_M, subdim: int = PQ_SUBDIM,
                    id_col: str = "vec_id", vec_col: str = "embedding",
-                   codes: DataFrame | None = None) -> DataFrame:
+                   codes: DataFrame | None = None,
+                   broadcast_candidates: bool = True) -> DataFrame:
     """IVFADC (Jegou et al. 2011, §IV): the coarse quantizer prunes
     WHICH vectors are scored, the product quantizer compresses HOW
     they are scored — composed, this is the production billion-scale
@@ -457,9 +475,11 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
     # corpus size; the broadcast keeps the 32x-compressed code
     # relation map-side (VERDICT r6 plan audit) and is right while
     # queries x nprobe x occupancy fits the broadcast budget — at a
-    # scale where it does not, drop the hint and let the planner
-    # shuffle codes and candidates on vec_id instead
-    adc = (codes.join(F.broadcast(cands), "vec_id")
+    # scale where it does not, pass broadcast_candidates=False to let
+    # the planner shuffle codes and candidates on vec_id instead
+    # (ADVICE r7: a flag, not a code edit)
+    cj = F.broadcast(cands) if broadcast_candidates else cands
+    adc = (codes.join(cj, "vec_id")
            .join(F.broadcast(dt), ["q_id", "s", "cid"])
            .groupBy("q_id", "vec_id")
            .agg(F.sum("d").cast("bigint").alias("adc_d")))
@@ -506,7 +526,9 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
                             kq: int = PQ_K, iters: int = PQ_ITERS,
                             id_col: str = "vec_id",
                             vec_col: str = "embedding",
-                            ckpt=None) -> DataFrame:
+                            ckpt=None,
+                            broadcast_candidates: bool = True
+                            ) -> DataFrame:
     """IVFADC with RESIDUAL encoding (Jegou et al. 2011 §IV.B — the
     FAISS IndexIVFPQ default, lifting the raw-vector simplification of
     :func:`pq_ivfadc_topk`): the product quantizer trains on and codes
@@ -545,7 +567,8 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
     return ivfadc_residual_search(
         corpus, coarse_cents, cents, codes, cells, queries, k=k,
         nprobe=nprobe, shortlist=shortlist, m=m, subdim=subdim,
-        id_col=id_col, vec_col=vec_col)
+        id_col=id_col, vec_col=vec_col,
+        broadcast_candidates=broadcast_candidates)
 
 
 def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
@@ -555,7 +578,8 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
                            shortlist: int = PQ_SHORTLIST,
                            m: int = PQ_M, subdim: int = PQ_SUBDIM,
                            id_col: str = "vec_id",
-                           vec_col: str = "embedding") -> DataFrame:
+                           vec_col: str = "embedding",
+                           broadcast_candidates: bool = True) -> DataFrame:
     """The QUERY side of residual IVFADC over prebuilt index relations
     — what a serve deployment runs against the published artifacts:
     ``coarse_cents`` (s=0, cid, cv), ``cents`` (the residual PQ
@@ -597,7 +621,11 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
     cands = (cells.join(F.broadcast(probes.select("q_id", "ccid")),
                         "ccid")
              .select("q_id", "ccid", "vec_id"))
-    adc = (codes.join(F.broadcast(cands), "vec_id")
+    # candidate broadcast bound: |queries| x nprobe x cell occupancy —
+    # sub-corpus, NOT constant; past the broadcast budget pass
+    # broadcast_candidates=False and shuffle on vec_id (ADVICE r7)
+    cj = F.broadcast(cands) if broadcast_candidates else cands
+    adc = (codes.join(cj, "vec_id")
            .join(F.broadcast(dt), ["q_id", "ccid", "s", "cid"])
            .groupBy("q_id", "vec_id")
            .agg(F.sum("d").cast("bigint").alias("adc_d")))

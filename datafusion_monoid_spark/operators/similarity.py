@@ -643,6 +643,7 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
     pattern; executor-side localCheckpoint avoids that driver hop,
     which is why it wins where the round-trip lost.)"""
     from datafusion_monoid_spark.plans.inspect import (
+        is_checkpoint_scan,
         release_local_checkpoint,
     )
 
@@ -685,9 +686,12 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
         cents = nxt
     if ckpt is not None:
         # hand the final round through the caller's (tracked) hook and
-        # release the loop's own checkpoint of it
+        # release the loop's own checkpoint of it — but only once the
+        # hook's result is MATERIALIZED: a lazy hook would hand back a
+        # plan still referencing these blocks (ADVICE r7)
         final = ckpt(cents.select(
             "cid", F.posexplode("cv").alias("pos", "val")))
-        release_local_checkpoint(cents)
+        if is_checkpoint_scan(final):
+            release_local_checkpoint(cents)
         return final
     return cents.select("cid", F.posexplode("cv").alias("pos", "val"))

@@ -30,6 +30,20 @@ def broadcast_joins(df: DataFrame) -> int:
     return len(re.findall(r"BroadcastHashJoin", explain_str(df, "simple")))
 
 
+def is_checkpoint_scan(df: DataFrame) -> bool:
+    """True when ``df`` is a bare scan of a materialized checkpoint
+    (its analyzed plan is a LogicalRDD) — the EAGER contract iterative
+    fits assert before releasing a predecessor's blocks: a lazy
+    ``ckpt`` hook would hand back a plan that still references the
+    predecessor, and releasing it would force silent recomputation
+    through freed lineage (ADVICE r7)."""
+    try:
+        plan = df._jdf.queryExecution().analyzed()
+        return bool(plan.getClass().getName().endswith("LogicalRDD"))
+    except Exception:
+        return False
+
+
 def release_local_checkpoint(df: DataFrame) -> bool:
     """Free the storage blocks behind a ``localCheckpoint``-ed DataFrame.
 
