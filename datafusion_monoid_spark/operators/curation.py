@@ -29,7 +29,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from datafusion_monoid_spark.operators.dedup import md5_long, tokens, word_shingles
+from datafusion_monoid_spark.operators.dedup import (
+    md5_long,
+    shingles_from_tokens,
+    tokens,
+    word_shingles,
+)
 
 MICRO = 1_000_000
 
@@ -67,6 +72,32 @@ def ngram_hashes(df: DataFrame, id_col: str, text_col: str,
     return df.select(
         F.col(id_col), F.explode(word_shingles(text_col, n)).alias("__g"),
     ).select(id_col, md5_long("__g").alias("gram_hash"))
+
+
+def multi_ngram_hashes(df: DataFrame, id_col: str, text_col: str,
+                       ns: tuple[int, ...],
+                       keep_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep, n, gram_hash) — DISTINCT word n-gram hashes for ALL
+    requested n values from ONE tokenization/scan: the grams for each n
+    derive from the same token array and stack into one explode, so a
+    pass that decontaminates at both the benchmark 4-gram and the
+    GPT-3/PaLM-class production 13-gram setting costs exactly one
+    corpus read (the :func:`ngram_hashes` scale story, times |ns| for
+    free)."""
+    toks = tokens(text_col)
+
+    # closure factory, NOT a default-arg lambda: a two-parameter lambda
+    # is F.transform's (element, index) form, which would bind n to the
+    # array position instead of the captured gram size
+    def _tag(nv: int):
+        return lambda g: F.struct(F.lit(nv).alias("n"),
+                                  md5_long(g).alias("gram_hash"))
+
+    arr = F.concat(*[F.transform(shingles_from_tokens(toks, n), _tag(n))
+                     for n in ns])
+    return (df.select(F.col(id_col), *keep_cols, F.explode(arr).alias("__g"))
+            .select(id_col, *keep_cols, F.col("__g.n").alias("n"),
+                    F.col("__g.gram_hash").alias("gram_hash")))
 
 
 def contaminated_ids(train_grams: DataFrame, eval_grams: DataFrame,

@@ -74,13 +74,14 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(normalize_text(col), " "), lambda t: t != "")
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles of a text column.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an already-tokenized array —
+    lets several n values share ONE tokenization (the 4-gram + 13-gram
+    decontamination pass tokenizes the corpus once).
 
     Guarded for texts shorter than n tokens: Spark's ``sequence(0, k)``
     DESCENDS for k < 0 (DuckDB's ``range`` yields empty) — unguarded this
     crashes ``slice`` with start 0."""
-    toks = tokens(col)
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
@@ -90,6 +91,11 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of a text column."""
+    return shingles_from_tokens(tokens(col), n)
 
 
 def shingles_sql(expr: str, n: int = 3) -> str:

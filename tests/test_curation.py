@@ -162,3 +162,30 @@ def test_q18_no_sort_merge_join(spark):
     p = _explain(df)
     assert "SortMergeJoin" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_multi_ngram_hashes_matches_single_n(spark):
+    """The shared-tokenize multi-n gram pass must emit exactly the
+    union of the per-n passes (round 8: the 4+13-gram decontamination
+    shares one corpus scan)."""
+    from datafusion_monoid_spark import queries as qcat
+    from datafusion_monoid_spark.operators import curation as cu
+
+    docs = qcat._docs(spark, SF).limit(40)
+    multi = cu.multi_ngram_hashes(docs, "doc_id", "text", (4, 13))
+    for n in (4, 13):
+        single = set(map(tuple, cu.ngram_hashes(docs, "doc_id", "text", n)
+                         .collect()))
+        got = set(map(tuple, multi.where(F.col("n") == n)
+                      .select("doc_id", "gram_hash").collect()))
+        assert got == single, f"n={n}: multi-pass grams diverge"
+
+
+def test_decontam_prod_13gram_stricter_than_4(spark):
+    """13-gram contamination is a subset of 4-gram contamination by
+    construction (any shared 13-gram contains shared 4-grams)."""
+    from datafusion_monoid_spark import queries as qcat
+    rows = qcat.catalog()["decontam_prod_13gram"][0](spark, SF).collect()
+    assert rows, "empty decontamination report"
+    for r in rows:
+        assert r.n_contaminated_13 <= r.n_contaminated_4 <= r.n_train
