@@ -129,16 +129,22 @@ def _minhash_params(i: int) -> tuple[int, int]:
     return 2 * i + 1, (i * GOLDEN32) % MINHASH_P
 
 
-def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
-                       num_hashes: int = MINHASH_NUM,
-                       shingle_n: int = 3) -> DataFrame:
-    """(id, sig ARRAY<BIGINT>[num_hashes]) via explode + 64 min-aggregates.
+def minhash_from_shingles(df: DataFrame, id_col: str, shingle_arr: Column,
+                          num_hashes: int = MINHASH_NUM) -> DataFrame:
+    """(id, sig ARRAY<BIGINT>[num_hashes]) over an ARBITRARY shingle
+    array expression — the tier's signature kernel, shared verbatim by
+    word shingles (:func:`minhash_signatures`) and the multimodal
+    tier's BYTE shingles of a binary column (round 8): everything
+    downstream of the shingle expression — hashing, the 64
+    min-aggregates, banding, the bucket join — is modality-blind.
 
     One shuffle, map-side combine on every min() — group sizes are
-    bounded by document shingle counts, so this scales linearly."""
+    bounded by per-row shingle counts, so this scales linearly, and
+    only (id, hash) pairs ever shuffle (never the underlying
+    text/bytes)."""
     sh = df.select(
         _c(id_col).alias("__id"),
-        F.explode(word_shingles(text_col, shingle_n)).alias("__s"),
+        F.explode(shingle_arr).alias("__s"),
     ).withColumn("__h", md5_long("__s") % F.lit(2**32))
     aggs = []
     for i in range(num_hashes):
@@ -150,6 +156,16 @@ def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
         F.col("__id").alias(id_col),
         F.array(*[f"mh{i}" for i in range(num_hashes)]).alias("sig"),
     )
+
+
+def minhash_signatures(df: DataFrame, id_col: str, text_col: str,
+                       num_hashes: int = MINHASH_NUM,
+                       shingle_n: int = 3) -> DataFrame:
+    """(id, sig): word-shingle MinHash — the text instantiation of
+    :func:`minhash_from_shingles`."""
+    return minhash_from_shingles(df, id_col,
+                                 word_shingles(text_col, shingle_n),
+                                 num_hashes)
 
 
 def minhash_band_buckets(sigs: DataFrame, id_col: str,

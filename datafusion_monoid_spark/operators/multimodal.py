@@ -48,6 +48,43 @@ def attach_fake_media(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def attach_fake_media_frames(docs: DataFrame,
+                             text_col: str = "text",
+                             chunk_tokens: int = 8) -> DataFrame:
+    """Deterministic FRAME-STRUCTURED fake media: the payload is the
+    concatenation of md5 digests of consecutive ``chunk_tokens``-token
+    text chunks — a stand-in with the byte layout real media has
+    (per-frame/per-region coherence), unlike :func:`attach_fake_media`'s
+    single digest which is all-or-nothing under any byte-level
+    comparison.  Near-duplicate texts share most chunks, hence most
+    16-byte payload regions — exactly what byte-shingle near-dup
+    detection needs to demonstrate on.  Everything downstream treats
+    the bytes as opaque."""
+    toks = F.filter(F.split(F.regexp_replace(
+        F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "),
+        lambda t: t != "")
+    n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
+    hx = F.when(
+        F.size(toks) > 0,
+        F.array_join(
+            F.transform(F.sequence(F.lit(0), n_chunks - 1),
+                        lambda i: F.md5(F.concat_ws(
+                            " ", F.slice(toks, i * chunk_tokens + 1,
+                                         chunk_tokens)))), ""),
+    ).otherwise(F.lit(""))
+    payload = F.unhex(hx)
+    return docs.select(
+        "doc_id",
+        payload.alias("media"),
+        F.struct(
+            F.lit("fake/frames16").alias("format"),
+            F.lit(4).alias("width"),
+            F.lit(4).alias("height"),
+            F.length(payload).cast("bigint").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def _decode_batch(buf: bytes, decoder: str) -> np.ndarray:
     """The single integration point for real codecs."""
     if decoder == "fake":
@@ -77,6 +114,36 @@ def decode_features(df: DataFrame, media_col: str = "media",
 
     return df.select("doc_id", media_col).mapInPandas(
         run, schema="doc_id long, features array<float>")
+
+
+def byte_shingles(media_col: str = "media", n: int = 4) -> F.Column:
+    """Distinct n-byte shingles of a BINARY column as lowercase hex
+    strings — a pure expression (dynamic-offset substring on binary +
+    hex), no Python, no decode.  The multimodal near-dup key: feed the
+    result to ``dedup.minhash_from_shingles`` and the whole text
+    MinHash+LSH tier applies verbatim to opaque media payloads — byte
+    shingles catch containment/offset/concatenation variants of the
+    same bytes (re-encoded media needs the codec-gated perceptual
+    hash; this tier is the codec-free story).  Guarded for payloads
+    shorter than n bytes (Spark's ``sequence`` DESCENDS for negative
+    spans)."""
+    m = F.col(media_col) if isinstance(media_col, str) else media_col
+    ln = F.length(m)
+    return F.when(
+        ln >= n,
+        F.array_distinct(
+            F.transform(F.sequence(F.lit(1), ln - n + 1),
+                        lambda i: F.lower(F.hex(F.substring(m, i, n))))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def byte_shingles_sql(expr: str, n: int = 4) -> str:
+    """DuckDB twin of :func:`byte_shingles` for a payload given as a
+    lowercase HEX string (the oracle's carrier for binary): byte i's
+    n-byte shingle is hex chars [2i-1, 2i-1+2n)."""
+    return (f"list_distinct(list_transform("
+            f"range(1, length({expr}) // 2 - {n} + 2), "
+            f"i -> substr({expr}, 2 * i - 1, {2 * n})))")
 
 
 def frame_sample(df: DataFrame, media_col: str = "media",
