@@ -47,6 +47,13 @@ from datafusion_monoid_spark.operators.similarity import (
     _sqdist_micro,
 )
 
+def micro_identity(col):
+    """``micro`` hook for vectors ALREADY in integer micro space (e.g.
+    the OPQ tier's Hadamard-rotated micro-ints): the identity, where
+    the default hook is ``quantize_micro``."""
+    return F.col(col) if isinstance(col, str) else col
+
+
 PQ_M = 16       # subspaces
 PQ_SUBDIM = 4   # dims per subspace (PQ_M * PQ_SUBDIM = embedding dim)
 PQ_K = 16       # centroids per subspace (4-bit codes; prod uses 256)
@@ -207,7 +214,7 @@ def pq_adc_topk(sub: DataFrame, cents: DataFrame, queries_sub: DataFrame,
 
 def pq_rerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
               k: int = 5, id_col: str = "vec_id",
-              vec_col: str = "embedding") -> DataFrame:
+              vec_col: str = "embedding", micro=None) -> DataFrame:
     """(q_id, vec_id, exact_d, rk): exact re-rank of an ADC shortlist.
     Fetches ONLY the shortlist's real vectors (equi-join on vec_id —
     per-query I/O is the shortlist, not the corpus), exact micro-int
@@ -215,10 +222,11 @@ def pq_rerank(short: DataFrame, corpus: DataFrame, queries: DataFrame,
     convention)."""
     from pyspark.sql import Window
 
+    micro = micro or quantize_micro
     vm = corpus.select(F.col(id_col).alias("vec_id"),
-                       quantize_micro(vec_col).alias("__vm"))
+                       micro(vec_col).alias("__vm"))
     qm = queries.select(F.col(id_col).alias("q_id"),
-                        quantize_micro(vec_col).alias("__qm"))
+                        micro(vec_col).alias("__qm"))
     joined = (short.select("q_id", "vec_id")
               .where(F.col("vec_id") != F.col("q_id"))
               .join(vm, "vec_id")
@@ -579,7 +587,8 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
                            m: int = PQ_M, subdim: int = PQ_SUBDIM,
                            id_col: str = "vec_id",
                            vec_col: str = "embedding",
-                           broadcast_candidates: bool = True) -> DataFrame:
+                           broadcast_candidates: bool = True,
+                           micro=None) -> DataFrame:
     """The QUERY side of residual IVFADC over prebuilt index relations
     — what a serve deployment runs against the published artifacts:
     ``coarse_cents`` (s=0, cid, cv), ``cents`` (the residual PQ
@@ -601,9 +610,10 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
 
     # query vectors straight from the bounded queries relation — not
     # a corpus-scan join re-deriving rows the caller already has
+    micro = micro or quantize_micro
     qwhole = queries.select(F.col(id_col).alias("q_id"),
                             F.lit(0).alias("s"),
-                            quantize_micro(vec_col).alias("qv"))
+                            micro(vec_col).alias("qv"))
     qd = (qwhole.join(F.broadcast(coarse_cents), "s")
           .select("q_id", F.col("cid").alias("ccid"),
                   _sqdist_micro(F.col("qv"), F.col("cv")).alias("d"),
@@ -633,7 +643,9 @@ def ivfadc_residual_search(corpus: DataFrame, coarse_cents: DataFrame,
                                             F.asc("vec_id"))
     short = (adc.withColumn("srk", F.row_number().over(ws))
              .where(F.col("srk") <= shortlist))
-    return pq_rerank(short, corpus, queries, k, id_col, vec_col)
+    return pq_rerank(short, corpus, queries, k, id_col, vec_col,
+                     micro=micro)
+
 
 # ---------------------------------------------------------------------------
 # Driver-literal Lloyd fits — "fewer, wider jobs" for the fused entries
@@ -707,7 +719,7 @@ def _argmin_hof_sql(entries: list[tuple[int, list[int]]], x_col: str,
 
 def kmeans_fit_literal(df: DataFrame, k: int = 8, iters: int = 3,
                        id_col: str = "vec_id",
-                       vec_col: str = "embedding"
+                       vec_col: str = "embedding", micro=None
                        ) -> list[tuple[int, list[int]]]:
     """Quantized-Lloyd k-means returning the centroids as DRIVER
     literals ``[(cid, [micro-int]*dim), ...]`` sorted by cid —
@@ -719,17 +731,14 @@ def kmeans_fit_literal(df: DataFrame, k: int = 8, iters: int = 3,
     ``quantize_micro``) so the round-half-up semantics are exactly
     Spark's.  Each round's job: scan -> literal argmin -> posexplode ->
     map-side partial agg into k x dim groups -> collect k x dim rows."""
-    from datafusion_monoid_spark.operators.similarity import (
-        quantize_micro,
-    )
-
+    micro = micro or quantize_micro
     seeds = (df.select(F.col(id_col).alias("__vid"),
-                       quantize_micro(vec_col).alias("__v"))
+                       micro(vec_col).alias("__v"))
              .orderBy("__vid").limit(k).collect())
     cents = [(int(r["__vid"]), [int(x) for x in r["__v"]]) for r in seeds]
     if not cents:
         return cents
-    base = df.select(quantize_micro(vec_col).alias("__xv"))
+    base = df.select(micro(vec_col).alias("__xv"))
     for _ in range(iters):
         amin = F.expr(_argmin_hof_sql(cents, "__xv") + ".cid")
         sums_df = (base.select(amin.alias("cid"),
@@ -751,22 +760,20 @@ def kmeans_fit_literal(df: DataFrame, k: int = 8, iters: int = 3,
 def residual_vectors_literal(corpus: DataFrame,
                              cent_list: list[tuple[int, list[int]]],
                              id_col: str = "vec_id",
-                             vec_col: str = "embedding") -> DataFrame:
+                             vec_col: str = "embedding",
+                             micro=None) -> DataFrame:
     """(vec_id, ccid, rv): :func:`residual_vectors` against LITERAL
     coarse centroids — a pure map-side projection (literal argmin +
     zip_with against the matched centroid), no assignment join, no
     shuffle."""
-    from datafusion_monoid_spark.operators.similarity import (
-        quantize_micro,
-    )
-
+    micro = micro or quantize_micro
     assert [c for c, _ in cent_list] == sorted(c for c, _ in cent_list), \
         "cent_list must be sorted by cid"
     cc2d = F.expr("array(" + ", ".join(
         "array(" + ", ".join(f"{int(x)}L" for x in cv) + ")"
         for _, cv in cent_list) + ")")
     step = (corpus.select(F.col(id_col).alias("vec_id"),
-                          quantize_micro(vec_col).alias("__xv"))
+                          micro(vec_col).alias("__xv"))
             .select("vec_id", "__xv",
                     F.expr(_argmin_hof_sql(cent_list, "__xv",
                                            idx_field=True)).alias("__a")))

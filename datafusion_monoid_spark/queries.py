@@ -3684,13 +3684,18 @@ def group_quantile_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sk.hist_quantiles_grouped(h, [500000, 900000], 0.0, 128.0, 128)
 
 
-def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64) -> str:
+def _kmeans_ctes(k: int = 8, iters: int = 3, dim: int = 64,
+                 vecs_cte: str | None = None) -> str:
     """Unrolled Lloyd iterations as chained CTEs (no WITH keyword, no
     final SELECT) — exact integer math start to finish, so the SQL
-    replay is bit-identical; composable into larger oracles."""
-    parts = [f"""vecs AS (SELECT vec_id, list_transform(embedding::DOUBLE[],
+    replay is bit-identical; composable into larger oracles.
+    ``vecs_cte`` overrides the source CTE chain ending in
+    ``vecs(vec_id, v)`` (the OPQ tier passes its rotated form)."""
+    vecs = vecs_cte if vecs_cte is not None else f"""vecs AS (
+              SELECT vec_id, list_transform(embedding::DOUBLE[],
                 x -> CAST(round(x * 1000000) AS BIGINT)) AS v
-              FROM embeddings),
+              FROM embeddings)"""
+    parts = [f"""{vecs},
 cents0 AS (SELECT vec_id AS cid, v AS cv FROM vecs
            WHERE vec_id IN (SELECT vec_id FROM vecs
                             ORDER BY vec_id LIMIT {k}))"""]
@@ -7025,7 +7030,8 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                               nprobe=6, codes=codes)
 
 
-def _pq_ivfadc_residual_oracle_sql(k: int = 5, nprobe: int = 6) -> str:
+def _pq_ivfadc_residual_oracle_sql(k: int = 5, nprobe: int = 6,
+                                   vecs_cte: str | None = None) -> str:
     it = pqm.PQ_ITERS
     m = pqm.PQ_M
     subdim = pqm.PQ_SUBDIM
@@ -7040,7 +7046,7 @@ def _pq_ivfadc_residual_oracle_sql(k: int = 5, nprobe: int = 6) -> str:
               f"unnest(list_transform(range(0, {m}), "
               f"i -> rv[i * {subdim} + 1 : i * {subdim} + {subdim}])) AS sv")
     return f"""
-WITH {_kmeans_ctes()},
+WITH {_kmeans_ctes(vecs_cte=vecs_cte)},
 rcoarse AS MATERIALIZED (SELECT vec_id, cid AS ccid FROM (
              SELECT v.vec_id, c.cid,
                     row_number() OVER (PARTITION BY v.vec_id
@@ -7152,6 +7158,108 @@ def pq_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = e.where(F.col("vec_id") < 20)
     return pqm.ivfadc_residual_search(e, ccr, cents, codes, cells,
                                       queries, k=5, nprobe=6)
+
+
+_OPQ_DIM = 64
+
+
+def _opq_rot_signs() -> list[list[int]]:
+    """The OPQ pre-rotation R = H * D as a +/-1 literal matrix:
+    H is the order-64 Walsh-Hadamard matrix (H[i][j] =
+    (-1)^popcount(i AND j), exactly orthogonal up to the uniform
+    scale sqrt(64)) and D an md5-derived +/-1 diagonal — the
+    randomized-Hadamard structured rotation (Ailon & Chazelle 2006)
+    that OPQ implementations use as the non-parametric baseline
+    ("random rotation", Ge et al. CVPR 2013 §4).  A CONSTANT of the
+    query, like the JL sign matrix."""
+    import hashlib
+    d = [1 if hashlib.md5(f"opq{j}".encode()).digest()[0] % 2 == 0 else -1
+         for j in range(_OPQ_DIM)]
+    return [[(-1 if bin(i & j).count("1") % 2 else 1) * d[j]
+             for j in range(_OPQ_DIM)] for i in range(_OPQ_DIM)]
+
+
+def _opq_rotated(e: DataFrame) -> DataFrame:
+    """(vec_id, embedding): the micro-quantized vectors ROTATED by the
+    literal +/-1 matrix — exact integer math (y_i = sum of signed
+    micro-ints, |y_i| <= 64 * 2e6 so squared distances stay inside
+    BIGINT), map-only with zero joins (the JL projection pattern).
+    Distances transform exactly: ||Rx - Rc||^2 = 64 * ||x - c||^2, so
+    every argmin/ranking in rotated space replays bit-for-bit in any
+    engine applying the same literals."""
+    signs = _opq_rot_signs()
+    base = e.select("vec_id", F.expr(
+        "transform(cast(embedding as array<double>), "
+        "x -> cast(round(x * 1000000) as bigint))").alias("__q"))
+    ys = []
+    for row in signs:
+        arr = "array(" + ",".join(f"{s}L" for s in row) + ")"
+        ys.append(F.expr(f"aggregate(zip_with(__q, {arr}, "
+                         f"(x, s) -> x * s), 0L, (acc, v) -> acc + v)"))
+    return base.select("vec_id", F.array(*ys).alias("embedding"))
+
+
+def _opq_vecs_cte() -> str:
+    """DuckDB twin of :func:`_opq_rotated` as a ``vecs(vec_id, v)`` CTE
+    chain — the literal matrix replayed through a 4096-row VALUES
+    relation (the JL oracle shape)."""
+    signs = _opq_rot_signs()
+    rows = ", ".join(f"({i}, {j}, {signs[i][j]})"
+                     for i in range(_OPQ_DIM) for j in range(_OPQ_DIM))
+    return f"""qi AS (
+  SELECT vec_id,
+         CAST(round(unnest(embedding::DOUBLE[]) * 1000000) AS BIGINT) AS q,
+         unnest(range(0, {_OPQ_DIM})) AS jj
+  FROM embeddings),
+rot(ii, jj, s) AS (VALUES {rows}),
+vecs AS (SELECT vec_id, list(y ORDER BY ii) AS v FROM (
+           SELECT vec_id, ii, CAST(sum(s * q) AS BIGINT) AS y
+           FROM qi JOIN rot USING (jj) GROUP BY vec_id, ii)
+         GROUP BY vec_id)"""
+
+
+@register("pq_opq_ivfadc_topk",
+          _pq_ivfadc_residual_oracle_sql(vecs_cte=_opq_vecs_cte()))
+def pq_opq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPQ-rotated residual IVFADC (Ge et al., "Optimized Product
+    Quantization", CVPR 2013): a fixed orthogonal pre-rotation —
+    randomized Walsh-Hadamard, the non-parametric "random rotation"
+    baseline of §4 — applied as a LITERAL +/-1 matrix before the
+    coarse/residual/PQ chain, the standard recall-per-bit lever once
+    residual coding is in (VERDICT r7 item 3).  The rotation
+    decorrelates and balances per-subspace energy, which is where
+    parametric OPQ gains on anisotropic real embeddings; on this
+    synthetic isotropic corpus its measured recall@5 matches the
+    unrotated residual tier (floor pinned in tests/test_similarity.py)
+    — the point here is the exact-integer rotation plumbing: Hadamard
+    over micro-ints is integer math, ||Rx - Rc||^2 = 64 * ||x - c||^2
+    exactly, so fit, codes, probes, ADC and both rank stages replay
+    bit-for-bit through the SAME residual-IVFADC oracle with only the
+    ``vecs`` CTE swapped for the rotated form.
+
+    Scale: the rotation is map-only (64 zip_with folds per row, zero
+    joins — the JL pattern), materialized once alongside the residual
+    and code artifacts; everything downstream is the literal-Lloyd
+    one-job-per-round fit and the broadcast-candidate serve plan of
+    the residual tier."""
+    e = _emb(spark, sf_dir)
+    ident = pqm.micro_identity
+    rot = _ckpt(_opq_rotated(e))
+    cl = pqm.kmeans_fit_literal(rot, k=8, iters=3, micro=ident)
+    ccr = spark.createDataFrame(
+        [(0, cid, cv) for cid, cv in cl],
+        "s int, cid bigint, cv array<bigint>")
+    resid = _ckpt(pqm.residual_vectors_literal(rot, cl, micro=ident))
+    books = pqm.pq_fit_literal(resid)
+    cents = spark.createDataFrame(
+        [(s, cid, cv) for s, entries in sorted(books.items())
+         for cid, cv in entries],
+        "s int, cid bigint, cv array<bigint>")
+    codes = _ckpt(pqm.pq_codes_literal(resid, books))
+    cells = resid.select("vec_id", "ccid")
+    queries = rot.where(F.col("vec_id") < 20)
+    return pqm.ivfadc_residual_search(rot, ccr, cents, codes, cells,
+                                      queries, k=5, nprobe=6, micro=ident)
 
 
 def _fit_ivfadc_residual_persisted(spark: SparkSession, sf_dir: str,

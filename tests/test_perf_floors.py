@@ -115,6 +115,10 @@ CEILINGS = {
     # exact NumPy recall baseline: Arrow-batched matmul over one corpus
     # scan — a blown ceiling means a per-row path or a second scan
     "sim_topk_numpy": 3.0,
+    # OPQ-rotated residual IVFADC: rotation is one map-only projection
+    # + the literal-Lloyd fits — a blown ceiling means the rotation
+    # got re-evaluated per fit round instead of materialized once
+    "pq_opq_ivfadc_topk": 20.0,
 }
 
 pytestmark = pytest.mark.skipif(
