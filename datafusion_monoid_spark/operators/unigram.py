@@ -1,0 +1,192 @@
+"""Unigram-LM subword tokenizer (SentencePiece; Kudo 2018, "Subword
+Regularization") — the BPE tier's companion: together they are the two
+dominant tokenizer families a training pipeline chooses between
+(BPE/WordPiece grow a vocabulary bottom-up by merging; unigram-LM
+starts from a large candidate set and keeps the pieces that explain
+the corpus best).
+
+Spark-first, exact-integer restatement of the trainer:
+
+* Training operates on the WEIGHTED TOKEN VOCABULARY, not the raw
+  corpus (the ``bpe.train`` discipline): one corpus pass builds
+  ``(tok, cnt)``; every subsequent stage — candidate generation, each
+  EM round's segmentation and re-count — touches only vocabulary-
+  bounded relations, so the corpus contributes ONE shuffle ever and
+  the model is trainable at 100 TB.
+* Candidate pieces are all substrings (length <= MAXP) of vocabulary
+  tokens, occurrence-weighted; the top ``VMAX`` multi-char candidates
+  by (count desc, piece asc) plus ALL single characters (the coverage
+  guarantee Kudo keeps too) form the initial table.
+* Piece likelihoods are EXACT INTEGERS: ``p_micro = cnt * 1e6 DIV
+  total`` (the repo's micro-ratio carrier) — no ``log``, so every
+  engine replays fit and encode bit-for-bit.  Hard-EM (Viterbi-style)
+  rounds: the E-step segments each vocabulary token GREEDY
+  LONGEST-MATCH-FIRST against the current table (the WordPiece
+  inference rule — the log-free stand-in for Kudo's max-sum-of-log-p
+  Viterbi: under a unigram model longer matches dominate the
+  likelihood, and greedy longest-match is the standard deterministic
+  approximation; deviation documented); the M-step re-counts pieces
+  over the segmentation (occurrence-weighted), drops unused
+  multi-char pieces (Kudo's pruning) and keeps characters with
+  count >= 1 smoothing.
+* The model lives on the DRIVER between rounds (the literal-Lloyd /
+  ``bpe.train`` economics): the piece table is MODEL-sized by
+  construction (<= VMAX + alphabet rows), so each round is ONE job —
+  a map-only literal-map segmentation fold over the vocabulary, a
+  partial-agg piece re-count, and a model-sized collect; the update
+  is exact Python integer math.  (The first cut unrolled the greedy
+  walk as MAX_TOK relational join steps instead: ~55 shuffle stages
+  per fit and 26 s at sf0.1 vs ~3 s for the fold — and the unrolled
+  form is still exactly what the DuckDB oracle replays.)
+
+No reference analogue (the reference is a monoid-reduce UDAF crate,
+src/monoid.rs); mandated by the pipeline brief's text tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.operators.dedup import tokens
+
+MAXP = 4        #: max candidate piece length (chars)
+MAX_TOK = 10    #: greedy fold steps == max segmentable token length
+VMAX = 48       #: multi-char candidate budget (top by count, then piece)
+ROUNDS = 2      #: hard-EM rounds
+MICRO = 1_000_000
+
+#: [(piece, cnt, p_micro)] — the driver-side model carrier
+PieceTable = list[tuple[str, int, int]]
+
+
+def token_vocab(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(tok, cnt): occurrence-weighted token vocabulary — the ONE
+    corpus-sized pass of the trainer."""
+    return (docs.select(F.explode(tokens(text_col)).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("cnt")))
+
+
+def candidate_pieces(vocab: DataFrame) -> DataFrame:
+    """(piece, cnt): every substring of length 1..MAXP of every
+    vocabulary token, weighted by token count and occurrence position
+    (vocabulary-bounded: |vocab| x len x MAXP rows)."""
+    starts = F.sequence(F.lit(1), F.length("tok"))
+    sub = (vocab.select("cnt", F.col("tok"),
+                        F.explode(starts).alias("st"))
+           .select("cnt", "tok", "st",
+                   F.explode(F.sequence(F.lit(1), F.lit(MAXP))).alias("l"))
+           .where(F.col("st") + F.col("l") - 1 <= F.length("tok"))
+           .select(F.expr("substring(tok, st, l)").alias("piece"), "cnt"))
+    return sub.groupBy("piece").agg(F.sum("cnt").cast("bigint").alias("cnt"))
+
+
+def _with_p(counts: dict[str, int]) -> PieceTable:
+    """Exact integer likelihoods: p_micro = cnt * 1e6 // total (floor
+    division of positive ints == the engines' integer DIV), sorted
+    (count desc, piece asc) — the deterministic model order."""
+    total = sum(counts.values())
+    return [(p, c, (c * MICRO) // total)
+            for p, c in sorted(counts.items(), key=lambda kv: (-kv[1],
+                                                               kv[0]))]
+
+
+def _piece_map(table: PieceTable) -> str:
+    """The piece table as a literal SQL map piece -> p_micro (pieces
+    are normalized-text substrings — no quotes to escape)."""
+    entries = ", ".join(f"'{p}', {pm}L" for p, _, pm in table)
+    return f"map({entries})"
+
+
+def segment_expr(table: PieceTable, tok_col: str = "tok") -> Column:
+    """ARRAY<STRING> of greedy longest-match pieces for a token column
+    under a LITERAL piece table — one map-only fold, no joins: MAX_TOK
+    steps of (longest l in MAXP..1 with substring in the map), each a
+    constant number of literal-map lookups.  Single characters are
+    always present (coverage), so every step advances and tokens up to
+    MAX_TOK chars segment fully."""
+    m = _piece_map(table)
+    t = tok_col
+
+    def step(acc, _):
+        pos = acc["pos"]
+        # fallback l = 1 is unconditional (every character is in the
+        # table — the coverage guarantee); longer l wrap OUTER, so the
+        # longest hit wins
+        pick = F.struct(
+            F.lit(1).alias("l"),
+            F.substring(F.col(t), pos + 1, F.lit(1)).alias("piece"))
+        for l in range(2, MAXP + 1):
+            sub = F.substring(F.col(t), pos + 1, F.lit(l))
+            hit = ((pos + l <= F.length(t))
+                   & F.element_at(F.expr(m), sub).isNotNull())
+            pick = F.when(hit, F.struct(F.lit(l).alias("l"),
+                                        sub.alias("piece"))).otherwise(pick)
+        nxt = F.struct(
+            (pos + pick["l"]).alias("pos"),
+            F.concat(acc["ps"], F.array(pick["piece"])).alias("ps"))
+        return F.when(pos >= F.length(t), acc).otherwise(nxt)
+
+    init = F.struct(F.lit(0).cast("int").alias("pos"),
+                    F.array().cast("array<string>").alias("ps"))
+    return F.aggregate(F.sequence(F.lit(1), F.lit(MAX_TOK)), init, step,
+                       lambda acc: acc["ps"])
+
+
+def segment_literal(vocab: DataFrame, table: PieceTable) -> DataFrame:
+    """(tok, cnt, piece): greedy segmentation of every vocabulary token
+    under a literal piece table — one map-only projection + explode."""
+    return vocab.select("tok", "cnt",
+                        F.explode(segment_expr(table)).alias("piece"))
+
+
+def train_literal(vocab: DataFrame, rounds: int = ROUNDS,
+                  ckpt=None) -> PieceTable:
+    """Hard-EM unigram-LM fit returning the piece table as DRIVER
+    literals.  Jobs: one vocabulary materialization (the only
+    corpus-sized pass), one candidate aggregation with two model-sized
+    collects (TakeOrdered top-VMAX + the alphabet), then per round ONE
+    job (literal-map segmentation fold -> piece re-count partial agg ->
+    model-sized collect); updates are exact Python integer math.  The
+    collected state is always <= VMAX + alphabet rows, regardless of
+    corpus or vocabulary size.
+
+    ``ckpt`` (tracked localCheckpoint; defaults to an untracked eager
+    one): the vocabulary is referenced by the candidate aggregation
+    AND every round's segmentation — unmaterialized, each reference
+    re-runs the corpus tokenize (measured 7 s of a 13 s fit at
+    sf0.1)."""
+    mk = ckpt if ckpt is not None else (
+        lambda df: df.localCheckpoint(eager=True))
+    vocab = mk(vocab)
+    cand = mk(candidate_pieces(vocab))
+    top = (cand.where(F.length("piece") > 1)
+           .orderBy(F.desc("cnt"), F.asc("piece")).limit(VMAX).collect())
+    chars = cand.where(F.length("piece") == 1).collect()
+    counts = {r["piece"]: int(r["cnt"]) for r in top}
+    counts.update({r["piece"]: int(r["cnt"]) for r in chars})
+    char_set = {r["piece"] for r in chars}
+    table = _with_p(counts)
+    for _ in range(rounds):
+        used = {r["piece"]: int(r["c"]) for r in
+                (segment_literal(vocab, table)
+                 .groupBy("piece").agg(F.sum("cnt").alias("c"))
+                 .collect())}
+        counts = {c: max(used.get(c, 0), 1) for c in char_set}
+        counts.update({p: n for p, n in used.items()
+                       if len(p) > 1 and n > 0})
+        table = _with_p(counts)
+    return table
+
+
+def encode_token_stats(vocab: DataFrame, table: PieceTable) -> DataFrame:
+    """(tok, n_pieces, sum_p_micro): per-token encoding stats under a
+    trained piece table — the broadcastable model-sized relation a
+    serve job joins against the corpus token stream (the corpus never
+    runs the segmentation itself)."""
+    seg = segment_literal(vocab, table)
+    p = F.element_at(F.expr(_piece_map(table)), F.col("piece"))
+    return (seg.select("tok", "cnt", p.alias("p_micro"))
+            .groupBy("tok")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pieces"),
+                 F.sum("p_micro").cast("bigint").alias("sum_p_micro")))

@@ -8473,6 +8473,202 @@ def bpe_encode_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_symbols_micro")))
 
 
+from datafusion_monoid_spark.operators import unigram as ugm
+
+
+def _unigram_seg_ctes(prefix: str, pieces_cte: str) -> str:
+    """One greedy longest-match segmentation pass as chained CTEs —
+    ``ugm.MAX_TOK`` unrolled steps over the ``uvoc`` vocabulary against
+    the ``pieces_cte`` table; ends with ``{prefix}ch`` (the (tok, cnt,
+    piece, p_micro) choice relation).  The SQL twin of
+    ``unigram.greedy_segment``."""
+    w, maxp = ugm.MAX_TOK, ugm.MAXP
+    parts = [f"""
+{prefix}g0 AS (SELECT tok, cnt, 0 AS pos FROM uvoc)"""]
+    for k in range(1, w + 1):
+        parts.append(f""",
+{prefix}s{k} AS MATERIALIZED (
+  SELECT tok, cnt, pos, l, piece, p_micro FROM (
+    SELECT c.tok, c.cnt, c.pos, c.l, p.piece, p.p_micro,
+           row_number() OVER (PARTITION BY c.tok
+                              ORDER BY c.l DESC, p.piece) AS rn
+    FROM (SELECT tok, cnt, pos, l,
+                 substr(tok, CAST(pos + 1 AS INTEGER),
+                        CAST(l AS INTEGER)) AS cand
+          FROM (SELECT tok, cnt, pos,
+                       CAST(unnest(range(1, {maxp} + 1)) AS INTEGER) AS l
+                FROM {prefix}g{k - 1} WHERE pos < length(tok))
+          WHERE pos + l <= length(tok)) c
+    JOIN {pieces_cte} p ON c.cand = p.piece) WHERE rn = 1),
+{prefix}g{k} AS (SELECT tok, cnt, pos + l AS pos FROM {prefix}s{k})""")
+    ch = "\nUNION ALL ".join(
+        f"SELECT tok, cnt, piece, p_micro FROM {prefix}s{k}"
+        for k in range(1, w + 1))
+    parts.append(f""",
+{prefix}ch AS MATERIALIZED ({ch})""")
+    return "".join(parts)
+
+
+def _unigram_ctes(rounds: int = ugm.ROUNDS) -> str:
+    """Unrolled unigram-LM trainer (Kudo 2018, hard-EM with exact
+    micro-integer likelihoods) as chained CTEs — ends at
+    ``up{rounds}`` (the trained piece table (piece, cnt, p_micro));
+    composable, the tokenizer twin of ``_bpe_ctes``."""
+    maxp, vmax = ugm.MAXP, ugm.VMAX
+    parts = [f"""uvoc AS MATERIALIZED (
+  SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM (
+    SELECT unnest({_TOKS}) AS tok FROM documents) GROUP BY tok),
+ucand AS MATERIALIZED (
+  SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+    SELECT substr(tok, CAST(st AS INTEGER), CAST(l AS INTEGER)) AS piece,
+           cnt
+    FROM (SELECT tok, cnt, st,
+                 CAST(unnest(range(1, {maxp} + 1)) AS INTEGER) AS l
+          FROM (SELECT tok, cnt,
+                       CAST(unnest(range(1, length(tok) + 1)) AS INTEGER)
+                         AS st
+                FROM uvoc))
+    WHERE st + l - 1 <= length(tok)) GROUP BY piece),
+uchars AS (SELECT piece, cnt FROM ucand WHERE length(piece) = 1),
+up0c AS (SELECT piece, cnt FROM (
+           SELECT piece, cnt FROM ucand WHERE length(piece) > 1
+           ORDER BY cnt DESC, piece LIMIT {vmax})
+         UNION ALL SELECT piece, cnt FROM uchars),
+up0 AS MATERIALIZED (
+  SELECT piece, cnt,
+         (cnt * 1000000) // (SELECT sum(cnt) FROM up0c) AS p_micro
+  FROM up0c)"""]
+    for r in range(rounds):
+        parts.append("," + _unigram_seg_ctes(f"u{r}", f"up{r}"))
+        parts.append(f""",
+uu{r} AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt
+          FROM u{r}ch GROUP BY piece),
+up{r + 1}c AS (
+  SELECT c.piece, greatest(coalesce(u.cnt, 0), 1) AS cnt
+  FROM uchars c LEFT JOIN uu{r} u USING (piece)
+  UNION ALL
+  SELECT piece, cnt FROM uu{r} WHERE length(piece) > 1),
+up{r + 1} AS MATERIALIZED (
+  SELECT piece, cnt,
+         (cnt * 1000000) // (SELECT sum(cnt) FROM up{r + 1}c) AS p_micro
+  FROM up{r + 1}c)""")
+    return "".join(parts)
+
+
+def _unigram_fit_oracle_sql(rounds: int = ugm.ROUNDS) -> str:
+    return f"""
+WITH {_unigram_ctes(rounds)}
+SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INTEGER)
+         AS rk,
+       piece, CAST(cnt AS BIGINT) AS cnt, CAST(p_micro AS BIGINT)
+         AS p_micro
+FROM up{rounds}
+"""
+
+
+def _unigram_encode_oracle_sql(rounds: int = ugm.ROUNDS) -> str:
+    return f"""
+WITH {_unigram_ctes(rounds)},{_unigram_seg_ctes("uf", f"up{rounds}")},
+uts AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_pieces,
+               CAST(sum(p_micro) AS BIGINT) AS sum_p_micro
+        FROM ufch GROUP BY tok),
+uocc AS (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST((sum(n_pieces) * 1000000) // count(*) AS BIGINT)
+         AS pieces_per_token_micro,
+       CAST(sum(sum_p_micro) // sum(n_pieces) AS BIGINT)
+         AS avg_piece_p_micro
+FROM uocc JOIN uts USING (tok) GROUP BY source
+"""
+
+
+def _fit_unigram_persisted(spark: SparkSession, sf_dir: str,
+                           overwrite: bool) -> str:
+    """Train the unigram-LM piece table and persist it as the model
+    artifact ((piece, cnt, p_micro) parquet, vocabulary-bounded);
+    returns the path.  The serve entry reads this back — no refit."""
+    path = _artifact_path(sf_dir, "unigram_pieces")
+    src = f"{sf_dir}/documents.parquet"
+    if not overwrite and _artifact_fresh(path, src):
+        return path
+    table = ugm.train_literal(ugm.token_vocab(_docs(spark, sf_dir)),
+                              ckpt=_ckpt)
+    (spark.createDataFrame(table, "piece string, cnt bigint, p_micro bigint")
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    return path
+
+
+@register("unigram_train_pieces", _unigram_fit_oracle_sql())
+def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM subword tokenizer TRAINER (SentencePiece; Kudo 2018)
+    — the BPE tier's companion, completing the two dominant tokenizer
+    families a pipeline chooses between (VERDICT r7 item 5).  Hard-EM
+    over the weighted token vocabulary with EXACT-INTEGER likelihoods
+    (``p_micro = cnt * 1e6 DIV total`` — no log, so both engines
+    replay fit bit-for-bit): candidates are all length<=4 substrings
+    of vocabulary tokens (top-48 by count plus every character — the
+    coverage guarantee); each round's E-step segments every vocabulary
+    token greedy-longest-match-first against the current table (the
+    WordPiece inference rule, the documented log-free stand-in for
+    Kudo's Viterbi — longer matches dominate a unigram likelihood) as
+    a fixed-depth unrolled join DAG, and the M-step re-counts pieces,
+    prunes unused multi-char candidates and keeps characters with
+    count>=1 smoothing.  Persists the piece table as the model
+    artifact and returns the read-back, ranked.
+
+    Scale: the corpus contributes ONE shuffle (the vocabulary build);
+    the model lives on the driver between rounds (<= 48 + alphabet
+    rows — the ``bpe.train`` top-1 / literal-Lloyd economics), so each
+    EM round is one job: a map-only literal-map segmentation fold over
+    the vocabulary, a piece re-count partial agg, and a model-sized
+    collect.  Persisting the artifact is the SERVE entry's concern
+    (``_fit_unigram_persisted`` — the ``bpe_train_merges`` /
+    ``_fit_bpe_persisted`` split): a parquet commit costs seconds of
+    fsync on this box and re-training per bench rep would pay it
+    thrice."""
+    table = ugm.train_literal(ugm.token_vocab(_docs(spark, sf_dir)),
+                              ckpt=_ckpt)
+    # train_literal returns the model sorted (cnt desc, piece asc) —
+    # the oracle's row_number order; rank in Python
+    return spark.createDataFrame(
+        [(i + 1, p, c, pm) for i, (p, c, pm) in enumerate(table)],
+        "rk int, piece string, cnt bigint, p_micro bigint")
+
+
+@register("unigram_encode_stats", _unigram_encode_oracle_sql())
+def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM SERVE: encode the corpus under the persisted piece
+    table (no refit in the serve path — the fit/serve split the ANN
+    and BPE tiers follow).  The trained table segments the DISTINCT
+    token vocabulary once (model-sized work); the corpus token stream
+    then broadcast-joins the per-token stats — per source: tokens,
+    pieces, pieces-per-token and mean piece likelihood, all exact
+    micro-integers.  The compression ratio (pieces per token) and the
+    likelihood level are the two signals that tell an operator the
+    tokenizer fits the corpus — a rising ratio on new data is
+    vocabulary drift, the refit trigger.
+
+    Scale: corpus cost is one token explode + one broadcast join +
+    one partial-agg shuffle; the segmentation chain never sees the
+    corpus (it runs on the distinct-token vocabulary)."""
+    path = _fit_unigram_persisted(spark, sf_dir, overwrite=False)
+    table = [(r["piece"], int(r["cnt"]), int(r["p_micro"]))
+             for r in spark.read.parquet(path).collect()]  # model-sized
+    docs = _docs(spark, sf_dir)
+    stats = ugm.encode_token_stats(ugm.token_vocab(docs), table)
+    occ = docs.select("source", F.explode(dd.tokens("text")).alias("tok"))
+    n = F.count(F.lit(1))
+    return (occ.join(F.broadcast(stats), "tok")
+            .groupBy("source")
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+                 _idiv(F.sum("n_pieces") * 1_000_000, n)
+                 .alias("pieces_per_token_micro"),
+                 _idiv(F.sum("sum_p_micro"), F.sum("n_pieces"))
+                 .alias("avg_piece_p_micro")))
+
+
 def _bpe_doc_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:
     """Per-document encode accounting — the batch twin of the
     streaming BPE serve (documents with zero tokens produce no rows,

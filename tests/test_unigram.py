@@ -1,0 +1,75 @@
+"""Unigram-LM tokenizer tests: trainer semantics on a constructed
+corpus, greedy longest-match behavior, and catalog-entry invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark.operators import unigram as ugm
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def toy_vocab(spark):
+    # "abab" dominates: the trainer should keep "abab"/"ab" pieces
+    return spark.createDataFrame(
+        [("abab", 10), ("ab", 5), ("ba", 2), ("c", 1)],
+        "tok string, cnt bigint")
+
+
+def test_candidates_are_occurrence_weighted(spark, toy_vocab):
+    cand = {r.piece: r.cnt
+            for r in ugm.candidate_pieces(toy_vocab).collect()}
+    # "ab" occurs twice in "abab" (10 each), once in "ab" (5) => 25
+    assert cand["ab"] == 25
+    # "a": twice in abab, once in ab, once in ba => 20 + 5 + 2 = 27
+    assert cand["a"] == 27
+    assert cand["abab"] == 10 and cand["c"] == 1
+
+
+def test_greedy_longest_match_and_coverage(spark, toy_vocab):
+    table = ugm.train_literal(toy_vocab, rounds=0)  # seed table
+    seg = (ugm.segment_literal(toy_vocab, table)
+           .groupBy("tok")
+           .agg(F.collect_list("piece").alias("ps"))
+           .collect())
+    by_tok = {r.tok: sorted(r.ps) for r in seg}
+    # longest candidate <= MAXP chars wins at position 0
+    assert by_tok["abab"] == ["abab"]
+    assert by_tok["ab"] == ["ab"]
+    # every token fully covered: total piece chars == token length
+    chars = {r.tok: sum(len(p) for p in r.ps) for r in seg}
+    assert chars == {t: len(t) for t in ("abab", "ab", "ba", "c")}
+
+
+def test_train_prunes_and_smooths(spark, toy_vocab):
+    pieces = {p: (c, pm) for p, c, pm in ugm.train_literal(toy_vocab)}
+    # every character survives (coverage guarantee), count >= 1
+    for ch in "abc":
+        assert ch in pieces and pieces[ch][0] >= 1
+    # the dominant token survives as a whole piece with its full count
+    assert pieces["abab"][0] == 10
+    # unused substrings like "bab"/"aba" are pruned after round 1
+    assert "bab" not in pieces and "aba" not in pieces
+    # likelihoods are exact micro-integers summing to <= 1e6
+    assert sum(pm for _, pm in pieces.values()) <= 1_000_000
+    assert all(isinstance(c, int) and isinstance(pm, int)
+               for c, pm in pieces.values())
+
+
+def test_catalog_entries_consistent(spark):
+    """Fit output ranked and integer; serve stats satisfy the
+    arithmetic invariants (1 <= pieces/token <= MAX_TOK)."""
+    from datafusion_monoid_spark import queries as qcat
+
+    cat = qcat.catalog()
+    fit = cat["unigram_train_pieces"][0](spark, SF).collect()
+    assert [r.rk for r in fit] == list(range(1, len(fit) + 1))
+    assert all(1 <= len(r.piece) <= ugm.MAXP for r in fit)
+    serve = cat["unigram_encode_stats"][0](spark, SF).collect()
+    assert serve
+    for r in serve:
+        assert r.n_pieces >= r.n_tokens  # >= 1 piece per token
+        assert 1_000_000 <= r.pieces_per_token_micro \
+            <= ugm.MAX_TOK * 1_000_000
+        assert 0 <= r.avg_piece_p_micro <= 1_000_000
