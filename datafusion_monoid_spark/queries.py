@@ -9378,13 +9378,44 @@ _DRIVER_WINDOW_R7 = [
     "scalar_functions_smoke",
 ]
 
+_DRIVER_WINDOW_R8 = [
+    # new round-8 entries (never driver-checked)
+    "decontam_prod_13gram", "multimodal_neardup_lsh",
+    "pq_opq_ivfadc_topk", "unigram_train_pieces", "unigram_encode_stats",
+    # entries whose code changed this round (single-agg profile;
+    # literal-Lloyd fits; micro-hook search; modality-blind minhash)
+    "dq_column_profile", "pq_ivfadc_residual_topk", "pq_ivfadc_topk",
+    "pq_ivfadc_residual_pretrained", "dedup_minhash_lsh_pairs",
+    # the 28 entries whose latest driver check is round 3, in
+    # staleness-then-registration order (gen_driver_window.py), plus
+    # the 12 oldest round-4 entries — after this round no entry's
+    # latest check is older than r4 (VERDICT r7 item 2)
+    "hll_distinct_tokens", "vocab_topk_coverage", "per_group_sample",
+    "hist_quantile_prices", "bpe_top_merges",
+    "funnel_view_click_purchase", "retention_cohorts",
+    "pipeline_curation_full", "unpivot_lineitem_measures",
+    "q7_volume_shipping", "q8_market_share", "boilerplate_spans",
+    "group_quantile_tokens", "kmeans_quantized_centroids",
+    "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts", "q20_excess_supply",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "streaming_cms_cells", "streaming_dedup_redelivery",
+    "streaming_purchase_click_join", "streaming_decontam_alerts",
+    "monoid_sum_double", "monoid_min_double", "monoid_max_double",
+    "monoid_product_double", "monoid_embedding_sum",
+    "monoid_sum_ragged_int", "monoid_sum_nullelems_double", "tpch_q1",
+    "join_revenue_by_nation", "window_topk_orders", "rollup_revenue",
+    "distinct_types_per_brand",
+]
+
 
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R7 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R8 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}

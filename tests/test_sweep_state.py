@@ -42,6 +42,11 @@ CHECKPOINT_HEAVY = [
     "pq_ivfadc_topk",
     "pq_ivfadc_residual_topk",
     "pq_ivfadc_residual_pretrained",
+    # round 8: OPQ materializes rotation/residual/code artifacts;
+    # the unigram trainer checkpoints its vocabulary + candidates
+    "pq_opq_ivfadc_topk",
+    "unigram_train_pieces",
+    "unigram_encode_stats",
 ]
 
 
