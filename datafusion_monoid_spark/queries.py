@@ -1322,9 +1322,16 @@ def multimodal_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays byte shingles as hex-substring shingles of the
     concatenated digests — full hash-match, not rows-only."""
     docs = _docs(spark, sf_dir)
-    media = mm.attach_fake_media_frames(docs)
-    sigs = dd.minhash_from_shingles(media, "doc_id",
-                                    mm.byte_shingles("media", 4))
+    # materialize the payload once (production reads bytes from
+    # parquet; the fake builder is an expression the shingle transform
+    # would otherwise re-evaluate) and the signature relation once —
+    # the LSH candidate join references sigs FOUR times (both banded
+    # aliases + both signature re-attach joins; the text tier
+    # amortizes the same relation across three entries via
+    # _MINHASH_SHARED)
+    media = _ckpt(mm.attach_fake_media_frames(docs))
+    sigs = _ckpt(dd.minhash_from_shingles(media, "doc_id",
+                                          mm.byte_shingles("media", 4)))
     cand = dd.lsh_candidate_pairs(sigs, "doc_id")
     est = dd.estimated_jaccard("sig_a", "sig_b")
     return (cand.where(est >= 0.5)

@@ -125,6 +125,12 @@ CEILINGS = {
     # the train entry
     "unigram_train_pieces": 8.0,
     "unigram_encode_stats": 4.0,
+    # byte-shingle MinHash over the media column: payload + signature
+    # relations checkpoint once — a blown ceiling means the LSH join's
+    # four signature references re-evaluate the 64-agg pass
+    "multimodal_neardup_lsh": 11.0,
+    # 4+13-gram decontamination from one tokenize/scan
+    "decontam_prod_13gram": 6.5,
 }
 
 pytestmark = pytest.mark.skipif(

@@ -47,6 +47,7 @@ CHECKPOINT_HEAVY = [
     "pq_opq_ivfadc_topk",
     "unigram_train_pieces",
     "unigram_encode_stats",
+    "multimodal_neardup_lsh",  # payload + signature ckpts
 ]
 
 
