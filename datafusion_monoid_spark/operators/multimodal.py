@@ -59,10 +59,13 @@ def attach_fake_media_frames(docs: DataFrame,
     comparison.  Near-duplicate texts share most chunks, hence most
     16-byte payload regions — exactly what byte-shingle near-dup
     detection needs to demonstrate on.  Everything downstream treats
-    the bytes as opaque."""
-    toks = F.filter(F.split(F.regexp_replace(
-        F.trim(F.lower(F.col(text_col))), r"\s+", " "), " "),
-        lambda t: t != "")
+    the bytes as opaque.  Chunking tokenizes with ``dedup.tokens`` —
+    the SAME normalization contract the DuckDB twin rebuilds from
+    ``dedup.NORMALIZE_SQL``; an inline copy would silently diverge if
+    normalization ever changes."""
+    from datafusion_monoid_spark.operators.dedup import tokens
+
+    toks = tokens(text_col)
     n_chunks = F.ceil(F.size(toks) / chunk_tokens).cast("int")
     hx = F.when(
         F.size(toks) > 0,

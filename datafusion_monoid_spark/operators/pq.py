@@ -357,11 +357,14 @@ from contextlib import contextmanager
 @contextmanager
 def wholestage_off(spark):
     """Whole-stage codegen OFF for the jobs run inside the block: the
-    literal-codebook argmin trees (m x k x subdim terms) compile past
-    the JVM's 64 KB method limit when fused into one processNext(), so
-    Spark burns seconds on a doomed Janino attempt before falling back
-    — per-operator codegen splits the expression and compiles fine.
-    Used by every literal-fit collect job and code materialization."""
+    UNROLLED literal-codebook argmin trees (m x k x subdim multiply
+    terms, the ``codes_expr_sql`` form) compile past the JVM's 64 KB
+    method limit when fused into one processNext(), so Spark burns
+    seconds on a doomed Janino attempt before falling back —
+    per-operator codegen splits the expression and compiles fine.
+    Used by :func:`materialize_codes` (the one-time serve encode); the
+    driver-literal fits do NOT need it — their HOF argmin trees are
+    tiny by design (see the literal-fit section note)."""
     prev = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:
@@ -539,7 +542,14 @@ def pq_ivfadc_residual_topk(corpus: DataFrame, coarse_cents: DataFrame,
                             ) -> DataFrame:
     """IVFADC with RESIDUAL encoding (Jegou et al. 2011 §IV.B — the
     FAISS IndexIVFPQ default, lifting the raw-vector simplification of
-    :func:`pq_ivfadc_topk`): the product quantizer trains on and codes
+    :func:`pq_ivfadc_topk`).  Retained as the LIBRARY-LEVEL fused API:
+    the catalog entry composes :func:`kmeans_fit_literal` +
+    :func:`pq_fit_literal` + :func:`ivfadc_residual_search` directly
+    (the driver-literal job economics); this DataFrame-chained form is
+    the self-contained one-call variant for library users and shares
+    :func:`ivfadc_residual_search` — and therefore bit-identical
+    results — with that path.  The product quantizer trains on and
+    codes
     ``x - coarse_centroid(x)``, whose energy is the within-cell spread
     rather than the absolute position, so the same code budget buys
     finer resolution and higher recall at equal bits.

@@ -91,11 +91,31 @@ def _with_p(counts: dict[str, int]) -> PieceTable:
                                                                kv[0]))]
 
 
-def _piece_map(table: PieceTable) -> str:
-    """The piece table as a literal SQL map piece -> p_micro (pieces
-    are normalized-text substrings — no quotes to escape)."""
-    entries = ", ".join(f"'{p}', {pm}L" for p, _, pm in table)
-    return f"map({entries})"
+def _piece_map_col(table: PieceTable) -> Column:
+    """The piece table as a literal map Column piece -> p_micro.
+    Built with ``F.create_map`` over ``F.lit`` pairs, NOT an
+    interpolated SQL string: normalized text preserves apostrophes
+    (and any other punctuation ``tokens`` doesn't strip), and a piece
+    like ``it's`` inside a hand-built ``map('...')`` literal is a
+    ParseException.  CreateMap over literals constant-folds the same
+    way the string form did."""
+    pairs = []
+    for p, _, pm in table:
+        pairs.append(F.lit(p))
+        pairs.append(F.lit(pm).cast("bigint"))
+    return F.create_map(*pairs)
+
+
+def _assert_token_bound(vocab: DataFrame) -> None:
+    """Refuse tokens longer than the fold's unroll bound: the greedy
+    walk runs exactly MAX_TOK steps, so a longer token's tail would be
+    SILENTLY dropped from segmentation, re-counts, and serve stats —
+    and the SQL oracle truncates identically, so the hash-compare
+    would never surface it.  One model-sized aggregation."""
+    ml = vocab.agg(F.max(F.length("tok"))).first()[0]
+    assert ml is None or ml <= MAX_TOK, (
+        f"vocabulary token of length {ml} exceeds MAX_TOK={MAX_TOK}: "
+        f"raise the unroll bound (and the oracle's) or pre-split")
 
 
 def segment_expr(table: PieceTable, tok_col: str = "tok") -> Column:
@@ -104,8 +124,10 @@ def segment_expr(table: PieceTable, tok_col: str = "tok") -> Column:
     steps of (longest l in MAXP..1 with substring in the map), each a
     constant number of literal-map lookups.  Single characters are
     always present (coverage), so every step advances and tokens up to
-    MAX_TOK chars segment fully."""
-    m = _piece_map(table)
+    MAX_TOK chars segment fully; callers assert the length bound
+    (tokens LONGER than MAX_TOK would silently lose their tail from
+    both segmentation and counts)."""
+    m = _piece_map_col(table)
     t = tok_col
 
     def step(acc, _):
@@ -119,7 +141,7 @@ def segment_expr(table: PieceTable, tok_col: str = "tok") -> Column:
         for l in range(2, MAXP + 1):
             sub = F.substring(F.col(t), pos + 1, F.lit(l))
             hit = ((pos + l <= F.length(t))
-                   & F.element_at(F.expr(m), sub).isNotNull())
+                   & F.element_at(m, sub).isNotNull())
             pick = F.when(hit, F.struct(F.lit(l).alias("l"),
                                         sub.alias("piece"))).otherwise(pick)
         nxt = F.struct(
@@ -159,6 +181,7 @@ def train_literal(vocab: DataFrame, rounds: int = ROUNDS,
     mk = ckpt if ckpt is not None else (
         lambda df: df.localCheckpoint(eager=True))
     vocab = mk(vocab)
+    _assert_token_bound(vocab)
     cand = mk(candidate_pieces(vocab))
     top = (cand.where(F.length("piece") > 1)
            .orderBy(F.desc("cnt"), F.asc("piece")).limit(VMAX).collect())
@@ -184,8 +207,9 @@ def encode_token_stats(vocab: DataFrame, table: PieceTable) -> DataFrame:
     trained piece table — the broadcastable model-sized relation a
     serve job joins against the corpus token stream (the corpus never
     runs the segmentation itself)."""
+    _assert_token_bound(vocab)
     seg = segment_literal(vocab, table)
-    p = F.element_at(F.expr(_piece_map(table)), F.col("piece"))
+    p = F.element_at(_piece_map_col(table), F.col("piece"))
     return (seg.select("tok", "cnt", p.alias("p_micro"))
             .groupBy("tok")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_pieces"),

@@ -7195,9 +7195,7 @@ def _opq_rotated(e: DataFrame) -> DataFrame:
     every argmin/ranking in rotated space replays bit-for-bit in any
     engine applying the same literals."""
     signs = _opq_rot_signs()
-    base = e.select("vec_id", F.expr(
-        "transform(cast(embedding as array<double>), "
-        "x -> cast(round(x * 1000000) as bigint))").alias("__q"))
+    base = e.select("vec_id", sim.quantize_micro("embedding").alias("__q"))
     ys = []
     for row in signs:
         arr = "array(" + ",".join(f"{s}L" for s in row) + ")"
@@ -7955,7 +7953,7 @@ tp AS (SELECT column_name, val AS top_val, CAST(cnt AS BIGINT) AS top_cnt
              FROM pv WHERE val IS NOT NULL) WHERE rk = 1)
 SELECT st.column_name AS column_name, n_rows, n_null, n_distinct,
        min_val, max_val, top_val, top_cnt
-FROM st JOIN tp USING (column_name)
+FROM st LEFT JOIN tp USING (column_name)
 """)
 def dq_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-pass column profiling of the orders table — the warehouse
@@ -8621,8 +8619,8 @@ def unigram_train_pieces(spark: SparkSession, sf_dir: str) -> DataFrame:
     Kudo's Viterbi — longer matches dominate a unigram likelihood) as
     a fixed-depth unrolled join DAG, and the M-step re-counts pieces,
     prunes unused multi-char candidates and keeps characters with
-    count>=1 smoothing.  Persists the piece table as the model
-    artifact and returns the read-back, ranked.
+    count>=1 smoothing.  Returns the ranked piece table; persisting
+    the artifact is the serve entry's concern (below).
 
     Scale: the corpus contributes ONE shuffle (the vocabulary build);
     the model lives on the driver between rounds (<= 48 + alphabet

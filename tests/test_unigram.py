@@ -73,3 +73,22 @@ def test_catalog_entries_consistent(spark):
         assert 1_000_000 <= r.pieces_per_token_micro \
             <= ugm.MAX_TOK * 1_000_000
         assert 0 <= r.avg_piece_p_micro <= 1_000_000
+
+
+def test_pieces_with_quotes_and_token_bound(spark):
+    """Round-8 review findings: apostrophes in normalized text must not
+    crash the literal piece map (it was an interpolated SQL string —
+    ParseException on \"it's\"), and tokens longer than MAX_TOK must be
+    refused loudly instead of silently losing their tail."""
+    voc = spark.createDataFrame([("it's", 3), ("fine", 2)],
+                                "tok string, cnt bigint")
+    pieces = {p: pm for p, _, pm in ugm.train_literal(voc)}
+    assert "'" in pieces and "it's" in pieces
+    seg = {r.tok: sorted([r.piece]) for r in
+           ugm.segment_literal(voc, ugm.train_literal(voc))
+           .where(F.col("tok") == "it's").collect()}
+    assert seg  # segmentation of the quoted token works end-to-end
+    long_voc = spark.createDataFrame([("a" * (ugm.MAX_TOK + 1), 1)],
+                                     "tok string, cnt bigint")
+    with pytest.raises(AssertionError, match="MAX_TOK"):
+        ugm.train_literal(long_voc)
