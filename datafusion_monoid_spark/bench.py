@@ -76,7 +76,7 @@ _ANN_QUERIES = ("sim_topk_lsh", "sim_topk_ivf", "sim_topk_ivf_kmeans",
                 # PQ tier (round 6): q_id/vec_id column names
                 "pq_adc_topk", "pq_adc_pretrained", "pq_ivfadc_topk",
                 "pq_ivfadc_residual_topk", "pq_ivfadc_residual_pretrained",
-                "pq_opq_ivfadc_topk")
+                "pq_opq_ivfadc_topk", "pq_opq_ivfadc_pretrained")
 
 
 def _force(df) -> None:

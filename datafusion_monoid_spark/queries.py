@@ -7267,6 +7267,65 @@ def pq_opq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       queries, k=5, nprobe=6, micro=ident)
 
 
+def _fit_opq_persisted(spark: SparkSession, sf_dir: str,
+                       overwrite: bool) -> str:
+    """Fit the OPQ-rotated residual IVFADC index (driver-literal Lloyd
+    in rotated space) and persist its published relations: rotated
+    coarse centroids (``ccr/``), rotated-residual PQ codebooks
+    (``cents/``), compressed codes (``codes/``) and inverted lists
+    (``cells/``).  The rotation matrix itself is a code CONSTANT
+    (md5-seeded), so it needs no artifact.  Returns the index path."""
+    path = _artifact_path(sf_dir, "opq_ivfadc")
+    if not overwrite and _artifact_fresh(
+            f"{path}/codes", f"{sf_dir}/embeddings.parquet"):
+        return path
+    e = _emb(spark, sf_dir)
+    ident = pqm.micro_identity
+    rot = _ckpt(_opq_rotated(e))
+    cl = pqm.kmeans_fit_literal(rot, k=8, iters=3, micro=ident)
+    (spark.createDataFrame([(0, cid, cv) for cid, cv in cl],
+                           "s int, cid bigint, cv array<bigint>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/ccr"))
+    resid = _ckpt(pqm.residual_vectors_literal(rot, cl, micro=ident))
+    books = pqm.pq_fit_literal(resid)
+    (spark.createDataFrame(
+        [(s, cid, cv) for s, entries in sorted(books.items())
+         for cid, cv in entries],
+        "s int, cid bigint, cv array<bigint>")
+     .coalesce(1).write.mode("overwrite").parquet(f"{path}/cents"))
+    (resid.select("vec_id", "ccid")
+     .write.mode("overwrite").parquet(f"{path}/cells"))
+    (pqm.pq_codes_literal(resid, books)
+     .write.mode("overwrite").parquet(f"{path}/codes"))
+    return path
+
+
+@register("pq_opq_ivfadc_pretrained",
+          _pq_ivfadc_residual_oracle_sql(vecs_cte=_opq_vecs_cte()))
+def pq_opq_ivfadc_pretrained(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """The SERVE half of the OPQ split (fit-if-absent — keeping the
+    fit/serve discipline complete for EVERY index in the catalog):
+    probe + per-cell distance tables + ADC + exact re-rank against the
+    PERSISTED rotated-index relations.  The only per-query-batch work
+    beyond the residual serve plan is applying the CONSTANT rotation
+    matrix to the incoming queries (a map-only literal projection — no
+    artifact needed, the matrix is md5-seeded code), plus the same
+    rotation over the corpus rows the re-rank point-looks-up.  The
+    literal fit is deterministic, so persisted == refit and this entry
+    shares the fused `pq_opq_ivfadc_topk` oracle bit-for-bit."""
+    path = _fit_opq_persisted(spark, sf_dir, overwrite=False)
+    ccr = spark.read.parquet(f"{path}/ccr")
+    cents = spark.read.parquet(f"{path}/cents")
+    codes = spark.read.parquet(f"{path}/codes")
+    cells = spark.read.parquet(f"{path}/cells")
+    rot = _opq_rotated(_emb(spark, sf_dir))
+    queries = rot.where(F.col("vec_id") < 20)
+    return pqm.ivfadc_residual_search(rot, ccr, cents, codes, cells,
+                                      queries, k=5, nprobe=6,
+                                      micro=pqm.micro_identity)
+
+
 def _fit_ivfadc_residual_persisted(spark: SparkSession, sf_dir: str,
                                    overwrite: bool) -> tuple[str, str]:
     """Fit the residual IVFADC index and persist its published
@@ -9386,7 +9445,8 @@ _DRIVER_WINDOW_R7 = [
 _DRIVER_WINDOW_R8 = [
     # new round-8 entries (never driver-checked)
     "decontam_prod_13gram", "multimodal_neardup_lsh",
-    "pq_opq_ivfadc_topk", "unigram_train_pieces", "unigram_encode_stats",
+    "pq_opq_ivfadc_topk", "pq_opq_ivfadc_pretrained",
+    "unigram_train_pieces", "unigram_encode_stats",
     # entries whose code changed this round (single-agg profile;
     # literal-Lloyd fits; micro-hook search; modality-blind minhash)
     "dq_column_profile", "pq_ivfadc_residual_topk", "pq_ivfadc_topk",
@@ -9411,7 +9471,6 @@ _DRIVER_WINDOW_R8 = [
     "monoid_product_double", "monoid_embedding_sum",
     "monoid_sum_ragged_int", "monoid_sum_nullelems_double", "tpch_q1",
     "join_revenue_by_nation", "window_topk_orders", "rollup_revenue",
-    "distinct_types_per_brand",
 ]
 
 

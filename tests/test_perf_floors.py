@@ -119,6 +119,8 @@ CEILINGS = {
     # + the literal-Lloyd fits — a blown ceiling means the rotation
     # got re-evaluated per fit round instead of materialized once
     "pq_opq_ivfadc_topk": 20.0,
+    # its serve half: rotation projection + broadcast probe/ADC only
+    "pq_opq_ivfadc_pretrained": 11.0,
     # unigram-LM tokenizer: driver-literal EM (one job per round) —
     # a blown ceiling means the vocabulary lost its checkpoint (corpus
     # re-tokenized per reference) or a parquet persist crept back into

@@ -150,3 +150,14 @@ def test_bpe_oracle_survives_pair_exhaustion(spark, tmp_path):
     duck_enc = sorted(map(tuple, con.sql(
         qcat.catalog()["bpe_encode_stats"][1]).fetchall()))
     assert spark_enc == duck_enc and spark_enc
+
+
+def test_opq_pretrained_matches_fused(spark):
+    """Round-8: the OPQ serve path over persisted rotated-index
+    relations must replay the fused fit+search bit-for-bit (the
+    literal fit is deterministic, so persisted == refit)."""
+    key = lambda rows: sorted(
+        (r.q_id, r.rk, r.vec_id, r.exact_d) for r in rows)
+    fused = key(_run(spark, "pq_opq_ivfadc_topk").collect())
+    served = key(_run(spark, "pq_opq_ivfadc_pretrained").collect())
+    assert served == fused

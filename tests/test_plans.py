@@ -451,3 +451,14 @@ def test_substring_multires_single_shared_scan(spark, catalog):
     # exactly one gram-hash count join feeds the islands window
     assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") \
         + p.count("BroadcastHashJoin") == 1
+
+
+def test_opq_serve_has_no_fit_stages(spark, catalog):
+    """Round-8: the OPQ serve entry reads the persisted rotated-index
+    relations; beyond the residual serve plan its only extra work is
+    the constant-matrix rotation projection (map-only) — so still zero
+    SortMergeJoins and the same bounded exchange budget."""
+    df = catalog["pq_opq_ivfadc_pretrained"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "SortMergeJoin" not in p
+    assert p.count("Exchange hashpartitioning") <= 6

@@ -45,6 +45,7 @@ CHECKPOINT_HEAVY = [
     # round 8: OPQ materializes rotation/residual/code artifacts;
     # the unigram trainer checkpoints its vocabulary + candidates
     "pq_opq_ivfadc_topk",
+    "pq_opq_ivfadc_pretrained",
     "unigram_train_pieces",
     "unigram_encode_stats",
     "multimodal_neardup_lsh",  # payload + signature ckpts
