@@ -198,6 +198,10 @@ def main(out_path: str | None = None) -> None:
     from datafusion_monoid_spark.streaming import stream_queries as sq
     stream_proc = {name: met["processing_sec"]
                    for name, met in sorted(sq.LAST_STREAM_METRICS.items())}
+    # full per-stream decomposition (engine time, batch count, sink
+    # commit count/durations) — so a parquet-fsync regression in a
+    # serve loop is attributable from this artifact alone (r9 item 6)
+    stream_metrics = dict(sorted(sq.LAST_STREAM_METRICS.items()))
     spark.stop()
 
     result = {
@@ -207,6 +211,7 @@ def main(out_path: str | None = None) -> None:
         "queries": times,
         "recall": recall,
         "stream_processing_sec": stream_proc,
+        "stream_metrics": stream_metrics,
         "sf": sf,
     }
     if errors:

@@ -19,9 +19,11 @@ streaming; the memory sink is only the harness's collection surface.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
 import tempfile
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -78,15 +80,66 @@ STREAM_SHUFFLE = int(os.environ.get("SPARK_GRAFT_STREAM_SHUFFLE", "8"))
 _CKPT_ROOT: str | None = None
 
 
-def _ckpt_dir(name: str) -> str:
-    """Fresh per-run checkpoint dir under a session-scoped tmpfs root
-    (/dev/shm when present) — state-store and offset-log writes hit
-    RAM, not disk; the root is created once per process."""
+def _ckpt_root() -> str:
+    """Session-scoped tmpfs root (/dev/shm when present), created once
+    per process — checkpoint, staging and sink writes all hit RAM."""
     global _CKPT_ROOT
     if _CKPT_ROOT is None:
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         _CKPT_ROOT = tempfile.mkdtemp(prefix="dms_ckpt_", dir=base)
-    return tempfile.mkdtemp(prefix=f"{name}_", dir=_CKPT_ROOT)
+    return _CKPT_ROOT
+
+
+def _ckpt_dir(name: str) -> str:
+    """Fresh per-run checkpoint dir under a session-scoped tmpfs root
+    (/dev/shm when present) — state-store and offset-log writes hit
+    RAM, not disk; the root is created once per process."""
+    return tempfile.mkdtemp(prefix=f"{name}_", dir=_ckpt_root())
+
+
+def _scratch_dir(prefix: str) -> str:
+    """Staging/sink scratch under the SAME tmpfs root as the stream
+    checkpoints, so per-batch parquet sink commits hit RAM, not disk.
+    The serve loops previously used ``dir=_CKPT_ROOT or None``: when a
+    serve loop was the first streaming entry of a sweep the root was
+    still unset and the sink landed on the (fsync-heavy) default /tmp
+    — the prime suspect for the r8 driver's 7.5 s engine-time outlier
+    on ``streaming_lm_score_serve`` (VERDICT r9 item 1)."""
+    return tempfile.mkdtemp(prefix=prefix, dir=_ckpt_root())
+
+
+#: per-run sink-commit durations, keyed by query name — drained into
+#: :data:`LAST_STREAM_METRICS` by :func:`_record_metrics` so a parquet
+#: fsync regression is attributable from the bench artifact alone
+#: (VERDICT r9 item 6)
+_COMMITS: dict[str, list[float]] = {}
+
+
+@contextlib.contextmanager
+def _commit_timer(name: str):
+    """Times one sink commit inside a ``foreachBatch`` handler."""
+    t0 = time.perf_counter()
+    yield
+    _COMMITS.setdefault(name, []).append(time.perf_counter() - t0)
+
+
+def _record_metrics(name: str, prog) -> None:
+    """Fold one drained run's progress + commit timings into
+    :data:`LAST_STREAM_METRICS`: engine time (summed triggerExecution,
+    which for foreachBatch loops INCLUDES the sink commits), batch
+    count, and the sink-commit decomposition — ``commit_sec`` is the
+    part of ``processing_sec`` spent inside the per-batch parquet
+    writes, so engine-minus-commit is pure compute."""
+    commits = _COMMITS.pop(name, [])
+    LAST_STREAM_METRICS[name] = {
+        "processing_sec": round(sum(
+            (p.get("durationMs") or {}).get("triggerExecution", 0)
+            for p in prog) / 1000.0, 3),
+        "batches": len(prog),
+        "commits": len(commits),
+        "commit_sec": round(sum(commits), 3),
+        "commit_sec_max": round(max(commits), 3) if commits else 0.0,
+    }
 
 
 def _drain_to_df(agg: DataFrame, name: str, mode: str = "complete",
@@ -104,13 +157,8 @@ def _drain_to_df(agg: DataFrame, name: str, mode: str = "complete",
              .queryName(name).option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
-            prog = q.recentProgress
-            LAST_STREAM_METRICS[name] = {
-                "processing_sec": round(sum(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                    for p in prog) / 1000.0, 3),
-                "batches": len(prog),
-            }
+            # memory sink: no per-batch parquet commits, commits == 0
+            _record_metrics(name, q.recentProgress)
             out = spark.table(name).localCheckpoint(eager=True)
         finally:
             q.stop()
@@ -230,8 +278,6 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the driver's gate covers a streaming inference path with a full
     hash check.  Results append to a parquet sink (the serve log);
     state is EMPTY — serving is stateless, the index carries it all."""
-    import tempfile as _tf
-
     from datafusion_monoid_spark import queries as _qcat
     from datafusion_monoid_spark.operators import similarity as sim
     from datafusion_monoid_spark.plans.inspect import release_local_checkpoint
@@ -247,8 +293,8 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         index = sim.ivf_assign_pretrained(corpus, cent_list) \
             .localCheckpoint(eager=True)
 
-        stage = _tf.mkdtemp(prefix="ann_queries_", dir=_CKPT_ROOT or None)
-        sink = _tf.mkdtemp(prefix="ann_results_", dir=_CKPT_ROOT or None)
+        stage = _scratch_dir("ann_queries_")
+        sink = _scratch_dir("ann_results_")
         # 4 query files -> 4 micro-batches of ~5 queries each
         corpus.where(F.col("vec_id") < 20).repartition(4) \
             .write.mode("overwrite").parquet(stage)
@@ -257,22 +303,18 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .option("maxFilesPerTrigger", "1").parquet(stage))
 
         def serve_batch(batch_df: DataFrame, batch_id: int) -> None:
-            sim.ivf_search_pretrained(index, batch_df, cent_list,
-                                      k=5, nprobe=7) \
-               .write.mode("append").parquet(sink)
+            with _commit_timer("streaming_ann_serve"):
+                sim.ivf_search_pretrained(index, batch_df, cent_list,
+                                          k=5, nprobe=7) \
+                   .write.mode("append").parquet(sink)
 
+        _COMMITS.pop("streaming_ann_serve", None)
         ckpt = _ckpt_dir("streaming_ann_serve")
         q = (qstream.writeStream.foreachBatch(serve_batch)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
-            prog = q.recentProgress
-            LAST_STREAM_METRICS["streaming_ann_serve"] = {
-                "processing_sec": round(sum(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                    for p in prog) / 1000.0, 3),
-                "batches": len(prog),
-            }
+            _record_metrics("streaming_ann_serve", q.recentProgress)
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -311,8 +353,6 @@ def streaming_rollup_maintenance(spark: SparkSession,
     double-appending), which together with the checkpointed offsets
     gives exactly-once merged reads without stateful-operator
     checkpoint growth."""
-    import tempfile as _tf
-
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
     stage = sink = None
@@ -321,8 +361,8 @@ def streaming_rollup_maintenance(spark: SparkSession,
 
         e = _qcat._events(spark, sf_dir) \
             .select("event_type", "sec", "value")
-        stage = _tf.mkdtemp(prefix="mv_events_", dir=_CKPT_ROOT or None)
-        sink = _tf.mkdtemp(prefix="mv_partials_", dir=_CKPT_ROOT or None)
+        stage = _scratch_dir("mv_events_")
+        sink = _scratch_dir("mv_partials_")
         # 4 arrival files -> 4 micro-batches
         e.repartition(4).write.mode("overwrite").parquet(stage)
 
@@ -331,28 +371,24 @@ def streaming_rollup_maintenance(spark: SparkSession,
                    .option("maxFilesPerTrigger", "1").parquet(stage))
 
         def write_partials(batch_df: DataFrame, batch_id: int) -> None:
-            (batch_df.groupBy(
+            agg = (batch_df.groupBy(
                 "event_type",
                 F.floor(F.col("sec") / 3600).cast("bigint")
                 .alias("hour_bucket"))
-             .agg(F.count(F.lit(1)).alias("n"),
-                  F.sum(F.round(F.col("value") * 1000).cast("bigint"))
-                  .alias("v_milli"))
-             # idempotent replay: epoch N owns sink/batch=N exclusively
-             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.round(F.col("value") * 1000).cast("bigint"))
+                     .alias("v_milli")))
+            # idempotent replay: epoch N owns sink/batch=N exclusively
+            with _commit_timer("streaming_rollup_maintenance"):
+                agg.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
+        _COMMITS.pop("streaming_rollup_maintenance", None)
         ckpt = _ckpt_dir("streaming_rollup_maintenance")
         q = (estream.writeStream.foreachBatch(write_partials)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
-            prog = q.recentProgress
-            LAST_STREAM_METRICS["streaming_rollup_maintenance"] = {
-                "processing_sec": round(sum(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                    for p in prog) / 1000.0, 3),
-                "batches": len(prog),
-            }
+            _record_metrics("streaming_rollup_maintenance", q.recentProgress)
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -383,17 +419,24 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     of per-batch scores equals the batch computation — the per-doc
     batch twin is this entry's DuckDB oracle, full hash check.  Sink
     writes are idempotent per epoch (batch_id-keyed overwrite)."""
-    import tempfile as _tf
-
     from datafusion_monoid_spark import queries as _qcat
+    from datafusion_monoid_spark.operators import curation as _cu
 
     bg_path, ctx_path = _qcat._fit_lm_persisted(spark, sf_dir,
                                                 overwrite=False)
-    # cache the model relations: foreachBatch re-plans every micro-batch,
-    # and without this each batch re-reads the artifact parquet before
-    # re-building its broadcast
-    bgc = spark.read.parquet(bg_path).persist()
-    ctx = spark.read.parquet(ctx_path).persist()
+    # HOIST the model join out of the loop: the conditional probability
+    # p(w2|w1) depends only on the bigram (its context IS its first
+    # word), so the two count relations fold into ONE model-sized
+    # (bg, p_micro) table before the stream starts — each micro-batch
+    # then pays a single broadcast join instead of two.  persist():
+    # foreachBatch re-plans every micro-batch, and without it each
+    # batch re-reads the artifact parquet AND re-runs the model join
+    # before re-building its broadcast.
+    scores = (spark.read.parquet(bg_path)
+              .withColumn("w1", F.substring_index("bg", " ", 1))
+              .join(spark.read.parquet(ctx_path), "w1")
+              .select("bg", _cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                      .alias("p_micro"))).persist()
     # stage only what scoring reads — the arriving stream carries
     # (doc_id, source, text), not the full document schema
     docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -403,8 +446,8 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
     stage = sink = None
     try:
-        stage = _tf.mkdtemp(prefix="lm_docs_", dir=_CKPT_ROOT or None)
-        sink = _tf.mkdtemp(prefix="lm_scores_", dir=_CKPT_ROOT or None)
+        stage = _scratch_dir("lm_docs_")
+        sink = _scratch_dir("lm_scores_")
         # 4 arrival files -> 4 micro-batches
         docs.repartition(4).write.mode("overwrite").parquet(stage)
 
@@ -416,21 +459,21 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             # streaming_decontam finding): repartition before the
             # tokenize-heavy explode or it runs one-core
             b = _qcat._lm_doc_bigrams(batch_df.repartition(STREAM_SHUFFLE))
-            (_qcat._lm_score_docs(b, bgc, ctx)
-             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
+            out = (b.join(F.broadcast(scores), "bg")
+                   .groupBy("doc_id", "source")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                        _qcat._idiv(F.sum("p_micro"), F.count(F.lit(1)))
+                        .alias("score_micro")))
+            with _commit_timer("streaming_lm_score_serve"):
+                out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
+        _COMMITS.pop("streaming_lm_score_serve", None)
         ckpt = _ckpt_dir("streaming_lm_score_serve")
         q = (dstream.writeStream.foreachBatch(score_batch)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
-            prog = q.recentProgress
-            LAST_STREAM_METRICS["streaming_lm_score_serve"] = {
-                "processing_sec": round(sum(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                    for p in prog) / 1000.0, 3),
-                "batches": len(prog),
-            }
+            _record_metrics("streaming_lm_score_serve", q.recentProgress)
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -439,8 +482,7 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "source", "n_bigrams", "score_micro")
             .localCheckpoint(eager=True))
     finally:
-        bgc.unpersist()
-        ctx.unpersist()
+        scores.unpersist()
         for d in (stage, sink):
             if d:
                 shutil.rmtree(d, ignore_errors=True)
@@ -465,8 +507,6 @@ def streaming_bpe_encode_serve(spark: SparkSession,
     shared with the oracle); OOV is impossible here because the model
     trains on the same corpus — the arriving-batch entry
     (`bpe_encode_newbatch`) covers the OOV path."""
-    import tempfile as _tf
-
     from datafusion_monoid_spark import queries as _qcat
     from datafusion_monoid_spark.operators import bpe as _bpe
     from datafusion_monoid_spark.operators import dedup as _dd
@@ -485,8 +525,8 @@ def streaming_bpe_encode_serve(spark: SparkSession,
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
     stage = sink = None
     try:
-        stage = _tf.mkdtemp(prefix="bpe_docs_", dir=_CKPT_ROOT or None)
-        sink = _tf.mkdtemp(prefix="bpe_counts_", dir=_CKPT_ROOT or None)
+        stage = _scratch_dir("bpe_docs_")
+        sink = _scratch_dir("bpe_counts_")
         # 4 arrival files -> 4 micro-batches
         docs.repartition(4).write.mode("overwrite").parquet(stage)
 
@@ -499,24 +539,20 @@ def streaming_bpe_encode_serve(spark: SparkSession,
             toks = (batch_df.repartition(STREAM_SHUFFLE)
                     .select("doc_id", "source",
                             F.explode(_dd.tokens("text")).alias("tok")))
-            (toks.join(F.broadcast(model), "tok")
-             .groupBy("doc_id", "source")
-             .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
-                  F.sum("n_sym").cast("bigint").alias("n_symbols"))
-             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
+            out = (toks.join(F.broadcast(model), "tok")
+                   .groupBy("doc_id", "source")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+                        F.sum("n_sym").cast("bigint").alias("n_symbols")))
+            with _commit_timer("streaming_bpe_encode_serve"):
+                out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
+        _COMMITS.pop("streaming_bpe_encode_serve", None)
         ckpt = _ckpt_dir("streaming_bpe_encode_serve")
         q = (dstream.writeStream.foreachBatch(encode_batch)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
-            prog = q.recentProgress
-            LAST_STREAM_METRICS["streaming_bpe_encode_serve"] = {
-                "processing_sec": round(sum(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                    for p in prog) / 1000.0, 3),
-                "batches": len(prog),
-            }
+            _record_metrics("streaming_bpe_encode_serve", q.recentProgress)
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
@@ -548,8 +584,6 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, not the state store); the sink grows O(sources x batches) of
     k-bounded arrays and compacts with the same merge.  Writes are
     idempotent per epoch (batch_id-keyed overwrite)."""
-    import tempfile as _tf
-
     from datafusion_monoid_spark import queries as _qcat
     from datafusion_monoid_spark.operators import dedup as _dd
     from datafusion_monoid_spark.operators import sketch as _sk
@@ -562,8 +596,8 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
     stage = sink = None
     try:
-        stage = _tf.mkdtemp(prefix="kmv_docs_", dir=_CKPT_ROOT or None)
-        sink = _tf.mkdtemp(prefix="kmv_partials_", dir=_CKPT_ROOT or None)
+        stage = _scratch_dir("kmv_docs_")
+        sink = _scratch_dir("kmv_partials_")
         # 4 arrival files -> 4 micro-batches
         docs.repartition(4).write.mode("overwrite").parquet(stage)
 
@@ -576,21 +610,17 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             el = (batch_df.repartition(STREAM_SHUFFLE)
                   .select("source",
                           F.explode(_dd.word_shingles("text")).alias("sh")))
-            (_sk.kmv_sketch(el, "source", "sh", k=k)
-             .write.mode("overwrite").parquet(f"{sink}/batch={batch_id}"))
+            sk = _sk.kmv_sketch(el, "source", "sh", k=k)
+            with _commit_timer("streaming_kmv_distinct"):
+                sk.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
 
+        _COMMITS.pop("streaming_kmv_distinct", None)
         ckpt = _ckpt_dir("streaming_kmv_distinct")
         q = (dstream.writeStream.foreachBatch(write_partials)
              .option("checkpointLocation", ckpt).start())
         try:
             q.processAllAvailable()
-            prog = q.recentProgress
-            LAST_STREAM_METRICS["streaming_kmv_distinct"] = {
-                "processing_sec": round(sum(
-                    (p.get("durationMs") or {}).get("triggerExecution", 0)
-                    for p in prog) / 1000.0, 3),
-                "batches": len(prog),
-            }
+            _record_metrics("streaming_kmv_distinct", q.recentProgress)
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
