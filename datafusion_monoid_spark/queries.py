@@ -7281,21 +7281,35 @@ def pq_opq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       queries, k=5, nprobe=6, micro=ident)
 
 
+#: the OPQ index's published relations — freshness checks ALL of them
+#: (a mid-fit crash leaves a partial index that must force a refit;
+#: ADVICE r8 flagged the codes-only check as an undocumented
+#: written-last ordering invariant)
+_OPQ_ARTIFACTS = ("ccr", "cents", "cells", "codes", "rvecs")
+
+
 def _fit_opq_persisted(spark: SparkSession, sf_dir: str,
                        overwrite: bool) -> str:
     """Fit the OPQ-rotated residual IVFADC index (driver-literal Lloyd
     in rotated space) and persist its published relations: rotated
     coarse centroids (``ccr/``), rotated-residual PQ codebooks
-    (``cents/``), compressed codes (``codes/``) and inverted lists
-    (``cells/``).  The rotation matrix itself is a code CONSTANT
-    (md5-seeded), so it needs no artifact.  Returns the index path."""
+    (``cents/``), compressed codes (``codes/``), inverted lists
+    (``cells/``) and the ROTATED CORPUS itself (``rvecs/`` — the sf10
+    finding, BASELINE.md round 8: applying the 64-lambda interpreted
+    rotation to corpus rows at serve time dominated the serve plan at
+    200k rows, so the rotation is ingest-time work published with the
+    index and serve-side rotation is query-batch-only).  The rotation
+    matrix itself is a code CONSTANT (md5-seeded), so it needs no
+    artifact.  Returns the index path."""
     path = _artifact_path(sf_dir, "opq_ivfadc")
-    if not overwrite and _artifact_fresh(
-            f"{path}/codes", f"{sf_dir}/embeddings.parquet"):
+    src = f"{sf_dir}/embeddings.parquet"
+    if not overwrite and all(_artifact_fresh(f"{path}/{a}", src)
+                             for a in _OPQ_ARTIFACTS):
         return path
     e = _emb(spark, sf_dir)
     ident = pqm.micro_identity
     rot = _ckpt(_opq_rotated(e))
+    rot.write.mode("overwrite").parquet(f"{path}/rvecs")
     cl = pqm.kmeans_fit_literal(rot, k=8, iters=3, micro=ident)
     (spark.createDataFrame([(0, cid, cv) for cid, cv in cl],
                            "s int, cid bigint, cv array<bigint>")
@@ -7321,20 +7335,24 @@ def pq_opq_ivfadc_pretrained(spark: SparkSession,
     """The SERVE half of the OPQ split (fit-if-absent — keeping the
     fit/serve discipline complete for EVERY index in the catalog):
     probe + per-cell distance tables + ADC + exact re-rank against the
-    PERSISTED rotated-index relations.  The only per-query-batch work
-    beyond the residual serve plan is applying the CONSTANT rotation
-    matrix to the incoming queries (a map-only literal projection — no
-    artifact needed, the matrix is md5-seeded code), plus the same
-    rotation over the corpus rows the re-rank point-looks-up.  The
-    literal fit is deterministic, so persisted == refit and this entry
-    shares the fused `pq_opq_ivfadc_topk` oracle bit-for-bit."""
+    PERSISTED rotated-index relations, INCLUDING the rotated corpus
+    (``rvecs/``) — so the only rotation in the serve plan is the
+    map-only literal projection over the incoming query batch (<= 20
+    rows here; no artifact needed for the matrix itself, it is
+    md5-seeded code).  Before r9 the re-rank's point-lookups fetched
+    UNROTATED corpus rows through the in-plan rotation projection,
+    which Catalyst evaluates below the join — the full corpus paid the
+    64-lambda interpreted rotation per serve call, 11.9x super-linear
+    at sf10 (VERDICT r9 item 5).  The literal fit is deterministic, so
+    persisted == refit and this entry shares the fused
+    `pq_opq_ivfadc_topk` oracle bit-for-bit."""
     path = _fit_opq_persisted(spark, sf_dir, overwrite=False)
     ccr = spark.read.parquet(f"{path}/ccr")
     cents = spark.read.parquet(f"{path}/cents")
     codes = spark.read.parquet(f"{path}/codes")
     cells = spark.read.parquet(f"{path}/cells")
-    rot = _opq_rotated(_emb(spark, sf_dir))
-    queries = rot.where(F.col("vec_id") < 20)
+    rot = spark.read.parquet(f"{path}/rvecs")
+    queries = _opq_rotated(_emb(spark, sf_dir).where(F.col("vec_id") < 20))
     return pqm.ivfadc_residual_search(rot, ccr, cents, codes, cells,
                                       queries, k=5, nprobe=6,
                                       micro=pqm.micro_identity)
@@ -8661,6 +8679,59 @@ FROM uocc JOIN uts USING (tok) GROUP BY source
 """
 
 
+def _unigram_viterbi_ctes(rounds: int = ugm.ROUNDS) -> str:
+    """The exact-Viterbi forward DP as unrolled CTEs — the SQL twin of
+    ``unigram.viterbi_dp_expr``: ``vd{j}`` holds, for every vocabulary
+    token of length >= j, the best (score, piece count) over exact
+    segmentations of its first ``j`` characters; candidates are the
+    MAXP last-piece lengths unioned from the right prior positions,
+    the winner picked by (score DESC, l DESC) — the longer-last-piece
+    tie-break the Spark fold applies.  Ends with ``vfin`` (tok, cnt,
+    n, score): each token's full-length DP entry."""
+    w, maxp = ugm.MAX_TOK, ugm.MAXP
+    parts = [f""",
+vp AS MATERIALIZED (
+  SELECT piece, greatest((p_micro * 64) // 1000000, 1) AS p64
+  FROM up{rounds}),
+vd0 AS (SELECT tok, cnt, CAST({ugm.VIT_BASE} AS BIGINT) AS score,
+               0 AS n FROM uvoc)"""]
+    for j in range(1, w + 1):
+        cands = "\n          UNION ALL ".join(
+            f"SELECT tok, cnt, score AS pscore, n AS pn, {l} AS l, "
+            f"substr(tok, {j - l + 1}, {l}) AS cand "
+            f"FROM vd{j - l} WHERE length(tok) >= {j}"
+            for l in range(1, min(maxp, j) + 1))
+        parts.append(f""",
+vd{j} AS MATERIALIZED (
+  SELECT tok, cnt, score, n FROM (
+    SELECT c.tok, c.cnt, (c.pscore // 64) * p.p64 AS score,
+           c.pn + 1 AS n,
+           row_number() OVER (PARTITION BY c.tok
+                              ORDER BY (c.pscore // 64) * p.p64 DESC,
+                                       c.l DESC) AS rn
+    FROM ({cands}) c JOIN vp p ON c.cand = p.piece)
+  WHERE rn = 1)""")
+    fins = "\nUNION ALL ".join(
+        f"SELECT tok, cnt, n, score FROM vd{j} WHERE length(tok) = {j}"
+        for j in range(1, w + 1))
+    parts.append(f""",
+vfin AS ({fins})""")
+    return "".join(parts)
+
+
+def _unigram_viterbi_oracle_sql(rounds: int = ugm.ROUNDS) -> str:
+    return f"""
+WITH {_unigram_ctes(rounds)}{_unigram_viterbi_ctes(rounds)},{_unigram_seg_ctes("uf", f"up{rounds}")},
+ug AS (SELECT tok, CAST(count(*) AS BIGINT) AS greedy_n_pieces
+       FROM ufch GROUP BY tok)
+SELECT v.tok, CAST(v.cnt AS BIGINT) AS cnt,
+       CAST(v.n AS BIGINT) AS n_pieces,
+       CAST(v.score AS BIGINT) AS score_q6,
+       g.greedy_n_pieces
+FROM vfin v JOIN ug g ON v.tok = g.tok
+"""
+
+
 def _fit_unigram_persisted(spark: SparkSession, sf_dir: str,
                            overwrite: bool) -> str:
     """Train the unigram-LM piece table and persist it as the model
@@ -8745,6 +8816,44 @@ def unigram_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("pieces_per_token_micro"),
                  _idiv(F.sum("sum_p_micro"), F.sum("n_pieces"))
                  .alias("avg_piece_p_micro")))
+
+
+@register("unigram_encode_viterbi", _unigram_viterbi_oracle_sql())
+def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Viterbi segmentation under the persisted unigram-LM piece
+    table (Kudo 2018 §3: the max-likelihood segmentation the greedy
+    longest-match tier approximates — closing that entry's documented
+    deviation, VERDICT r9 item 4).  Log-free exact-integer restatement:
+    likelihoods quantize to 6 bits and the normalized product
+    ``prod(p_i/64)`` is carried as ``prod(p64_i) * 64^(10 - n)`` — a
+    common-denominator BIGINT, so cross-length comparisons, the DP max
+    and the tie-break (longer last piece) replay bit-for-bit in any
+    engine; the DuckDB oracle runs the same forward DP as MAX_TOK
+    unrolled CTEs.  Per token: piece count and the 2^60-scale Viterbi
+    score, next to the greedy tier's piece count — where the columns
+    disagree, greedy left likelihood on the table
+    (tests/test_unigram.py pins a constructed divergence case and
+    cross-checks the DP against a pure-Python reference).
+
+    Scale: identical economics to the greedy tier — the corpus
+    contributes nothing here (segmentation runs on the DISTINCT token
+    vocabulary); the DP is one map-only literal-table fold (MAX_TOK
+    steps x MAXP candidate lookups, no joins), so the entry is
+    vocabulary-bounded end to end and a serve job would broadcast-join
+    these per-token stats against the corpus stream exactly like
+    ``unigram_encode_stats``."""
+    path = _fit_unigram_persisted(spark, sf_dir, overwrite=False)
+    table = [(r["piece"], int(r["cnt"]), int(r["p_micro"]))
+             for r in spark.read.parquet(path).collect()]  # model-sized
+    vocab = ugm.token_vocab(_docs(spark, sf_dir))
+    ugm._assert_token_bound(vocab)
+    fin = F.element_at(F.col("dp"), F.length("tok") + 1)
+    return (vocab.withColumn("dp", ugm.viterbi_dp_expr(table))
+            .select("tok", F.col("cnt").cast("bigint").alias("cnt"),
+                    fin["n"].cast("bigint").alias("n_pieces"),
+                    fin["score"].cast("bigint").alias("score_q6"),
+                    F.size(ugm.segment_expr(table)).cast("bigint")
+                    .alias("greedy_n_pieces")))
 
 
 def _bpe_doc_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:

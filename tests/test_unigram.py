@@ -75,6 +75,83 @@ def test_catalog_entries_consistent(spark):
         assert 0 <= r.avg_piece_p_micro <= 1_000_000
 
 
+def _viterbi_py(tok: str, table) -> tuple[int, int, int]:
+    """Pure-Python reference of the exact max-product DP (score, last
+    piece length, n pieces) — same quantization, same tie-break."""
+    m = {p: max(1, pm * ugm.VIT_K // ugm.MICRO) for p, _, pm in table}
+    best = [(ugm.VIT_BASE, 0, 0)] + [None] * len(tok)
+    for j in range(1, len(tok) + 1):
+        cand = None
+        for l in range(1, min(ugm.MAXP, j) + 1):
+            piece = tok[j - l:j]
+            if piece not in m:
+                continue
+            s = (best[j - l][0] >> 6) * m[piece]
+            if cand is None or s >= cand[0]:
+                cand = (s, l, best[j - l][2] + 1)
+        best[j] = cand
+    return best[len(tok)]
+
+
+#: constructed so greedy and Viterbi DISAGREE on "xay": greedy's
+#: longest-match takes "xa" first and is stuck with the cheap "y"
+#: (score 12 * 1 q6-units); Viterbi pays the short "x" to reach the
+#: high-likelihood "ay" (2 * 44) — the exact failure mode Kudo's DP
+#: exists to avoid
+_DIVERGENT_TABLE = [("ay", 50, 700_000), ("xa", 30, 200_000),
+                    ("x", 5, 40_000), ("a", 4, 30_000), ("y", 3, 20_000)]
+
+
+def test_viterbi_beats_greedy_where_they_diverge(spark):
+    voc = spark.createDataFrame([("xay", 7), ("xa", 3), ("a", 1)],
+                                "tok string, cnt bigint")
+    seg = {r.tok: list(r.pieces)
+           for r in ugm.viterbi_segment(voc, _DIVERGENT_TABLE).collect()}
+    greedy = {r.tok: list(r.ps) for r in voc.select(
+        "tok", ugm.segment_expr(_DIVERGENT_TABLE).alias("ps")).collect()}
+    # the constructed divergence: same token, different segmentations
+    assert greedy["xay"] == ["xa", "y"]
+    assert seg["xay"] == ["x", "ay"]
+    # where greedy already matches the optimum, Viterbi agrees
+    assert seg["xa"] == greedy["xa"] == ["xa"]
+    assert seg["a"] == greedy["a"] == ["a"]
+    # and the Viterbi score dominates greedy's path score by definition
+    m = {p: max(1, pm * ugm.VIT_K // ugm.MICRO)
+         for p, _, pm in _DIVERGENT_TABLE}
+
+    def path_score(ps):
+        s = ugm.VIT_BASE
+        for p in ps:
+            s = (s >> 6) * m[p]
+        return s
+
+    assert path_score(seg["xay"]) > path_score(greedy["xay"])
+
+
+def test_viterbi_matches_python_reference_on_real_vocab(spark):
+    """The Spark DP fold (score, n, and reconstructed pieces) equals
+    the pure-Python DP for EVERY token of the sf0.01 trained model —
+    the same cross-impl discipline the oracle applies, but pinned at
+    the operator level with full segmentations."""
+    from datafusion_monoid_spark.sources import TABLES  # noqa: F401
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    voc = ugm.token_vocab(docs).localCheckpoint(eager=True)
+    table = ugm.train_literal(voc)
+    rows = ugm.viterbi_segment(voc, table).collect()
+    assert rows
+    for r in rows:
+        s, _, n = _viterbi_py(r.tok, table)
+        fin = r.dp[len(r.tok)]
+        assert (fin["score"], fin["n"]) == (s, n), r.tok
+        # reconstruction covers the token exactly and scores the same
+        assert "".join(r.pieces) == r.tok
+        m = {p: max(1, pm * ugm.VIT_K // ugm.MICRO) for p, _, pm in table}
+        ps = ugm.VIT_BASE
+        for p in r.pieces:
+            ps = (ps >> 6) * m[p]
+        assert ps == s, r.tok
+
+
 def test_pieces_with_quotes_and_token_bound(spark):
     """Round-8 review findings: apostrophes in normalized text must not
     crash the literal piece map (it was an interpolated SQL string —
