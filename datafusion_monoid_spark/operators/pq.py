@@ -111,7 +111,16 @@ def pq_fit(sub: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
     result is referenced — fine when ``sub`` is a cheap scan
     projection, pathological when it embeds a fit of its own (the
     round-7 ``pq_ivfadc_residual_topk`` cold sweep: 293 s fused vs
-    ~15 s materialized at sf0.1)."""
+    ~15 s materialized at sf0.1).
+
+    NOTE (ADVICE r8): on the fused ``ckpt=None`` path the seed-id
+    collect below makes this an EAGER call — it runs one Spark job
+    over ``sub`` at plan-construction time even if the returned
+    DataFrame is never executed.  That is the deliberate price of the
+    literal seed (replaying a distinct+sort+limit+join per lineage
+    reference costs a shuffle per replay); callers that need a fully
+    lazy builder should pass ``ckpt`` (whose seed join stays in-plan
+    and whose materializations are explicit)."""
     from datafusion_monoid_spark.plans.inspect import (
         is_checkpoint_scan,
         release_local_checkpoint,
@@ -364,7 +373,15 @@ def wholestage_off(spark):
     per-operator codegen splits the expression and compiles fine.
     Used by :func:`materialize_codes` (the one-time serve encode); the
     driver-literal fits do NOT need it — their HOF argmin trees are
-    tiny by design (see the literal-fit section note)."""
+    tiny by design (see the literal-fit section note).
+
+    CAVEAT (ADVICE r8): this mutates the SESSION-global
+    ``spark.sql.codegen.wholeStage`` conf — a query submitted
+    concurrently on the same SparkSession during the block runs (or
+    restores) the wrong codegen mode.  The repo's drivers are
+    single-threaded (bench loop, pytest, the round driver), which is
+    the assumption this helper encodes; a multi-tenant session would
+    need ``setLocalProperty``-scoped configs or a dedicated session."""
     prev = spark.conf.get("spark.sql.codegen.wholeStage")
     spark.conf.set("spark.sql.codegen.wholeStage", "false")
     try:

@@ -118,6 +118,32 @@ def _assert_token_bound(vocab: DataFrame) -> None:
         f"raise the unroll bound (and the oracle's) or pre-split")
 
 
+def _assert_encodable(vocab: DataFrame, table: PieceTable) -> None:
+    """Serve-side twin of :func:`_assert_token_bound` that ALSO refuses
+    tokens containing characters absent from the trained alphabet
+    (ADVICE r8): ``segment_expr``'s unconditional single-char fallback
+    would emit an out-of-table piece whose likelihood lookup is NULL —
+    ``F.sum`` silently drops it while the SQL oracle's inner join drops
+    the whole token, a silent cross-engine divergence that can only
+    surface on encode-on-NEW-data (the training corpus covers its own
+    alphabet by construction); the Viterbi DP NULLs the whole score the
+    same way.  One vocabulary-bounded aggregation checks both bounds."""
+    alphabet = "".join(sorted({p for p, _, _ in table if len(p) == 1}))
+    r = vocab.agg(
+        F.max(F.length("tok")).alias("ml"),
+        F.max(F.length(F.translate("tok", alphabet, ""))).alias("oov")
+    ).first()
+    assert r["ml"] is None or r["ml"] <= MAX_TOK, (
+        f"vocabulary token of length {r['ml']} exceeds MAX_TOK="
+        f"{MAX_TOK}: raise the unroll bound (and the oracle's) or "
+        f"pre-split")
+    assert r["oov"] is None or r["oov"] == 0, (
+        "tokens contain characters outside the trained alphabet — "
+        "the single-char fallback would emit out-of-table pieces that "
+        "this engine and the SQL oracle account differently; retrain "
+        "the table on (or pre-filter) the new corpus")
+
+
 def segment_expr(table: PieceTable, tok_col: str = "tok") -> Column:
     """ARRAY<STRING> of greedy longest-match pieces for a token column
     under a LITERAL piece table — one map-only fold, no joins: MAX_TOK
@@ -177,29 +203,45 @@ def train_literal(vocab: DataFrame, rounds: int = ROUNDS,
     one): the vocabulary is referenced by the candidate aggregation
     AND every round's segmentation — unmaterialized, each reference
     re-runs the corpus tokenize (measured 7 s of a 13 s fit at
-    sf0.1)."""
+    sf0.1).  When ``ckpt`` is defaulted, the two internal checkpoints
+    are RELEASED before returning (ADVICE r8: they used to leak their
+    storage blocks for the life of the session); a caller-supplied
+    ``ckpt`` owns its blocks' lifecycle."""
+    from datafusion_monoid_spark.plans.inspect import (
+        release_local_checkpoint,
+    )
+
+    defaulted = ckpt is None
     mk = ckpt if ckpt is not None else (
         lambda df: df.localCheckpoint(eager=True))
     vocab = mk(vocab)
-    _assert_token_bound(vocab)
-    cand = mk(candidate_pieces(vocab))
-    top = (cand.where(F.length("piece") > 1)
-           .orderBy(F.desc("cnt"), F.asc("piece")).limit(VMAX).collect())
-    chars = cand.where(F.length("piece") == 1).collect()
-    counts = {r["piece"]: int(r["cnt"]) for r in top}
-    counts.update({r["piece"]: int(r["cnt"]) for r in chars})
-    char_set = {r["piece"] for r in chars}
-    table = _with_p(counts)
-    for _ in range(rounds):
-        used = {r["piece"]: int(r["c"]) for r in
-                (segment_literal(vocab, table)
-                 .groupBy("piece").agg(F.sum("cnt").alias("c"))
-                 .collect())}
-        counts = {c: max(used.get(c, 0), 1) for c in char_set}
-        counts.update({p: n for p, n in used.items()
-                       if len(p) > 1 and n > 0})
+    cand = None
+    try:
+        _assert_token_bound(vocab)
+        cand = mk(candidate_pieces(vocab))
+        top = (cand.where(F.length("piece") > 1)
+               .orderBy(F.desc("cnt"), F.asc("piece")).limit(VMAX)
+               .collect())
+        chars = cand.where(F.length("piece") == 1).collect()
+        counts = {r["piece"]: int(r["cnt"]) for r in top}
+        counts.update({r["piece"]: int(r["cnt"]) for r in chars})
+        char_set = {r["piece"] for r in chars}
         table = _with_p(counts)
-    return table
+        for _ in range(rounds):
+            used = {r["piece"]: int(r["c"]) for r in
+                    (segment_literal(vocab, table)
+                     .groupBy("piece").agg(F.sum("cnt").alias("c"))
+                     .collect())}
+            counts = {c: max(used.get(c, 0), 1) for c in char_set}
+            counts.update({p: n for p, n in used.items()
+                           if len(p) > 1 and n > 0})
+            table = _with_p(counts)
+        return table
+    finally:
+        if defaulted:
+            release_local_checkpoint(vocab)
+            if cand is not None:
+                release_local_checkpoint(cand)
 
 
 # ---------------------------------------------------------------------------
@@ -313,7 +355,7 @@ def viterbi_segment(vocab: DataFrame, table: PieceTable) -> DataFrame:
     """(tok, cnt, dp, pieces): exact Viterbi segmentation of every
     vocabulary token — two map-only folds over a literal table, no
     joins, vocabulary-bounded."""
-    _assert_token_bound(vocab)
+    _assert_encodable(vocab, table)
     return (vocab
             .withColumn("dp", viterbi_dp_expr(table))
             .withColumn("pieces", viterbi_backtrack_expr("dp")))
@@ -323,7 +365,7 @@ def viterbi_token_stats(vocab: DataFrame, table: PieceTable) -> DataFrame:
     """(tok, cnt, n_pieces, score_q6): per-token exact-Viterbi stats —
     piece count and the common-denominator 2^60-scale likelihood
     straight from the DP table's final entry (no backtrack needed)."""
-    _assert_token_bound(vocab)
+    _assert_encodable(vocab, table)
     fin = F.element_at(F.col("dp"), F.length("tok") + 1)
     return (vocab.withColumn("dp", viterbi_dp_expr(table))
             .select("tok", "cnt",
@@ -336,7 +378,7 @@ def encode_token_stats(vocab: DataFrame, table: PieceTable) -> DataFrame:
     trained piece table — the broadcastable model-sized relation a
     serve job joins against the corpus token stream (the corpus never
     runs the segmentation itself)."""
-    _assert_token_bound(vocab)
+    _assert_encodable(vocab, table)
     seg = segment_literal(vocab, table)
     p = F.element_at(_piece_map_col(table), F.col("piece"))
     return (seg.select("tok", "cnt", p.alias("p_micro"))

@@ -9597,12 +9597,55 @@ _DRIVER_WINDOW_R8 = [
 ]
 
 
+#: Round-9 window (gen_driver_window.py): the new Viterbi entry plus
+#: the three entries whose CODE changed this round (pq_adc_topk now
+#: serves the shared persisted codebook; streaming_lm_score_serve
+#: hoists the model join and gained commit metrics;
+#: pq_opq_ivfadc_pretrained serves the persisted ROTATED corpus), then
+#: the 38 entries whose latest driver check is round 4 and the 8
+#: oldest round-6 entries (VERDICT r9 item 2 — after this round no
+#: entry's latest check is older than r6; two of the named "12 oldest
+#: r6" slots are covered by the pq_adc_topk / streaming_lm_score_serve
+#: sentinels, themselves r6-stale).  Behavior-neutral r9 changes NOT
+#: re-windowed (the r7 bpe_train_merges convention):
+#: unigram_train_pieces (checkpoint release on the defaulted-ckpt
+#: path only — the catalog entry passes ckpt=_ckpt) and
+#: unigram_encode_stats (a new serve-side assert that cannot fire on
+#: the training corpus); both are r8-checked and pytest-pinned.
+_DRIVER_WINDOW_R9 = [
+    # new + changed this round
+    "unigram_encode_viterbi", "pq_adc_topk",
+    "streaming_lm_score_serve", "pq_opq_ivfadc_pretrained",
+    # the 38 r4-stale entries, staleness-then-registration order
+    "distinct_types_per_brand", "sort_limit_top_orders",
+    "setop_fulfilled_customers", "events_hourly", "events_moving_avg",
+    "events_sessionize", "dedup_exact_stats",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
+    "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
+    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id", "text_quality",
+    "text_token_stats", "text_fingerprint", "multimodal_meta",
+    "multimodal_features", "events_vector_stats",
+    "asof_purchase_click", "range_join_price_tiers",
+    "q3_shipping_priority", "cms_token_sketch", "cms_heavy_hitters",
+    "window_functions_smoke", "q17_small_quantity_revenue",
+    "dedup_clusters", "sample_token_stats", "skew_salted_event_stats",
+    "skew_salted_join_deviation", "sim_topk_ivf_kmeans",
+    "streaming_windowed_monoid", "streaming_sessionize",
+    "text_pii_scan", "bm25_rank_topk", "semdedup_prune",
+    # the 8 oldest r6-stale entries
+    "hll_registers", "bloom_token_bits", "bloom_token_membership",
+    "train_test_split_sizes", "pack_sequences_stats",
+    "stratified_sample_mix", "doc_chunk_windows",
+    "decontam_ngram_overlap",
+]
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R8 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R9 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}

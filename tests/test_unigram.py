@@ -169,3 +169,21 @@ def test_pieces_with_quotes_and_token_bound(spark):
                                      "tok string, cnt bigint")
     with pytest.raises(AssertionError, match="MAX_TOK"):
         ugm.train_literal(long_voc)
+
+
+def test_encode_refuses_out_of_alphabet_tokens(spark):
+    """ADVICE r8: encoding NEW data containing characters the table
+    never saw must fail loudly — the single-char fallback would emit
+    out-of-table pieces that this engine (NULL likelihood dropped by
+    F.sum) and the SQL oracle (whole token dropped by the inner join)
+    account differently.  Same-alphabet new tokens still encode."""
+    train = spark.createDataFrame([("abab", 10), ("ab", 5)],
+                                  "tok string, cnt bigint")
+    table = ugm.train_literal(train)
+    new_ok = spark.createDataFrame([("ba", 1)], "tok string, cnt bigint")
+    assert ugm.encode_token_stats(new_ok, table).count() == 1
+    new_bad = spark.createDataFrame([("abz", 1)], "tok string, cnt bigint")
+    with pytest.raises(AssertionError, match="alphabet"):
+        ugm.encode_token_stats(new_bad, table)
+    with pytest.raises(AssertionError, match="alphabet"):
+        ugm.viterbi_token_stats(new_bad, table)
