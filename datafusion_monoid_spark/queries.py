@@ -9420,6 +9420,262 @@ def embedding_jl_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ratio_ppm").cast("bigint").alias("max_ratio_ppm"))
 
 
+# ---------------------------------------------------------------------------
+# Round 9: sketch set-difference, corpus novelty curve, tokenizer agreement
+# ---------------------------------------------------------------------------
+
+
+def _kmv_anotb_oracle_sql() -> str:
+    k, ks = _KMV_K, _KMV_KS
+    td = _pca_trunc_div_sql
+    return f"""
+WITH s AS (SELECT source, unnest({dd.shingles_sql('text')}) AS sh
+           FROM documents),
+h AS (SELECT DISTINCT source,
+             {dd.md5_long_sql('sh')} % {1 << 40} AS h FROM s),
+r AS (SELECT source, h, row_number() OVER (PARTITION BY source
+                                           ORDER BY h) AS rk FROM h),
+skt AS (SELECT source, h FROM r WHERE rk <= {k}),
+pairs AS (SELECT a.source AS sa, b.source AS sb
+          FROM (SELECT DISTINCT source FROM skt) a
+          JOIN (SELECT DISTINCT source FROM skt) b
+          ON a.source < b.source),
+m AS (SELECT DISTINCT sa, sb, h
+      FROM pairs p JOIN skt ON skt.source = p.sa OR skt.source = p.sb),
+mr AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb
+                                            ORDER BY h) AS rk FROM m),
+msk AS (SELECT sa, sb, h FROM mr WHERE rk <= {k}),
+flags AS (SELECT msk.sa, msk.sb, msk.h,
+                 pa.h IS NOT NULL AS in_a, pb.h IS NOT NULL AS in_b
+          FROM msk
+          LEFT JOIN skt pa ON pa.source = msk.sa AND pa.h = msk.h
+          LEFT JOIN skt pb ON pb.source = msk.sb AND pb.h = msk.h),
+cnt AS (SELECT sa, sb, count(*) AS ku, max(h) AS h_ku,
+               sum(CASE WHEN in_a AND NOT in_b THEN 1 ELSE 0 END)
+                 AS anotb_k,
+               sum(CASE WHEN in_b AND NOT in_a THEN 1 ELSE 0 END)
+                 AS bnota_k,
+               sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS ka_u,
+               sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS kb_u
+        FROM flags GROUP BY sa, sb),
+e AS (SELECT sa, sb, anotb_k, bnota_k, ka_u, kb_u, ku,
+             CASE WHEN ku < {k} THEN ku
+                  ELSE {td(str(ks), 'h_ku')} END AS est_u
+      FROM cnt)
+SELECT sa AS source_a, sb AS source_b,
+       CAST(anotb_k AS BIGINT) AS anotb_k,
+       CAST(bnota_k AS BIGINT) AS bnota_k,
+       {td('anotb_k * est_u', 'ku')} AS est_a_not_b,
+       {td('bnota_k * est_u', 'ku')} AS est_b_not_a,
+       CASE WHEN ka_u = 0 THEN 0
+            ELSE {td('anotb_k * 1000000', 'ka_u')} END
+         AS novelty_a_micro,
+       CASE WHEN kb_u = 0 THEN 0
+            ELSE {td('bnota_k * 1000000', 'kb_u')} END
+         AS novelty_b_micro
+FROM e
+"""
+
+
+@register("kmv_anotb_novelty", _kmv_anotb_oracle_sql())
+def kmv_anotb_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET DIFFERENCE across sources — the theta-sketch A-not-B
+    operation (the DataSketches companion of union/intersection,
+    completing the KMV set algebra next to ``kmv_source_overlap``):
+    per source pair, how much of A's distinct-shingle space B does NOT
+    cover, and vice versa.  Method: within the merged sketch's window
+    (the union's k smallest hashes — every union entry that belongs to
+    A is necessarily in A's own sketch, the theta-sketch soundness
+    property), count entries in A but not B; scale by est_union/ku for
+    the set-difference estimate; normalize by A's in-window entries
+    for the novelty share.  This is the question a curation planner
+    actually asks — "does adding crawl B contribute anything source A
+    doesn't already have?" — priced at sketch cost, not a distinct
+    join.
+
+    Scale: identical posture to the overlap entry — the corpus pays
+    ONE sketch-build aggregation (map-side dedup, <= k values per
+    group cross the wire); all pairwise set algebra runs on the
+    checkpointed ~20-row sketch relation with array expressions."""
+    docs = _docs(spark, sf_dir)
+    el = docs.select("source",
+                     F.explode(dd.word_shingles("text")).alias("sh"))
+    skd = _track_ckpt(sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
+                      .localCheckpoint(eager=True))  # ~20 rows
+    a = skd.select(F.col("source").alias("source_a"),
+                   F.col("sketch").alias("sk_a"))
+    b = skd.select(F.col("source").alias("source_b"),
+                   F.col("sketch").alias("sk_b"))
+    p = (a.join(b, F.col("source_a") < F.col("source_b"))
+         .withColumn("u", sk.kmv_merge(F.col("sk_a"), F.col("sk_b"),
+                                       k=_KMV_K))
+         .withColumn("ku", F.size("u").cast("bigint"))
+         # union entries owned by each side (sound: a union-sketch
+         # entry from A is within A's own k smallest)
+         .withColumn("ua", F.array_intersect("u", "sk_a"))
+         .withColumn("ub", F.array_intersect("u", "sk_b"))
+         .withColumn("anotb_k",
+                     F.size(F.array_except("ua", "sk_b")).cast("bigint"))
+         .withColumn("bnota_k",
+                     F.size(F.array_except("ub", "sk_a")).cast("bigint"))
+         .withColumn("ka_u", F.size("ua").cast("bigint"))
+         .withColumn("kb_u", F.size("ub").cast("bigint"))
+         .withColumn("est_union", sk.kmv_estimate(F.col("u"), k=_KMV_K)))
+    zero = F.lit(0).cast("bigint")
+    return p.select(
+        "source_a", "source_b", "anotb_k", "bnota_k",
+        sk._trunc_div(F.col("anotb_k") * F.col("est_union"),
+                      F.col("ku")).alias("est_a_not_b"),
+        sk._trunc_div(F.col("bnota_k") * F.col("est_union"),
+                      F.col("ku")).alias("est_b_not_a"),
+        F.when(F.col("ka_u") == 0, zero)
+        .otherwise(sk._trunc_div(F.col("anotb_k") * 1_000_000,
+                                 F.col("ka_u")))
+        .alias("novelty_a_micro"),
+        F.when(F.col("kb_u") == 0, zero)
+        .otherwise(sk._trunc_div(F.col("bnota_k") * 1_000_000,
+                                 F.col("kb_u")))
+        .alias("novelty_b_micro"))
+
+
+_NOVELTY_BUCKETS = 10
+
+
+def _ngram_novelty_oracle_sql() -> str:
+    nb = _NOVELTY_BUCKETS
+    return f"""
+WITH o AS (SELECT doc_id, unnest({dd.shingles_sql('text')}) AS sh
+           FROM documents),
+mx AS (SELECT max(doc_id) AS mx FROM documents),
+ob AS (SELECT sh, CAST((doc_id * {nb}) // (mx + 1) AS INTEGER)
+                AS bucket FROM o, mx),
+b1 AS (SELECT sh, bucket, count(*) AS n_occ
+       FROM ob GROUP BY sh, bucket),
+b2 AS (SELECT sh, bucket, n_occ,
+              min(bucket) OVER (PARTITION BY sh) AS first_b FROM b1)
+SELECT bucket, CAST(sum(n_occ) AS BIGINT) AS n_occurrences,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN first_b = bucket THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_new,
+       CAST((sum(CASE WHEN first_b = bucket THEN 1 ELSE 0 END)
+             * 1000000) // count(*) AS BIGINT) AS novelty_micro
+FROM b2 GROUP BY bucket
+"""
+
+
+@register("ngram_novelty_curve", _ngram_novelty_oracle_sql())
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus NOVELTY CURVE: split the corpus into 10 ingest-order
+    buckets (doc_id is the arrival order) and report, per bucket, how
+    many of its distinct 3-gram shingles are globally NEW (first seen
+    in that bucket) vs repeats of earlier content — the saturation
+    diagnostic behind "more crawl stops adding content" decisions
+    (duplicate growth is superlinear in corpus size; Lee et al. 2021).
+    A falling novelty_micro curve tells the curation planner the
+    marginal crawl buys repetition, BEFORE spending a dedup pass on
+    it.
+
+    Scale: ONE corpus tokenize+explode, then a (shingle, bucket)
+    partial agg; first-seen is a window min over the per-(shingle,
+    bucket) relation — already reduced to distinct pairs, so the
+    window's shuffle moves the distinct-shingle relation, not the
+    occurrence stream; the final per-bucket rollup is 10 rows.  No
+    joins, no broadcast, nothing corpus-sized crosses the wire twice."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    mx = docs.agg(F.max("doc_id").alias("mx"))
+    occ = (docs.crossJoin(F.broadcast(mx))
+           .select(_idiv(F.col("doc_id") * _NOVELTY_BUCKETS,
+                         F.col("mx") + 1).cast("int").alias("bucket"),
+                   F.explode(dd.word_shingles("text")).alias("sh")))
+    b1 = (occ.groupBy("sh", "bucket")
+          .agg(F.count(F.lit(1)).alias("n_occ")))
+    b2 = b1.withColumn(
+        "first_b", F.min("bucket").over(Window.partitionBy("sh")))
+    new = (F.col("first_b") == F.col("bucket")).cast("int")
+    return (b2.groupBy("bucket")
+            .agg(F.sum("n_occ").cast("bigint").alias("n_occurrences"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+                 F.sum(new).cast("bigint").alias("n_new"),
+                 _idiv(F.sum(new) * 1_000_000, F.count(F.lit(1)))
+                 .alias("novelty_micro")))
+
+
+def _tokenizer_agreement_oracle_sql() -> str:
+    """Composes the BPE and unigram-LM trainer CTE chains (disjoint
+    CTE namespaces: bv*/bp*/bm* vs uvoc/ucand/up*/u{r}*) plus one
+    greedy segmentation pass, then rolls the two per-token fertilities
+    up per source over the corpus occurrence stream."""
+    br, ur = bpem.BPE_ROUNDS, ugm.ROUNDS
+    return f"""
+WITH {_bpe_ctes(br)},
+{_unigram_ctes(ur)},{_unigram_seg_ctes("uf", f"up{ur}")},
+bstat AS (SELECT tok,
+                 CAST(len(string_split(trim(seg), '  ')) AS BIGINT)
+                   AS bpe_n
+          FROM bv{br}),
+ustat AS (SELECT tok, CAST(count(*) AS BIGINT) AS uni_n
+          FROM ufch GROUP BY tok),
+stat AS (SELECT tok, bpe_n, uni_n
+         FROM bstat JOIN ustat USING (tok)),
+uocc AS (SELECT source, unnest({_TOKS}) AS tok FROM documents)
+SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST((sum(bpe_n) * 1000000) // count(*) AS BIGINT)
+         AS bpe_fertility_micro,
+       CAST((sum(uni_n) * 1000000) // count(*) AS BIGINT)
+         AS uni_fertility_micro,
+       CAST((sum(CASE WHEN bpe_n = uni_n THEN 1 ELSE 0 END) * 1000000)
+            // count(*) AS BIGINT) AS agree_micro
+FROM uocc JOIN stat USING (tok) GROUP BY source
+"""
+
+
+@register("tokenizer_agreement", _tokenizer_agreement_oracle_sql())
+def tokenizer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOKENIZER A/B REPORT: the two trained tokenizer families this
+    engine ships (BPE, Sennrich 2016; unigram-LM, Kudo 2018) compared
+    on the same corpus — per source, occurrence-weighted fertility
+    (pieces per token, micro-units) under each model and the share of
+    token occurrences both segment into the SAME number of pieces.
+    This is the side-by-side a pipeline owner looks at before pinning
+    a tokenizer for a training run: fertility drives token budget and
+    context-window economics; low agreement flags corpus regions where
+    the two families disagree structurally.  Both models come from
+    their PERSISTED artifacts (fit-if-absent) — this entry is a pure
+    composition of two serve paths, no refits.
+
+    Scale: both models are vocabulary-bounded broadcasts; the corpus
+    pays one token explode + one broadcast join + one partial-agg
+    shuffle (the unigram serve shape, with the BPE stat riding the
+    same broadcast row)."""
+    _, vpath = _fit_bpe_persisted(spark, sf_dir)
+    upath = _fit_unigram_persisted(spark, sf_dir, overwrite=False)
+    utable = [(r["piece"], int(r["cnt"]), int(r["p_micro"]))
+              for r in spark.read.parquet(upath).collect()]  # model-sized
+    bstat = (spark.read.parquet(vpath)
+             .select("tok", F.size(bpem.seg_symbols(F.col("seg")))
+                     .cast("bigint").alias("bpe_n")))
+    docs = _docs(spark, sf_dir)
+    vocab = ugm.token_vocab(docs)
+    ugm._assert_encodable(vocab, utable)
+    stat = (vocab.select("tok", F.size(ugm.segment_expr(utable))
+                         .cast("bigint").alias("uni_n"))
+            .join(bstat, "tok"))
+    occ = docs.select("source", F.explode(dd.tokens("text")).alias("tok"))
+    n = F.count(F.lit(1))
+    agree = (F.col("bpe_n") == F.col("uni_n")).cast("int")
+    return (occ.join(F.broadcast(stat), "tok")
+            .groupBy("source")
+            .agg(n.cast("bigint").alias("n_tokens"),
+                 _idiv(F.sum("bpe_n") * 1_000_000, n)
+                 .alias("bpe_fertility_micro"),
+                 _idiv(F.sum("uni_n") * 1_000_000, n)
+                 .alias("uni_fertility_micro"),
+                 _idiv(F.sum(agree) * 1_000_000, n)
+                 .alias("agree_micro")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -9597,24 +9853,27 @@ _DRIVER_WINDOW_R8 = [
 ]
 
 
-#: Round-9 window (gen_driver_window.py): the new Viterbi entry plus
-#: the three entries whose CODE changed this round (pq_adc_topk now
-#: serves the shared persisted codebook; streaming_lm_score_serve
-#: hoists the model join and gained commit metrics;
-#: pq_opq_ivfadc_pretrained serves the persisted ROTATED corpus), then
-#: the 38 entries whose latest driver check is round 4 and the 8
-#: oldest round-6 entries (VERDICT r9 item 2 — after this round no
-#: entry's latest check is older than r6; two of the named "12 oldest
-#: r6" slots are covered by the pq_adc_topk / streaming_lm_score_serve
-#: sentinels, themselves r6-stale).  Behavior-neutral r9 changes NOT
-#: re-windowed (the r7 bpe_train_merges convention):
+#: Round-9 window (gen_driver_window.py): the four NEW entries (exact
+#: Viterbi segmentation, KMV A-not-B, the corpus novelty curve, the
+#: BPE/unigram agreement report) plus the three entries whose CODE
+#: changed this round (pq_adc_topk now serves the shared persisted
+#: codebook; streaming_lm_score_serve hoists the model join and gained
+#: commit metrics; pq_opq_ivfadc_pretrained serves the persisted
+#: ROTATED corpus), then the 38 entries whose latest driver check is
+#: round 4 and the 5 oldest round-6 entries (VERDICT r9 item 2 wanted
+#: the 12 oldest r6; 50 slots minus 7 sentinels leaves 5, and two more
+#: of those r6 slots are covered by the pq_adc_topk /
+#: streaming_lm_score_serve sentinels, themselves r6-stale — the
+#: remainder leads the r10 backlog by construction).  Behavior-neutral
+#: r9 changes NOT re-windowed (the r7 bpe_train_merges convention):
 #: unigram_train_pieces (checkpoint release on the defaulted-ckpt
 #: path only — the catalog entry passes ckpt=_ckpt) and
 #: unigram_encode_stats (a new serve-side assert that cannot fire on
 #: the training corpus); both are r8-checked and pytest-pinned.
 _DRIVER_WINDOW_R9 = [
     # new + changed this round
-    "unigram_encode_viterbi", "pq_adc_topk",
+    "unigram_encode_viterbi", "kmv_anotb_novelty",
+    "ngram_novelty_curve", "tokenizer_agreement", "pq_adc_topk",
     "streaming_lm_score_serve", "pq_opq_ivfadc_pretrained",
     # the 38 r4-stale entries, staleness-then-registration order
     "distinct_types_per_brand", "sort_limit_top_orders",
@@ -9632,11 +9891,9 @@ _DRIVER_WINDOW_R9 = [
     "skew_salted_join_deviation", "sim_topk_ivf_kmeans",
     "streaming_windowed_monoid", "streaming_sessionize",
     "text_pii_scan", "bm25_rank_topk", "semdedup_prune",
-    # the 8 oldest r6-stale entries
+    # the 5 oldest r6-stale entries
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
     "train_test_split_sizes", "pack_sequences_stats",
-    "stratified_sample_mix", "doc_chunk_windows",
-    "decontam_ngram_overlap",
 ]
 
 
