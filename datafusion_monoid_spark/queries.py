@@ -8845,8 +8845,12 @@ def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = _fit_unigram_persisted(spark, sf_dir, overwrite=False)
     table = [(r["piece"], int(r["cnt"]), int(r["p_micro"]))
              for r in spark.read.parquet(path).collect()]  # model-sized
-    vocab = ugm.token_vocab(_docs(spark, sf_dir))
-    ugm._assert_token_bound(vocab)
+    # vocab is model-sized (distinct tokens) but DERIVING it tokenizes
+    # the corpus — checkpoint so the bound-assert job and the DP
+    # projection don't each pay that pass
+    vocab = _track_ckpt(ugm.token_vocab(_docs(spark, sf_dir))
+                        .localCheckpoint(eager=True))
+    ugm._assert_encodable(vocab, table)
     fin = F.element_at(F.col("dp"), F.length("tok") + 1)
     return (vocab.withColumn("dp", ugm.viterbi_dp_expr(table))
             .select("tok", F.col("cnt").cast("bigint").alias("cnt"),
@@ -9657,7 +9661,10 @@ def tokenizer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("tok", F.size(bpem.seg_symbols(F.col("seg")))
                      .cast("bigint").alias("bpe_n")))
     docs = _docs(spark, sf_dir)
-    vocab = ugm.token_vocab(docs)
+    # model-sized, but deriving it tokenizes the corpus — checkpoint so
+    # the assert job and the stat build share one pass
+    vocab = _track_ckpt(ugm.token_vocab(docs)
+                        .localCheckpoint(eager=True))
     ugm._assert_encodable(vocab, utable)
     stat = (vocab.select("tok", F.size(ugm.segment_expr(utable))
                          .cast("bigint").alias("uni_n"))
