@@ -196,12 +196,14 @@ def main(out_path: str | None = None) -> None:
     recall = _recall(spark, catalog)
 
     from datafusion_monoid_spark.streaming import stream_queries as sq
-    stream_proc = {name: met["processing_sec"]
-                   for name, met in sorted(sq.LAST_STREAM_METRICS.items())}
     # full per-stream decomposition (engine time, batch count, sink
     # commit count/durations) — so a parquet-fsync regression in a
-    # serve loop is attributable from this artifact alone (r9 item 6)
+    # serve loop is attributable from this artifact alone (r9 item 6);
+    # the legacy processing_sec map is DERIVED from it (one source of
+    # truth, r9 review finding)
     stream_metrics = dict(sorted(sq.LAST_STREAM_METRICS.items()))
+    stream_proc = {name: met["processing_sec"]
+                   for name, met in stream_metrics.items()}
     spark.stop()
 
     result = {

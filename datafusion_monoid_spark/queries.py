@@ -7288,6 +7288,27 @@ def pq_opq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 _OPQ_ARTIFACTS = ("ccr", "cents", "cells", "codes", "rvecs")
 
 
+def _opq_rot_sig() -> str:
+    """Version stamp of the rotation CONSTANT: persisting the rotated
+    corpus (r9) removed the by-construction guarantee that corpus and
+    query rotations come from the same code — a matrix/seed edit with
+    a warm ``.artifacts/`` would rotate queries with the NEW matrix
+    while re-ranking against OLD-rotation rvecs/codes/centroids,
+    silently garbage.  The fit stamps this signature next to the
+    artifacts; the freshness check requires it to match the running
+    code."""
+    import hashlib
+    return hashlib.md5(repr(_opq_rot_signs()).encode()).hexdigest()
+
+
+def _opq_sig_fresh(path: str) -> bool:
+    try:
+        with open(f"{path}/ROTSIG") as f:
+            return f.read().strip() == _opq_rot_sig()
+    except OSError:
+        return False
+
+
 def _fit_opq_persisted(spark: SparkSession, sf_dir: str,
                        overwrite: bool) -> str:
     """Fit the OPQ-rotated residual IVFADC index (driver-literal Lloyd
@@ -7303,8 +7324,9 @@ def _fit_opq_persisted(spark: SparkSession, sf_dir: str,
     artifact.  Returns the index path."""
     path = _artifact_path(sf_dir, "opq_ivfadc")
     src = f"{sf_dir}/embeddings.parquet"
-    if not overwrite and all(_artifact_fresh(f"{path}/{a}", src)
-                             for a in _OPQ_ARTIFACTS):
+    if (not overwrite and _opq_sig_fresh(path)
+            and all(_artifact_fresh(f"{path}/{a}", src)
+                    for a in _OPQ_ARTIFACTS)):
         return path
     e = _emb(spark, sf_dir)
     ident = pqm.micro_identity
@@ -7325,6 +7347,10 @@ def _fit_opq_persisted(spark: SparkSession, sf_dir: str,
      .write.mode("overwrite").parquet(f"{path}/cells"))
     (pqm.pq_codes_literal(resid, books)
      .write.mode("overwrite").parquet(f"{path}/codes"))
+    # the rotation-version stamp seals the index LAST: a crash above
+    # leaves a stale/absent signature, which forces the refit
+    with open(f"{path}/ROTSIG", "w") as f:
+        f.write(_opq_rot_sig())
     return path
 
 
@@ -7793,11 +7819,17 @@ _KMV_K = 128
 _KMV_KS = (_KMV_K - 1) * (1 << 40)  # (k-1) * SPACE, the estimator numerator
 
 
-def _kmv_oracle_sql() -> str:
+def _kmv_pairs_prologue() -> str:
+    """Shared CTE prologue of the KMV pairwise reports (overlap and
+    A-not-B): per-source sketches (``skt``), per-source saturation
+    stats and estimates (``agg``/``est``), the source pairs, and the
+    merged union-window sketch (``msk``).  ONE definition so the two
+    oracles can never drift on the sketch/merge derivation (r9 review
+    finding); an entry that doesn't reference ``est`` simply drops it
+    (unreferenced plain CTEs aren't computed)."""
     k, ks = _KMV_K, _KMV_KS
     td = _pca_trunc_div_sql
-    return f"""
-WITH s AS (SELECT source, unnest({dd.shingles_sql('text')}) AS sh
+    return f"""s AS (SELECT source, unnest({dd.shingles_sql('text')}) AS sh
            FROM documents),
 h AS (SELECT DISTINCT source,
              {dd.md5_long_sql('sh')} % {1 << 40} AS h FROM s),
@@ -7815,7 +7847,14 @@ m AS (SELECT DISTINCT sa, sb, h
       FROM pairs p JOIN skt ON skt.source = p.sa OR skt.source = p.sb),
 mr AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb
                                             ORDER BY h) AS rk FROM m),
-msk AS (SELECT sa, sb, h FROM mr WHERE rk <= {k}),
+msk AS (SELECT sa, sb, h FROM mr WHERE rk <= {k})"""
+
+
+def _kmv_oracle_sql() -> str:
+    k, ks = _KMV_K, _KMV_KS
+    td = _pca_trunc_div_sql
+    return f"""
+WITH {_kmv_pairs_prologue()},
 magg AS (SELECT sa, sb, count(*) AS ku, max(h) AS h_ku
          FROM msk GROUP BY sa, sb),
 ov AS (SELECT msk.sa, msk.sb, count(*) AS ov_k
@@ -7834,6 +7873,28 @@ SELECT j.sa AS source_a, j.sb AS source_b,
 FROM j JOIN est ea ON ea.source = j.sa
        JOIN est eb ON eb.source = j.sb
 """
+
+
+def _kmv_pair_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source_a, source_b, sk_a, sk_b, u, ku): per-source KMV
+    sketches (built in ONE corpus aggregation, checkpointed — ~20
+    rows) self-paired with the merged union-window sketch — the shared
+    Spark prologue of the overlap and A-not-B reports, twin of
+    :func:`_kmv_pairs_prologue` (one definition so the two entries can
+    never drift on the sketch/merge derivation)."""
+    docs = _docs(spark, sf_dir)
+    el = docs.select("source",
+                     F.explode(dd.word_shingles("text")).alias("sh"))
+    skd = _track_ckpt(sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
+                      .localCheckpoint(eager=True))  # ~20 rows
+    a = skd.select(F.col("source").alias("source_a"),
+                   F.col("sketch").alias("sk_a"))
+    b = skd.select(F.col("source").alias("source_b"),
+                   F.col("sketch").alias("sk_b"))
+    return (a.join(b, F.col("source_a") < F.col("source_b"))
+            .withColumn("u", sk.kmv_merge(F.col("sk_a"), F.col("sk_b"),
+                                          k=_KMV_K))
+            .withColumn("ku", F.size("u").cast("bigint")))
 
 
 @register("kmv_source_overlap", _kmv_oracle_sql())
@@ -7856,19 +7917,7 @@ def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     scanned ONCE, not once per join side.  At 100 TB this is the
     "which crawl snapshots overlap and by how much" report priced at
     one aggregation pass."""
-    docs = _docs(spark, sf_dir)
-    el = docs.select("source",
-                     F.explode(dd.word_shingles("text")).alias("sh"))
-    skd = sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
-    skd = _track_ckpt(skd.localCheckpoint(eager=True))  # ~20 rows
-    a = skd.select(F.col("source").alias("source_a"),
-                   F.col("sketch").alias("sk_a"))
-    b = skd.select(F.col("source").alias("source_b"),
-                   F.col("sketch").alias("sk_b"))
-    p = (a.join(b, F.col("source_a") < F.col("source_b"))
-         .withColumn("u", sk.kmv_merge(F.col("sk_a"), F.col("sk_b"),
-                                       k=_KMV_K))
-         .withColumn("ku", F.size("u").cast("bigint"))
+    p = (_kmv_pair_sketches(spark, sf_dir)
          .withColumn("ov_k",
                      F.size(F.array_intersect(
                          F.array_intersect(F.col("u"), F.col("sk_a")),
@@ -8850,14 +8899,11 @@ def unigram_encode_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
     # projection don't each pay that pass
     vocab = _track_ckpt(ugm.token_vocab(_docs(spark, sf_dir))
                         .localCheckpoint(eager=True))
-    ugm._assert_encodable(vocab, table)
-    fin = F.element_at(F.col("dp"), F.length("tok") + 1)
-    return (vocab.withColumn("dp", ugm.viterbi_dp_expr(table))
-            .select("tok", F.col("cnt").cast("bigint").alias("cnt"),
-                    fin["n"].cast("bigint").alias("n_pieces"),
-                    fin["score"].cast("bigint").alias("score_q6"),
-                    F.size(ugm.segment_expr(table)).cast("bigint")
-                    .alias("greedy_n_pieces")))
+    # compose the operator (it asserts encodability itself) — the DP
+    # extraction lives in ONE place, unigram.viterbi_token_stats
+    return (ugm.viterbi_token_stats(vocab, table)
+            .withColumn("greedy_n_pieces",
+                        F.size(ugm.segment_expr(table)).cast("bigint")))
 
 
 def _bpe_doc_oracle_sql(rounds: int = bpem.BPE_ROUNDS) -> str:
@@ -9433,22 +9479,7 @@ def _kmv_anotb_oracle_sql() -> str:
     k, ks = _KMV_K, _KMV_KS
     td = _pca_trunc_div_sql
     return f"""
-WITH s AS (SELECT source, unnest({dd.shingles_sql('text')}) AS sh
-           FROM documents),
-h AS (SELECT DISTINCT source,
-             {dd.md5_long_sql('sh')} % {1 << 40} AS h FROM s),
-r AS (SELECT source, h, row_number() OVER (PARTITION BY source
-                                           ORDER BY h) AS rk FROM h),
-skt AS (SELECT source, h FROM r WHERE rk <= {k}),
-pairs AS (SELECT a.source AS sa, b.source AS sb
-          FROM (SELECT DISTINCT source FROM skt) a
-          JOIN (SELECT DISTINCT source FROM skt) b
-          ON a.source < b.source),
-m AS (SELECT DISTINCT sa, sb, h
-      FROM pairs p JOIN skt ON skt.source = p.sa OR skt.source = p.sb),
-mr AS (SELECT sa, sb, h, row_number() OVER (PARTITION BY sa, sb
-                                            ORDER BY h) AS rk FROM m),
-msk AS (SELECT sa, sb, h FROM mr WHERE rk <= {k}),
+WITH {_kmv_pairs_prologue()},
 flags AS (SELECT msk.sa, msk.sb, msk.h,
                  pa.h IS NOT NULL AS in_a, pb.h IS NOT NULL AS in_b
           FROM msk
@@ -9501,19 +9532,7 @@ def kmv_anotb_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     ONE sketch-build aggregation (map-side dedup, <= k values per
     group cross the wire); all pairwise set algebra runs on the
     checkpointed ~20-row sketch relation with array expressions."""
-    docs = _docs(spark, sf_dir)
-    el = docs.select("source",
-                     F.explode(dd.word_shingles("text")).alias("sh"))
-    skd = _track_ckpt(sk.kmv_sketch(el, "source", "sh", k=_KMV_K)
-                      .localCheckpoint(eager=True))  # ~20 rows
-    a = skd.select(F.col("source").alias("source_a"),
-                   F.col("sketch").alias("sk_a"))
-    b = skd.select(F.col("source").alias("source_b"),
-                   F.col("sketch").alias("sk_b"))
-    p = (a.join(b, F.col("source_a") < F.col("source_b"))
-         .withColumn("u", sk.kmv_merge(F.col("sk_a"), F.col("sk_b"),
-                                       k=_KMV_K))
-         .withColumn("ku", F.size("u").cast("bigint"))
+    p = (_kmv_pair_sketches(spark, sf_dir)
          # union entries owned by each side (sound: a union-sketch
          # entry from A is within A's own k smallest)
          .withColumn("ua", F.array_intersect("u", "sk_a"))
@@ -9888,7 +9907,12 @@ _DRIVER_WINDOW_R8 = [
 #: unigram_train_pieces (checkpoint release on the defaulted-ckpt
 #: path only — the catalog entry passes ckpt=_ckpt) and
 #: unigram_encode_stats (a new serve-side assert that cannot fire on
-#: the training corpus); both are r8-checked and pytest-pinned.
+#: the training corpus); both are r8-checked and pytest-pinned.  Also
+#: behavior-neutral: kmv_source_overlap's r9 change is a pure
+#: extract-method refactor (the pair-sketch prologue is now shared
+#: with kmv_anotb_novelty) — its oracle SQL is byte-identical to r6's
+#: (asserted at refactor time) and the entry re-verified green at
+#: sf0.01 locally.
 _DRIVER_WINDOW_R9 = [
     # new + changed this round
     "unigram_encode_viterbi", "kmv_anotb_novelty",

@@ -214,6 +214,8 @@ def _best_of_sf01(fn, spark, n=2) -> float:
 
 
 @pytest.mark.parametrize("name", sorted(SF01_CEILINGS))
+@pytest.mark.skipif(not os.path.isdir(SF01),
+                    reason="sf0.1 testdata tier not generated")
 def test_sf01_perf_ceiling(spark, name):
     fn = qcat.catalog()[name][0]
     best = _best_of_sf01(fn, spark)

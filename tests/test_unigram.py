@@ -75,10 +75,11 @@ def test_catalog_entries_consistent(spark):
         assert 0 <= r.avg_piece_p_micro <= 1_000_000
 
 
-def _viterbi_py(tok: str, table) -> tuple[int, int, int]:
+def _viterbi_py(tok: str, table, m=None) -> tuple[int, int, int]:
     """Pure-Python reference of the exact max-product DP (score, last
-    piece length, n pieces) — same quantization, same tie-break."""
-    m = {p: max(1, pm * ugm.VIT_K // ugm.MICRO) for p, _, pm in table}
+    piece length, n pieces) — same tie-break, quantization via the
+    production quantizer."""
+    m = m if m is not None else dict(ugm.quantize_p64(table))
     best = [(ugm.VIT_BASE, 0, 0)] + [None] * len(tok)
     for j in range(1, len(tok) + 1):
         cand = None
@@ -116,8 +117,7 @@ def test_viterbi_beats_greedy_where_they_diverge(spark):
     assert seg["xa"] == greedy["xa"] == ["xa"]
     assert seg["a"] == greedy["a"] == ["a"]
     # and the Viterbi score dominates greedy's path score by definition
-    m = {p: max(1, pm * ugm.VIT_K // ugm.MICRO)
-         for p, _, pm in _DIVERGENT_TABLE}
+    m = dict(ugm.quantize_p64(_DIVERGENT_TABLE))
 
     def path_score(ps):
         s = ugm.VIT_BASE
@@ -139,13 +139,13 @@ def test_viterbi_matches_python_reference_on_real_vocab(spark):
     table = ugm.train_literal(voc)
     rows = ugm.viterbi_segment(voc, table).collect()
     assert rows
+    m = dict(ugm.quantize_p64(table))  # hoisted: one build, not per row
     for r in rows:
-        s, _, n = _viterbi_py(r.tok, table)
+        s, _, n = _viterbi_py(r.tok, table, m=m)
         fin = r.dp[len(r.tok)]
         assert (fin["score"], fin["n"]) == (s, n), r.tok
         # reconstruction covers the token exactly and scores the same
         assert "".join(r.pieces) == r.tok
-        m = {p: max(1, pm * ugm.VIT_K // ugm.MICRO) for p, _, pm in table}
         ps = ugm.VIT_BASE
         for p in r.pieces:
             ps = (ps >> 6) * m[p]
