@@ -334,3 +334,29 @@ def test_hardneg_single_label_corpus_mines_nothing(spark):
          .withColumn("label", F.lit(1)))
     out = sim.hard_negative_topk(e, e.where(F.col("vec_id") < 5), k=3)
     assert out.count() == 0
+
+
+def test_literal_fit_matches_relational_lloyd(spark):
+    """r9: the driver-literal Lloyd (`pq.kmeans_fit_literal` — one job
+    per round) is BIT-IDENTICAL to the checkpointed relational chain
+    (`sim.kmeans_lloyd_quantized`) on real data: same seeds (k lowest
+    ids), same (d, cid) argmin tie-break, same exact floor-division
+    update, same empty-cluster carry.  Pinning the equivalence keeps
+    either form swappable per corpus shape: measured at sf0.1, the
+    literal form WINS for the PQ subspace fits (narrow 4-dim arrays,
+    16 groups — r8) but LOSES for the 64-dim coarse fit (the
+    interpreted HOF argmin per row costs more than the relational
+    chain's checkpoint jobs: 20 s vs 3-6 s), so the coarse-quantizer
+    entries keep the relational chain."""
+    from datafusion_monoid_spark.operators import pq as pqm
+
+    e = spark.read.parquet(f"{SF}/embeddings.parquet")
+    cl = dict(pqm.kmeans_fit_literal(e, k=8, iters=3))
+    rel = sim.kmeans_lloyd_quantized(e, k=8, iters=3)
+    by_cid = {}
+    for r in rel.collect():
+        by_cid.setdefault(int(r["cid"]), []).append(
+            (int(r["pos"]), int(r["val"])))
+    assert set(cl) == set(by_cid)
+    for cid, pv in by_cid.items():
+        assert cl[cid] == [v for _, v in sorted(pv)], cid
