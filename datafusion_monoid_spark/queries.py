@@ -691,6 +691,82 @@ register("dedup_ngram_jaccard_pairs", _jaccard_on_lsh_oracle_sql())(
     dedup_ngram_jaccard_pairs)
 
 
+def _containment_oracle_sql() -> str:
+    cand_sql = _minhash_candidates_cte()
+    return f"""
+{cand_sql},
+sh AS (SELECT doc_id, list_distinct({dd.shingles_sql('text')}) AS shg
+       FROM documents),
+c AS (
+  SELECT c.id_a, c.id_b,
+         len(list_intersect(a.shg, b.shg)) AS inter,
+         len(a.shg) AS n_a, len(b.shg) AS n_b
+  FROM cand c JOIN sh a ON c.id_a = a.doc_id
+              JOIN sh b ON c.id_b = b.doc_id
+  WHERE len(a.shg) > 0 AND len(b.shg) > 0
+)
+SELECT id_a, id_b,
+       CAST(inter AS BIGINT) AS n_common,
+       CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+       CAST((inter * 1000000) // n_a AS BIGINT) AS cont_a_in_b_micro,
+       CAST((inter * 1000000) // n_b AS BIGINT) AS cont_b_in_a_micro
+FROM c
+WHERE greatest((inter * 1000000) // n_a,
+               (inter * 1000000) // n_b) >= 600000
+"""
+
+
+@register("dedup_containment_pairs", _containment_oracle_sql())
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle CONTAINMENT over the MinHash-LSH candidates — the
+    ASYMMETRIC companion of the Jaccard verify (Broder 1997 separates
+    resemblance from containment): ``C(A,B) = |A ∩ B| / |A|`` flags
+    subset/quote relations that symmetric Jaccard structurally misses
+    when lengths differ (a 100-shingle doc fully embedded in a
+    2000-shingle doc has containment 1.0 but Jaccard ~0.05 — invisible
+    to the resemblance tier, yet exactly the "document B quotes all of
+    A" case a dedup policy must decide on).  Exact micro-integers
+    (distinct-shingle counts, floor division), both directions
+    reported, pairs kept when either direction >= 0.6.
+
+    Scale: identical posture to `dedup_ngram_jaccard_pairs` — the
+    candidate stage is the SHARED persisted MinHash/LSH build
+    (subquadratic banded buckets, computed once per session for the
+    whole dedup family), and the exact set arithmetic touches
+    candidates only, with the shingle stage semi-join-pruned to docs
+    that appear in some pair.  NOTE the recall caveat a production
+    deployment must own: banded MinHash targets high JACCARD, so
+    low-Jaccard/high-containment pairs can miss bucket collisions —
+    the standard fix is a second LSH index over the shorter side's
+    shingles (or a suffix-automaton pass, `dedup_substring_spans`),
+    which is why this entry reports both directions rather than
+    pretending containment recall equals resemblance recall."""
+    docs = _docs(spark, sf_dir)
+    _, cand_full = _minhash_shared(spark, sf_dir)
+    cand = cand_full.select("id_a", "id_b")
+    cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    sh = (docs.join(cand_ids, "doc_id", "left_semi")
+          .select("doc_id",
+                  F.array_distinct(dd.word_shingles("text")).alias("shg")))
+    inter = F.size(F.array_intersect(F.col("a.shg"), F.col("b.shg"))) \
+        .cast("bigint")
+    n_a = F.size(F.col("a.shg")).cast("bigint")
+    n_b = F.size(F.col("b.shg")).cast("bigint")
+    j = (cand.join(sh.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+         .join(sh.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+         .where((n_a > 0) & (n_b > 0))
+         .select("id_a", "id_b", inter.alias("n_common"),
+                 n_a.alias("n_a"), n_b.alias("n_b"),
+                 _idiv(inter * 1_000_000, n_a).alias("cont_a_in_b_micro"),
+                 _idiv(inter * 1_000_000, n_b).alias("cont_b_in_a_micro")))
+    return j.where(F.greatest("cont_a_in_b_micro",
+                              "cont_b_in_a_micro") >= 600_000)
+
+
+
+
 def _simhash_sims_cte() -> str:
     """DuckDB CTE chain rebuilding the exact (doc_id, sim_hi, sim_lo)
     SimHash relation — shared by the pair oracle and the bucket-stats
@@ -9891,18 +9967,18 @@ _DRIVER_WINDOW_R8 = [
 ]
 
 
-#: Round-9 window (gen_driver_window.py): the four NEW entries (exact
+#: Round-9 window (gen_driver_window.py): the five NEW entries (exact
 #: Viterbi segmentation, KMV A-not-B, the corpus novelty curve, the
-#: BPE/unigram agreement report) plus the three entries whose CODE
-#: changed this round (pq_adc_topk now serves the shared persisted
-#: codebook; streaming_lm_score_serve hoists the model join and gained
-#: commit metrics; pq_opq_ivfadc_pretrained serves the persisted
-#: ROTATED corpus), then the 38 entries whose latest driver check is
-#: round 4 and the 5 oldest round-6 entries (VERDICT r9 item 2 wanted
-#: the 12 oldest r6; 50 slots minus 7 sentinels leaves 5, and two more
-#: of those r6 slots are covered by the pq_adc_topk /
-#: streaming_lm_score_serve sentinels, themselves r6-stale — the
-#: remainder leads the r10 backlog by construction).  Behavior-neutral
+#: BPE/unigram agreement report, shingle containment) plus the three
+#: entries whose CODE changed this round (pq_adc_topk now serves the
+#: shared persisted codebook; streaming_lm_score_serve hoists the
+#: model join and gained commit metrics; pq_opq_ivfadc_pretrained
+#: serves the persisted ROTATED corpus), then the 38 entries whose
+#: latest driver check is round 4 and the 4 oldest round-6 entries
+#: (VERDICT r9 item 2 wanted the 12 oldest r6; 50 slots minus 8
+#: sentinels leaves 4, and two more of those r6 slots are covered by
+#: the pq_adc_topk / streaming_lm_score_serve sentinels, themselves
+#: r6-stale — the remainder leads the r10 backlog by construction).  Behavior-neutral
 #: r9 changes NOT re-windowed (the r7 bpe_train_merges convention):
 #: unigram_train_pieces (checkpoint release on the defaulted-ckpt
 #: path only — the catalog entry passes ckpt=_ckpt) and
@@ -9916,7 +9992,8 @@ _DRIVER_WINDOW_R8 = [
 _DRIVER_WINDOW_R9 = [
     # new + changed this round
     "unigram_encode_viterbi", "kmv_anotb_novelty",
-    "ngram_novelty_curve", "tokenizer_agreement", "pq_adc_topk",
+    "ngram_novelty_curve", "tokenizer_agreement",
+    "dedup_containment_pairs", "pq_adc_topk",
     "streaming_lm_score_serve", "pq_opq_ivfadc_pretrained",
     # the 38 r4-stale entries, staleness-then-registration order
     "distinct_types_per_brand", "sort_limit_top_orders",
@@ -9934,9 +10011,9 @@ _DRIVER_WINDOW_R9 = [
     "skew_salted_join_deviation", "sim_topk_ivf_kmeans",
     "streaming_windowed_monoid", "streaming_sessionize",
     "text_pii_scan", "bm25_rank_topk", "semdedup_prune",
-    # the 5 oldest r6-stale entries
+    # the 4 oldest r6-stale entries
     "hll_registers", "bloom_token_bits", "bloom_token_membership",
-    "train_test_split_sizes", "pack_sequences_stats",
+    "train_test_split_sizes",
 ]
 
 

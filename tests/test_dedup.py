@@ -212,3 +212,46 @@ def test_bucket_occupancy_stats_matches_python(spark):
            for r in dd.bucket_occupancy_stats(
                dd.simhash_chunk_buckets(sh, "doc_id")).collect()}
     assert got == want
+
+
+def test_containment_flags_what_jaccard_misses(spark):
+    """r9: a short document fully embedded in a long one — containment
+    1.0, Jaccard far below any resemblance threshold.  The exact math
+    the entry applies, on a constructed subset pair."""
+    small = [f"s{i}" for i in range(5)]
+    big = small + [f"b{i}" for i in range(45)]
+    df = spark.createDataFrame([(small, big)],
+                               "shg_a array<string>, shg_b array<string>")
+    inter = F.size(F.array_intersect("shg_a", "shg_b")).cast("bigint")
+    n_a = F.size("shg_a").cast("bigint")
+    n_union = F.size(F.array_union("shg_a", "shg_b")).cast("bigint")
+    r = df.select(
+        ((inter - inter % n_a) / n_a * 1).cast("bigint").alias("drop"),
+        (inter * 1_000_000 / n_a).cast("bigint").alias("cont_micro"),
+        (inter * 1_000_000 / n_union).cast("bigint").alias("jacc_micro"),
+    ).collect()[0]
+    assert r["cont_micro"] == 1_000_000       # fully contained
+    assert r["jacc_micro"] == 100_000         # Jaccard 0.1 — sub-threshold
+    assert r["jacc_micro"] < 200_000 <= r["cont_micro"]
+
+
+def test_containment_entry_invariants(spark):
+    """Entry-level: results are candidate pairs with both directions in
+    [0, 1e6], n_common bounded by both sides, and the >= 0.6 gate
+    applied to the max direction (value equality vs DuckDB is the
+    driver's gate)."""
+    from datafusion_monoid_spark import queries as qcat
+
+    SF = "/root/testdata/sf0.01"
+    rows = qcat.catalog()["dedup_containment_pairs"][0](spark, SF).collect()
+    assert rows
+    _, cand = qcat._minhash_shared(spark, SF)
+    cand_set = {(r["id_a"], r["id_b"]) for r in
+                cand.select("id_a", "id_b").collect()}
+    for r in rows:
+        assert (r["id_a"], r["id_b"]) in cand_set
+        assert 0 < r["n_common"] <= min(r["n_a"], r["n_b"])
+        for c in ("cont_a_in_b_micro", "cont_b_in_a_micro"):
+            assert 0 <= r[c] <= 1_000_000
+        assert max(r["cont_a_in_b_micro"],
+                   r["cont_b_in_a_micro"]) >= 600_000
