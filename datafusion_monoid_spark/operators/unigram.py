@@ -127,16 +127,26 @@ def _assert_encodable(vocab: DataFrame, table: PieceTable) -> None:
     the whole token, a silent cross-engine divergence that can only
     surface on encode-on-NEW-data (the training corpus covers its own
     alphabet by construction); the Viterbi DP NULLs the whole score the
-    same way.  One vocabulary-bounded aggregation checks both bounds."""
+    same way.  One vocabulary-bounded aggregation checks both bounds
+    plus non-emptiness (ADVICE r9: a zero-length token passes both
+    aggregate bounds, yet the Spark Viterbi emits a (score=VIT_BASE,
+    n=0) row for it while the SQL oracle's ``vfin`` unions only
+    lengths 1..MAX_TOK and drops it — a latent cross-engine
+    divergence if a future tokenizer ever yields empty tokens)."""
     alphabet = "".join(sorted({p for p, _, _ in table if len(p) == 1}))
     r = vocab.agg(
         F.max(F.length("tok")).alias("ml"),
+        F.min(F.length("tok")).alias("mn"),
         F.max(F.length(F.translate("tok", alphabet, ""))).alias("oov")
     ).first()
     assert r["ml"] is None or r["ml"] <= MAX_TOK, (
         f"vocabulary token of length {r['ml']} exceeds MAX_TOK="
         f"{MAX_TOK}: raise the unroll bound (and the oracle's) or "
         f"pre-split")
+    assert r["mn"] is None or r["mn"] >= 1, (
+        "empty-string token in the encode vocabulary — the Viterbi DP "
+        "would emit a length-0 row the SQL oracle structurally drops; "
+        "filter empties out of token_vocab upstream")
     assert r["oov"] is None or r["oov"] == 0, (
         "tokens contain characters outside the trained alphabet — "
         "the single-char fallback would emit out-of-table pieces that "

@@ -4010,30 +4010,33 @@ def sim_topk_ivf_pretrained(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    cent_list, k=5, nprobe=7)
 
 
-#: (path, _SUCCESS mtime) -> centroid list — a serving process loads the
-#: index artifact once, not per query batch; keyed on the marker mtime so
-#: a re-fit invalidates the cache
-_CENTROID_CACHE: dict[tuple[str, float], list] = {}
+#: "path[#micro]" -> (_SUCCESS mtime, centroid list) — a serving process
+#: loads the index artifact once, not per query batch; the stored mtime
+#: invalidates on re-fit, and keying by path (not (path, mtime)) evicts
+#: the superseded generation instead of accumulating it (ADVICE r9, the
+#: _PQ_CODEBOOK_CACHE finding — same discipline here)
+_CENTROID_CACHE: dict[str, tuple[float, list]] = {}
 
 
 def _load_centroids_cached(spark: SparkSession, path: str,
                            micro: bool = False) -> list:
     """Load the persisted (cid, pos, val) centroid artifact once per
-    (path, mtime): de-quantized doubles by default (the IVF serve
+    path generation: de-quantized doubles by default (the IVF serve
     path), or the RAW micro-unit BIGINTs with ``micro=True`` (the
     SemDeDup serve path, whose assignment is exact integer squared-L2
     and must replay the artifact's ints)."""
-    key = (path + ("#micro" if micro else ""),
-           _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS")))
-    if key not in _CENTROID_CACHE:
+    key = path + ("#micro" if micro else "")
+    mtime = _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS"))
+    hit = _CENTROID_CACHE.get(key)
+    if hit is None or hit[0] != mtime:
         by_cid: dict[int, list[tuple[int, int]]] = {}
         for r in spark.read.parquet(path).collect():   # k x dim rows
             by_cid.setdefault(r["cid"], []).append((r["pos"], r["val"]))
         conv = (lambda v: int(v)) if micro else (lambda v: v / 1e6)
-        _CENTROID_CACHE[key] = [
+        _CENTROID_CACHE[key] = (mtime, [
             (int(cid), [conv(v) for _, v in sorted(pv)])
-            for cid, pv in sorted(by_cid.items())]
-    return _CENTROID_CACHE[key]
+            for cid, pv in sorted(by_cid.items())])
+    return _CENTROID_CACHE[key][1]
 
 
 @register("q12_late_shipments", """
@@ -6730,15 +6733,19 @@ def _fit_pq_persisted(spark: SparkSession, sf_dir: str,
     return path
 
 
-#: (path, _SUCCESS mtime) -> {s: [(cid, [subdim ints])]} — load the
-#: codebook artifact once per serve process, invalidated on re-fit
-_PQ_CODEBOOK_CACHE: dict[tuple[str, float], dict] = {}
+#: path -> (_SUCCESS mtime, {s: [(cid, [subdim ints])]}) — load the
+#: codebook artifact once per serve process, invalidated on re-fit.
+#: Keyed by PATH with the mtime stored alongside (ADVICE r9): keying
+#: on (path, mtime) never evicted superseded generations, so a
+#: long-lived serve process that re-runs ``pq_fit_codebooks``
+#: accumulated stale entries indefinitely.
+_PQ_CODEBOOK_CACHE: dict[str, tuple[float, dict]] = {}
 
 
 def _load_pq_codebooks_cached(spark: SparkSession, path: str) -> dict:
-    key = (path,
-           _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS")))
-    if key not in _PQ_CODEBOOK_CACHE:
+    mtime = _os_mod.path.getmtime(_os_mod.path.join(path, "_SUCCESS"))
+    hit = _PQ_CODEBOOK_CACHE.get(path)
+    if hit is None or hit[0] != mtime:
         by_sc: dict[tuple[int, int], list[tuple[int, int]]] = {}
         for r in spark.read.parquet(path).collect():  # m x k x subdim rows
             by_sc.setdefault((r["s"], r["cid"]), []).append(
@@ -6747,8 +6754,8 @@ def _load_pq_codebooks_cached(spark: SparkSession, path: str) -> dict:
         for (s, cid), pv in sorted(by_sc.items()):
             books.setdefault(int(s), []).append(
                 (int(cid), [int(v) for _, v in sorted(pv)]))
-        _PQ_CODEBOOK_CACHE[key] = books
-    return _PQ_CODEBOOK_CACHE[key]
+        _PQ_CODEBOOK_CACHE[path] = (mtime, books)
+    return _PQ_CODEBOOK_CACHE[path][1]
 
 
 @register("pq_fit_codebooks", _pq_fit_oracle_sql())
@@ -7404,6 +7411,15 @@ def _fit_opq_persisted(spark: SparkSession, sf_dir: str,
             and all(_artifact_fresh(f"{path}/{a}", src)
                     for a in _OPQ_ARTIFACTS)):
         return path
+    # invalidate-then-rebuild (ADVICE r9): drop the signature BEFORE
+    # touching any artifact, so a crash between completed overwrites
+    # (source/rotation unchanged, all _SUCCESS markers fresh) can never
+    # leave the OLD ROTSIG vouching for a mixed-generation index — the
+    # freshness invariant must not lean on fit determinism
+    try:
+        _os_mod.remove(f"{path}/ROTSIG")
+    except OSError:
+        pass
     e = _emb(spark, sf_dir)
     ident = pqm.micro_identity
     rot = _ckpt(_opq_rotated(e))
