@@ -224,6 +224,75 @@ def estimated_jaccard(sig_a: Column | str, sig_b: Column | str,
 
 
 # ---------------------------------------------------------------------------
+# one-sided MinHash probes (containment-oriented candidate index)
+# ---------------------------------------------------------------------------
+
+#: probes per document for the containment index.  Candidate recall for
+#: a pair with max-direction containment C is 1 - (1 - C)^16 — at the
+#: catalog's 0.6 report threshold that is 1 - 0.4^16 ≈ 1 - 4.3e-7, i.e.
+#: effectively complete, INDEPENDENT of the pair's Jaccard (the quantity
+#: banded MinHash tunes for, and the reason the Jaccard-banded index
+#: structurally misses short-quoted-in-long pairs).
+CONTAIN_PROBES = 16
+
+
+def shingle_hashes(df: DataFrame, id_col: str,
+                   shingle_arr: Column) -> DataFrame:
+    """(id, h): base 32-bit shingle hashes — the containment index's
+    inverted relation AND its probe source.  Narrow (two ints per
+    shingle occurrence); the text itself never flows downstream."""
+    return (df.select(_c(id_col).alias(id_col),
+                      F.explode(shingle_arr).alias("__s"))
+            .select(id_col, (md5_long("__s") % F.lit(2**32)).alias("h")))
+
+
+def containment_probe_candidates(hashed: DataFrame, id_col: str,
+                                 n_probes: int = CONTAIN_PROBES
+                                 ) -> DataFrame:
+    """Candidate pairs (id_a < id_b) from ONE-SIDED MinHash probes —
+    the containment-LSH construction (Broder 1997 resemblance-vs-
+    containment; the size-partitioned sibling is LSH-Ensemble, Zhu et
+    al. VLDB 2016): for each document A and each hash function h_i,
+    A's probe is the shingle achieving ``min h_i`` over A's set.  That
+    argmin shingle is a uniform random member of A, so
+    ``P(probe_i(A) ∈ B) = |A ∩ B| / |A|`` — CONTAINMENT exactly, not
+    Jaccard — and a pair survives when ANY probe of either side lands
+    in the other's shingle set.
+
+    Determinism: h_i(x) = (a_i·x + b_i) mod p is a bijection on Z_p
+    and base hashes are distinct residues < 2^32 < p, so per-document
+    argmins are tie-free — ``min_by`` here and ``arg_min`` in the SQL
+    oracle replay bit-identically.  The probe is reported as the BASE
+    hash (h_i is injective over it), so the index side stays the raw
+    (id, h) relation — never exploded per hash function.
+
+    Scale: the probe side is ≤ n_probes rows per document; the index
+    side joins on the shingle hash, so a probe's fan-out is that
+    shingle's document frequency (at 100 TB, cap df on the index side
+    to bound stop-shingle lists — pairs whose overlap is ONLY
+    ubiquitous shingles fall below any useful containment threshold).
+    One partial agg (probes) + one hash join + one distinct; never
+    all-pairs."""
+    aggs = []
+    for i in range(n_probes):
+        a, b = _minhash_params(i)
+        aggs.append(F.min_by(
+            "h", (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"p{i}"))
+    probes = hashed.groupBy(id_col).agg(*aggs)
+    plong = probes.select(
+        F.col(id_col).alias("__qid"),
+        F.explode(F.array_distinct(F.array(
+            *[f"p{i}" for i in range(n_probes)]))).alias("h"))
+    idx = hashed.select(F.col(id_col).alias("__tid"), "h")
+    return (plong.join(idx, "h")
+            .where(F.col("__qid") != F.col("__tid"))
+            .select(F.least("__qid", "__tid").alias("id_a"),
+                    F.greatest("__qid", "__tid").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+
+
+# ---------------------------------------------------------------------------
 # exact n-gram Jaccard (verification primitive)
 # ---------------------------------------------------------------------------
 

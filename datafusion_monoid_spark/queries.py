@@ -691,10 +691,9 @@ register("dedup_ngram_jaccard_pairs", _jaccard_on_lsh_oracle_sql())(
     dedup_ngram_jaccard_pairs)
 
 
-def _containment_oracle_sql() -> str:
-    cand_sql = _minhash_candidates_cte()
-    return f"""
-{cand_sql},
+#: Exact-containment verify tail over a ``cand (id_a, id_b)`` CTE —
+#: shared verbatim by the Jaccard-banded and probe-indexed oracles.
+_CONTAINMENT_VERIFY_TAIL: str = f"""
 sh AS (SELECT doc_id, list_distinct({dd.shingles_sql('text')}) AS shg
        FROM documents),
 c AS (
@@ -714,6 +713,40 @@ FROM c
 WHERE greatest((inter * 1000000) // n_a,
                (inter * 1000000) // n_b) >= 600000
 """
+
+
+def _containment_oracle_sql() -> str:
+    cand_sql = _minhash_candidates_cte()
+    return f"""
+{cand_sql},{_CONTAINMENT_VERIFY_TAIL}"""
+
+
+def _containment_exact_verify(docs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Exact micro-integer containment verify over a candidate pair
+    relation — the verification kernel shared by BOTH containment
+    entries (Jaccard-banded candidates and the probe index): shingle
+    stage semi-join-pruned to docs appearing in some pair, distinct-
+    shingle counts and floor division only, both directions reported,
+    pairs kept when either direction >= 0.6."""
+    cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
+                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
+                .distinct())
+    sh = (docs.join(cand_ids, "doc_id", "left_semi")
+          .select("doc_id",
+                  F.array_distinct(dd.word_shingles("text")).alias("shg")))
+    inter = F.size(F.array_intersect(F.col("a.shg"), F.col("b.shg"))) \
+        .cast("bigint")
+    n_a = F.size(F.col("a.shg")).cast("bigint")
+    n_b = F.size(F.col("b.shg")).cast("bigint")
+    j = (cand.join(sh.alias("a"), F.col("id_a") == F.col("a.doc_id"))
+         .join(sh.alias("b"), F.col("id_b") == F.col("b.doc_id"))
+         .where((n_a > 0) & (n_b > 0))
+         .select("id_a", "id_b", inter.alias("n_common"),
+                 n_a.alias("n_a"), n_b.alias("n_b"),
+                 _idiv(inter * 1_000_000, n_a).alias("cont_a_in_b_micro"),
+                 _idiv(inter * 1_000_000, n_b).alias("cont_b_in_a_micro")))
+    return j.where(F.greatest("cont_a_in_b_micro",
+                              "cont_b_in_a_micro") >= 600_000)
 
 
 @register("dedup_containment_pairs", _containment_oracle_sql())
@@ -737,32 +770,76 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     that appear in some pair.  NOTE the recall caveat a production
     deployment must own: banded MinHash targets high JACCARD, so
     low-Jaccard/high-containment pairs can miss bucket collisions —
-    the standard fix is a second LSH index over the shorter side's
-    shingles (or a suffix-automaton pass, `dedup_substring_spans`),
-    which is why this entry reports both directions rather than
-    pretending containment recall equals resemblance recall."""
+    closed in round 10 by the probe-indexed sibling
+    ``dedup_containment_lsh``, whose one-sided-minhash candidate
+    recall is a function of CONTAINMENT itself; this entry remains
+    the zero-extra-index variant for pipelines already paying for the
+    shared Jaccard LSH build."""
     docs = _docs(spark, sf_dir)
     _, cand_full = _minhash_shared(spark, sf_dir)
-    cand = cand_full.select("id_a", "id_b")
-    cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
-                .unionByName(cand.select(F.col("id_b").alias("doc_id")))
-                .distinct())
-    sh = (docs.join(cand_ids, "doc_id", "left_semi")
-          .select("doc_id",
-                  F.array_distinct(dd.word_shingles("text")).alias("shg")))
-    inter = F.size(F.array_intersect(F.col("a.shg"), F.col("b.shg"))) \
-        .cast("bigint")
-    n_a = F.size(F.col("a.shg")).cast("bigint")
-    n_b = F.size(F.col("b.shg")).cast("bigint")
-    j = (cand.join(sh.alias("a"), F.col("id_a") == F.col("a.doc_id"))
-         .join(sh.alias("b"), F.col("id_b") == F.col("b.doc_id"))
-         .where((n_a > 0) & (n_b > 0))
-         .select("id_a", "id_b", inter.alias("n_common"),
-                 n_a.alias("n_a"), n_b.alias("n_b"),
-                 _idiv(inter * 1_000_000, n_a).alias("cont_a_in_b_micro"),
-                 _idiv(inter * 1_000_000, n_b).alias("cont_b_in_a_micro")))
-    return j.where(F.greatest("cont_a_in_b_micro",
-                              "cont_b_in_a_micro") >= 600_000)
+    return _containment_exact_verify(docs,
+                                     cand_full.select("id_a", "id_b"))
+
+
+def _containment_lsh_oracle_sql() -> str:
+    n = dd.CONTAIN_PROBES
+    probe_cols = ", ".join(
+        f"arg_min(h, (h * {dd._minhash_params(i)[0]} + "
+        f"{dd._minhash_params(i)[1]}) % {dd.MINHASH_P}) AS p{i}"
+        for i in range(n))
+    plist = "[" + ", ".join(f"p{i}" for i in range(n)) + "]"
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {dd.md5_long_sql('s')} % 4294967296 AS h
+  FROM (SELECT doc_id, unnest({dd.shingles_sql('text')}) AS s FROM documents)
+),
+probes AS (SELECT doc_id, {probe_cols} FROM hashed GROUP BY doc_id),
+plong AS (SELECT DISTINCT doc_id, h
+          FROM (SELECT doc_id, unnest({plist}) AS h FROM probes)),
+cand AS (
+  SELECT DISTINCT least(q.doc_id, t.doc_id) AS id_a,
+                  greatest(q.doc_id, t.doc_id) AS id_b
+  FROM plong q JOIN hashed t USING (h)
+  WHERE q.doc_id != t.doc_id
+),{_CONTAINMENT_VERIFY_TAIL}"""
+
+
+@register("dedup_containment_lsh", _containment_lsh_oracle_sql())
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup with a CONTAINMENT-ORIENTED candidate index —
+    closes the recall caveat `dedup_containment_pairs` documents
+    (VERDICT r9 item 1): banded MinHash collides on high JACCARD, so a
+    100-shingle doc fully quoted inside a 2000-shingle doc (containment
+    1.0, Jaccard ~0.05) can miss every bucket.  Here candidates come
+    from ONE-SIDED MinHash probes (Broder 1997's resemblance/
+    containment split; the size-partitioned generalization is
+    LSH-Ensemble, Zhu et al. VLDB 2016): each doc's probe_i is its
+    argmin shingle under hash h_i, a uniform random member of the
+    SHORTER side wherever it lands, so ``P(probe_i(A) ∈ B) = |A∩B|/|A|``
+    — candidate recall is ``1-(1-C)^16`` in the pair's max-direction
+    containment C itself (>= 1 - 4.3e-7 at the 0.6 threshold),
+    independent of Jaccard.  Verification is the SAME exact
+    micro-integer kernel as the banded entry, candidates-only; the
+    recall floor vs the exact all-pairs criterion (and the
+    quoted-pair construction the banded index provably misses) is
+    pinned in tests/test_pipeline_r10.py.
+
+    Scale: the index relation is narrow (doc_id, shingle-hash) ints —
+    text never shuffles; probes are one partial agg (16 tie-free
+    ``min_by``s, map-side combined); the candidate join fans out per
+    probe by that shingle's document frequency (cap df on the index
+    side at 100 TB — see ``dd.containment_probe_candidates``); the
+    exact verify is semi-join-pruned to candidate docs.  Never
+    all-pairs anywhere."""
+    docs = _docs(spark, sf_dir)
+    # the hashed relation feeds BOTH the probe agg and the candidate
+    # join's index side — checkpoint once or the tokenize+shingle pass
+    # runs twice (the bm25 `base` discipline)
+    hashed = _track_ckpt(
+        dd.shingle_hashes(docs, "doc_id", dd.word_shingles("text"))
+        .localCheckpoint(eager=True))
+    cand = dd.containment_probe_candidates(hashed, "doc_id")
+    return _containment_exact_verify(docs, cand)
 
 
 

@@ -1,0 +1,115 @@
+"""Round-10 operators: the containment-oriented candidate index
+(one-sided MinHash probes), RRF hybrid retrieval fusion, and the
+quality-classifier fit/serve tier.  Operator-level math on constructed
+inputs + recall pins vs exact recomputes (full value equality vs DuckDB
+is the driver's gate / tools/check_oracles.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark import queries as qcat
+from datafusion_monoid_spark.operators import dedup as dd
+
+SF001 = "/root/testdata/sf0.001"
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return qcat.catalog()
+
+
+# ---------------------------------------------------------------------------
+# containment probe index (dedup_containment_lsh)
+# ---------------------------------------------------------------------------
+
+def _probe_candidates(spark, rows):
+    """Candidate pairs from the probe index over a constructed
+    (doc_id, text) corpus."""
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    hashed = dd.shingle_hashes(docs, "doc_id", dd.word_shingles("text"))
+    return {(r["id_a"], r["id_b"]) for r in
+            dd.containment_probe_candidates(hashed, "doc_id").collect()}
+
+
+def _banded_candidates(spark, rows):
+    """Candidate pairs from the JACCARD-banded index (the sibling
+    entry's candidate stage) over the same constructed corpus."""
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sigs = dd.minhash_signatures(docs, "doc_id", "text")
+    return {(r["id_a"], r["id_b"]) for r in
+            dd.lsh_candidate_pairs(sigs, "doc_id")
+            .select("id_a", "id_b").collect()}
+
+
+def _quoted_corpus():
+    """Doc 1 is SHORT; doc 2 quotes ALL of doc 1 inside ~20x unrelated
+    filler — containment(1 in 2) = 1.0 but Jaccard ~ 0.05, the exact
+    construction VERDICT r9 names as invisible to banded MinHash.
+    Docs 3+ are unrelated background."""
+    quote = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(5))
+    filler = " ".join(f"noise{i} word{i} pad{i}" for i in range(100))
+    rows = [(1, quote), (2, quote + " " + filler)]
+    rows += [(10 + k, " ".join(f"bg{k}x{i} item{k}y{i}" for i in range(30)))
+             for k in range(8)]
+    return rows
+
+
+def test_probe_index_catches_quoted_pair(spark):
+    """The new index MUST bucket the high-containment/low-Jaccard pair."""
+    assert (1, 2) in _probe_candidates(spark, _quoted_corpus())
+
+
+def test_banded_index_misses_quoted_pair(spark):
+    """The documented caveat is REAL: the Jaccard-banded candidate
+    stage does not bucket the quoted pair this round's index exists to
+    catch (deterministic hashing — this is a fixed property of the
+    constructed corpus, not a flaky probability)."""
+    assert (1, 2) not in _banded_candidates(spark, _quoted_corpus())
+
+
+def test_probe_index_no_self_or_dup_pairs(spark):
+    cands = _probe_candidates(spark, _quoted_corpus())
+    assert all(a < b for a, b in cands)
+
+
+def test_containment_lsh_recall_vs_exact(spark, cat):
+    """Recall floor vs the EXACT all-pairs containment criterion on the
+    real sf0.001 corpus: every pair with max-direction containment
+    >= 0.6 must be reported by the entry.  Theory says miss probability
+    4.3e-7 per pair at 16 probes; the pin allows one miss per ~50 pairs
+    so corpus regeneration cannot flake it."""
+    docs = (spark.read.parquet(f"{SF001}/documents.parquet")
+            .select("doc_id",
+                    F.array_distinct(dd.word_shingles("text")).alias("shg"))
+            .where(F.size("shg") > 0))
+    a, b = docs.alias("a"), docs.alias("b")
+    inter = F.size(F.array_intersect("a.shg", "b.shg")).cast("bigint")
+    exact = {(r["id_a"], r["id_b"]) for r in
+             (a.join(b, F.col("a.doc_id") < F.col("b.doc_id"))  # test-only all-pairs oracle (500 docs)
+              .select(F.col("a.doc_id").alias("id_a"),
+                      F.col("b.doc_id").alias("id_b"),
+                      (inter * 1_000_000).alias("i_micro"),
+                      F.size("a.shg").cast("bigint").alias("n_a"),
+                      F.size("b.shg").cast("bigint").alias("n_b"))
+              .where((F.col("i_micro") >= 600_000 * F.col("n_a"))
+                     | (F.col("i_micro") >= 600_000 * F.col("n_b")))
+              ).collect()}
+    got = {(r["id_a"], r["id_b"]) for r in
+           cat["dedup_containment_lsh"][0](spark, SF001).collect()}
+    assert exact, "fixture corpus lost its containment pairs"
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.98, f"containment candidate recall {recall}"
+    # and the entry never reports a pair the exact criterion rejects
+    assert got <= exact
+
+
+def test_containment_lsh_superset_of_banded_entry(spark, cat):
+    """On the real corpus the probe-indexed entry must dominate the
+    Jaccard-banded entry — same exact verify, strictly better-or-equal
+    candidate recall for containment."""
+    banded = {(r["id_a"], r["id_b"]) for r in
+              cat["dedup_containment_pairs"][0](spark, SF).collect()}
+    probed = {(r["id_a"], r["id_b"]) for r in
+              cat["dedup_containment_lsh"][0](spark, SF).collect()}
+    assert banded <= probed
