@@ -3912,7 +3912,8 @@ def kmeans_quantized_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ivf_kmeans_oracle_sql(k_cent: int = 8, iters: int = 3,
-                           nprobe: int = 7, k: int = 5) -> str:
+                           nprobe: int = 7, k: int = 5,
+                           query_pred: str = "q.vec_id < 20") -> str:
     csim_cand = _COS_SQL.format(a="c.v", b="ct.cent")
     csim_query = _COS_SQL.format(a="q.v", b="ct.cent")
     return f"""
@@ -3934,7 +3935,7 @@ probes AS (
     SELECT q.vec_id AS query_id, ct.cent_id,
            row_number() OVER (PARTITION BY q.vec_id
                               ORDER BY {csim_query} DESC, ct.cent_id) AS rn
-    FROM e q CROSS JOIN cent ct WHERE q.vec_id < 20)
+    FROM e q CROSS JOIN cent ct WHERE {query_pred})
   WHERE rn <= {nprobe}
 ),
 cand AS (
@@ -4820,7 +4821,11 @@ def _idiv(a, b):
     return ((a - a % b) / b).cast("bigint")
 
 
-@register("bm25_rank_topk", f"""
+def _bm25_oracle_sql(topn: int = 10) -> str:
+    """The BM25 ranking CTE chain, parameterized on depth — registered
+    at 10 for ``bm25_rank_topk`` and composed at ``_RRF_DEPTH`` into
+    the hybrid-fusion oracle."""
+    return f"""
 WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
 base AS (SELECT doc_id, len(toks) AS dl,
                 list_filter(toks, x -> list_contains(
@@ -4843,21 +4848,14 @@ agg AS (SELECT doc_id, CAST(sum(s) AS BIGINT) AS score_micro
 r AS (SELECT doc_id, score_micro,
              row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rk
       FROM agg)
-SELECT CAST(rk AS INTEGER) AS rank, doc_id, score_micro FROM r WHERE rk <= 10
-""")
-def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BM25 document ranking (k1=1.2, b=0.75) for a fixed term set, in
-    EXACT integer arithmetic so the score hash-matches any engine: the
-    idf uses the rational ((2N-2df+1)/(2df+1)) instead of its log (same
-    ordering, no libm), and the tf saturation is scaled by 10*total_dl
-    to clear the fractions — idf_micro <= ~4e10, part <= 22000, and
-    every numerator < 2^53 even at sf10, so :func:`_idiv` is exact.
+SELECT CAST(rk AS INTEGER) AS rank, doc_id, score_micro FROM r WHERE rk <= {topn}
+"""
 
-    Scale: the token explode is filtered to the query terms BEFORE the
-    shuffle (per-doc tf state is O(|terms|)); df is a |terms|-row
-    aggregate joined back by broadcast; the corpus-wide (N, total_dl)
-    is a 1-row cross join; the final top-10 is TakeOrderedAndProject
-    (per-partition heads), never a global sort."""
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, score_micro): the exact-integer BM25 scoring relation —
+    the shared core of ``bm25_rank_topk`` and the lexical leg of
+    ``hybrid_rrf_fusion`` (only docs containing >= 1 query term)."""
     docs = _docs(spark, sf_dir).select("doc_id", dd.tokens("text").alias("toks"))
     # Materialize the post-tokenize projection once: (dl, qt) is tiny
     # (a count + the query-term hits) but feeds BOTH the corpus-stats
@@ -4883,13 +4881,139 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                            10*F.col("tf")*F.col("total_dl")
                            + 3*F.col("total_dl")
                            + 9*F.col("dl")*F.col("n"))).alias("num")))
-    agg = (sc.groupBy("doc_id")
-           .agg(F.sum(_idiv(F.col("num"), F.lit(10000)))
-                .cast("bigint").alias("score_micro")))
+    return (sc.groupBy("doc_id")
+            .agg(F.sum(_idiv(F.col("num"), F.lit(10000)))
+                 .cast("bigint").alias("score_micro")))
+
+
+@register("bm25_rank_topk", _bm25_oracle_sql())
+def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 document ranking (k1=1.2, b=0.75) for a fixed term set, in
+    EXACT integer arithmetic so the score hash-matches any engine: the
+    idf uses the rational ((2N-2df+1)/(2df+1)) instead of its log (same
+    ordering, no libm), and the tf saturation is scaled by 10*total_dl
+    to clear the fractions — idf_micro <= ~4e10, part <= 22000, and
+    every numerator < 2^53 even at sf10, so :func:`_idiv` is exact.
+
+    Scale: the token explode is filtered to the query terms BEFORE the
+    shuffle (per-doc tf state is O(|terms|)); df is a |terms|-row
+    aggregate joined back by broadcast; the corpus-wide (N, total_dl)
+    is a 1-row cross join; the final top-10 is TakeOrderedAndProject
+    (per-partition heads), never a global sort."""
+    agg = _bm25_scores(spark, sf_dir)
     top = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(10)
     w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
     return (top.withColumn("rank", F.row_number().over(w).cast("int"))
             .select("rank", "doc_id", "score_micro"))
+
+
+# -- hybrid retrieval fusion (VERDICT r10 item 3): the serving
+# composition one step past the two ranking tiers — fuse the LEXICAL
+# ranking (exact-integer BM25 over the fixed term set) with a SEMANTIC
+# ranking served from the persisted IVF index, by reciprocal-rank
+# fusion (Cormack, Clarke & Buettcher, SIGIR 2009: score(d) =
+# sum over lists of 1/(k + rank_d), fixed k = 60).
+
+_RRF_KCONST = 60           # the SIGIR 2009 paper's fixed constant
+_RRF_DEPTH = 50            # fusion depth per ranked list
+_RRF_QUERY_VEC = 0         # the semantic leg's query vector id
+_RRF_SCALE = 1_000_000_000_000  # pico-scale: 1e12//(60+r) keeps 8+ digits
+
+
+def _rrf_oracle_sql() -> str:
+    lex_sql = _bm25_oracle_sql(_RRF_DEPTH)
+    sem_sql = _ivf_kmeans_oracle_sql(
+        k=_RRF_DEPTH, query_pred=f"q.vec_id = {_RRF_QUERY_VEC}")
+    return f"""
+WITH lex AS (SELECT doc_id, rank AS rank_lex FROM ({lex_sql})),
+sem AS (SELECT cand_id AS doc_id, rank AS rank_sem FROM ({sem_sql})),
+u AS (
+  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         coalesce(rank_lex, 0) AS rank_lex,
+         coalesce(rank_sem, 0) AS rank_sem,
+         (CASE WHEN rank_lex IS NULL THEN 0
+               ELSE {_RRF_SCALE} // ({_RRF_KCONST} + rank_lex) END)
+         + (CASE WHEN rank_sem IS NULL THEN 0
+                 ELSE {_RRF_SCALE} // ({_RRF_KCONST} + rank_sem) END)
+           AS rrf_pico
+  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id)
+SELECT CAST(rk AS INTEGER) AS rank, doc_id,
+       CAST(rrf_pico AS BIGINT) AS rrf_pico,
+       CAST(rank_lex AS INTEGER) AS rank_lex,
+       CAST(rank_sem AS INTEGER) AS rank_sem
+FROM (SELECT *, row_number() OVER (ORDER BY rrf_pico DESC, doc_id) AS rk
+      FROM u)
+WHERE rk <= 10
+"""
+
+
+@register("hybrid_rrf_fusion", _rrf_oracle_sql())
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by reciprocal-rank fusion (Cormack et al.
+    SIGIR 2009): fuse the catalog's LEXICAL ranking (``_bm25_scores``,
+    exact-integer BM25 over the fixed term set, depth 50) with a
+    SEMANTIC ranking SERVED from the persisted IVF centroid artifact
+    (``sim.ivf_topk_pretrained``, one fixed query vector, depth 50).
+    RRF score = sum over lists of 1/(60 + rank) — computed here as the
+    exact floor division 1e12 // (60 + rank) so both engines replay the
+    fusion bit-for-bit; a doc absent from a list contributes 0 (its
+    reported per-list rank is 0 = "absent").  Top-10 by fused score,
+    ties by doc_id.  On the synthetic corpus the text table and the
+    embedding table share the 0..N id space but no semantic link, so
+    the entry's value is the SERVING PLAN: the production composition
+    is identical, with real query text/vector pairs.
+
+    Scale: both legs keep their own 100 TB posture (BM25: query-term
+    filter before the shuffle, broadcast df/totals; IVF serve: literal
+    centroids, map-only assignment, per-query window the only
+    exchange); the fusion itself touches <= 2 x depth rows — a UNION +
+    map-side-combined partial agg (join-free: Spark cannot broadcast
+    FullOuter, so the join form would sort-merge) and the final top-10
+    is TakeOrderedAndProject.  Neither leg re-shuffles the corpus for
+    the other."""
+    # lexical leg: depth-50 head of the BM25 relation
+    wl = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    lexr = (_bm25_scores(spark, sf_dir)
+            .orderBy(F.desc("score_micro"), F.asc("doc_id"))
+            .limit(_RRF_DEPTH)
+            .withColumn("rank_lex", F.row_number().over(wl).cast("int"))
+            .select("doc_id", "rank_lex"))
+    # semantic leg: the pretrained-IVF serve path, one query vector
+    path = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    cent_list = _load_centroids_cached(spark, path)
+    e = _emb(spark, sf_dir)
+    sem = sim.ivf_topk_pretrained(
+        e, e.where(F.col("vec_id") == _RRF_QUERY_VEC), cent_list,
+        k=_RRF_DEPTH, nprobe=7)
+    semr = sem.select(F.col("cand_id").alias("doc_id"),
+                      F.col("rank").alias("rank_sem"))
+
+    # fuse by UNION + one partial agg instead of a full-outer join:
+    # Spark cannot broadcast FullOuter, so the join form sort-merges
+    # even two 50-row legs — the union aggregates map-side and plans
+    # join-free (absent-from-list = the leg contributes no row, its
+    # max(rank) stays at the 0 sentinel)
+    def contrib(c) -> Column:
+        return _idiv(F.lit(_RRF_SCALE), F.lit(_RRF_KCONST) + c)
+
+    parts = (lexr.select("doc_id",
+                         contrib(F.col("rank_lex")).alias("rrf_pico"),
+                         "rank_lex", F.lit(0).cast("int").alias("rank_sem"))
+             .unionByName(
+                 semr.select("doc_id",
+                             contrib(F.col("rank_sem")).alias("rrf_pico"),
+                             F.lit(0).cast("int").alias("rank_lex"),
+                             "rank_sem")))
+    u = parts.groupBy("doc_id").agg(
+        F.sum("rrf_pico").cast("bigint").alias("rrf_pico"),
+        F.max("rank_lex").alias("rank_lex"),
+        F.max("rank_sem").alias("rank_sem"))
+    top = u.orderBy(F.desc("rrf_pico"), F.asc("doc_id")).limit(10)
+    w = Window.orderBy(F.desc("rrf_pico"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id",
+                    F.col("rrf_pico").cast("bigint").alias("rrf_pico"),
+                    "rank_lex", "rank_sem"))
 
 
 def _semdedup_prune_pandas(pdf):

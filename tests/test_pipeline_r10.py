@@ -104,6 +104,44 @@ def test_containment_lsh_recall_vs_exact(spark, cat):
     assert got <= exact
 
 
+# ---------------------------------------------------------------------------
+# hybrid RRF fusion
+# ---------------------------------------------------------------------------
+
+def test_rrf_fusion_math_and_provenance(spark, cat):
+    """Every reported fused score must equal the floor-division RRF of
+    its two reported per-list ranks (0 = absent from that list), and a
+    doc on BOTH lists must outrank a same-rank doc on one list."""
+    rows = cat["hybrid_rrf_fusion"][0](spark, SF).collect()
+    assert rows and len(rows) <= 10
+    S, K = qcat._RRF_SCALE, qcat._RRF_KCONST
+
+    def c(rank):
+        return 0 if rank == 0 else S // (K + rank)
+
+    for r in rows:
+        assert r["rrf_pico"] == c(r["rank_lex"]) + c(r["rank_sem"])
+        assert r["rank_lex"] > 0 or r["rank_sem"] > 0
+    # ranks are 1..n in fused order
+    assert [r["rank"] for r in rows] == list(range(1, len(rows) + 1))
+    picos = [r["rrf_pico"] for r in rows]
+    assert picos == sorted(picos, reverse=True)
+
+
+def test_rrf_fusion_serve_plan(spark, cat):
+    """Both legs must keep their serve shapes through the fusion: the
+    tiny df/totals/fusion joins broadcast, the final top-10 is
+    TakeOrderedAndProject, and no corpus-vs-corpus sort-merge or
+    cartesian appears anywhere."""
+    df = cat["hybrid_rrf_fusion"][0](spark, SF)
+    p = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "simple")
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+    assert "SortMergeJoin" not in p
+
+
 def test_containment_lsh_superset_of_banded_entry(spark, cat):
     """On the real corpus the probe-indexed entry must dominate the
     Jaccard-banded entry — same exact verify, strictly better-or-equal
