@@ -489,6 +489,76 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def streaming_quality_clf_serve(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming quality-classifier SERVE: documents arrive as
+    micro-batches and are scored against the PERSISTED curated-vs-raw
+    token-ratio model (``queries.quality_clf_fit``) — the GPT-3-style
+    quality-filter inference loop as an always-on ingest stream,
+    completing the fit/serve/streaming triple for the classifier the
+    way the LM tier already has it.  The model relation is
+    vocabulary-bounded and loads + persists ONCE before the stream
+    (the r9 lm-serve lesson: foreachBatch re-plans every micro-batch,
+    so an unpersisted model re-reads its artifact per batch); each
+    batch then pays a single broadcast-left-join.  Serving is
+    STATELESS — the model carries all the state, so there is no state
+    store to grow.
+
+    Each document lands in exactly one micro-batch and its score
+    depends only on (its own tokens, the static model), so the union
+    of per-batch scores equals the batch computation — the per-doc
+    batch twin is this entry's DuckDB oracle, full hash check.  Sink
+    writes are idempotent per epoch (batch_id-keyed overwrite)."""
+    from datafusion_monoid_spark import queries as _qcat
+
+    path = _qcat._fit_qc_persisted(spark, sf_dir, overwrite=False)
+    model = (spark.read.parquet(path)
+             .select("token", "w_micro")).persist()
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _scratch_dir("qc_docs_")
+        sink = _scratch_dir("qc_scores_")
+        # 4 arrival files -> 4 micro-batches
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+        dstream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def score_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # a file-source micro-batch is ONE split: repartition
+            # before the tokenize-heavy explode or it runs one-core
+            out = _qcat._qc_score_docs(
+                batch_df.repartition(STREAM_SHUFFLE), model)
+            with _commit_timer("streaming_quality_clf_serve"):
+                out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+
+        _COMMITS.pop("streaming_quality_clf_serve", None)
+        ckpt = _ckpt_dir("streaming_quality_clf_serve")
+        q = (dstream.writeStream.foreachBatch(score_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            _record_metrics("streaming_quality_clf_serve", q.recentProgress)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return _qcat._track_ckpt(
+            spark.read.option("recursiveFileLookup", "true").parquet(sink)
+            .select("doc_id", "source", "n_tokens", "score_micro")
+            .localCheckpoint(eager=True))
+    finally:
+        model.unpersist()
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def streaming_bpe_encode_serve(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Streaming BPE ENCODE serve: documents arrive as micro-batches

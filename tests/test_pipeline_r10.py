@@ -142,6 +142,55 @@ def test_rrf_fusion_serve_plan(spark, cat):
     assert "SortMergeJoin" not in p
 
 
+# ---------------------------------------------------------------------------
+# quality classifier fit/serve tier
+# ---------------------------------------------------------------------------
+
+def test_quality_clf_model_math(spark):
+    """Exact token-weight arithmetic on a constructed labeled corpus:
+    a curated-only token scores (c_pos+1)e6 // 1, a raw-only token
+    1e6 // (c_neg+1), a balanced token exactly neutral 1e6."""
+    rows = [(1, "gold gold the", "src0"), (2, "gold gold the", "src1"),
+            (3, "spam the", "src15"), (4, "spam the", "src16"),
+            (5, "unlabeled text here", "src9")]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string, source string")
+    m = {r["token"]: r for r in qcat._qc_model_df(docs).collect()}
+    assert set(m) == {"gold", "spam", "the"}  # unlabeled docs never train
+    assert (m["gold"]["c_pos"], m["gold"]["c_neg"]) == (4, 0)
+    assert m["gold"]["w_micro"] == 5_000_000
+    assert (m["spam"]["c_pos"], m["spam"]["c_neg"]) == (0, 2)
+    assert m["spam"]["w_micro"] == 1_000_000 // 3
+    assert (m["the"]["c_pos"], m["the"]["c_neg"]) == (2, 2)
+    assert m["the"]["w_micro"] == 1_000_000
+
+
+def test_quality_clf_separates_training_strata(spark, cat):
+    """The served classifier must separate its own training strata on
+    the real corpus: mean avg-score over positive sources strictly
+    above mean over negative sources."""
+    rows = {r["source"]: r for r in
+            cat["quality_clf_score"][0](spark, SF).collect()}
+    assert set(rows) == {f"src{i}" for i in range(20)}
+    pos = [rows[s]["avg_score_micro"] for s in qcat._QC_POS_SOURCES]
+    neg = [rows[s]["avg_score_micro"] for s in qcat._QC_NEG_SOURCES]
+    assert sum(pos) / len(pos) > sum(neg) / len(neg)
+
+
+def test_streaming_qc_serve_equals_batch(spark, cat):
+    """stream == batch: the union of per-micro-batch classifier scores
+    must equal the one-shot batch scoring of the same corpus against
+    the same persisted model."""
+    got = {(r["doc_id"], r["source"], r["n_tokens"], r["score_micro"])
+           for r in cat["streaming_quality_clf_serve"][0](
+               spark, SF001).collect()}
+    path = qcat._fit_qc_persisted(spark, SF001, overwrite=False)
+    model = spark.read.parquet(path)
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    want = {(r["doc_id"], r["source"], r["n_tokens"], r["score_micro"])
+            for r in qcat._qc_score_docs(docs, model).collect()}
+    assert got == want
+
+
 def test_containment_lsh_superset_of_banded_entry(spark, cat):
     """On the real corpus the probe-indexed entry must dominate the
     Jaccard-banded entry — same exact verify, strictly better-or-equal
