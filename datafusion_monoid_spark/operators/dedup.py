@@ -227,13 +227,24 @@ def estimated_jaccard(sig_a: Column | str, sig_b: Column | str,
 # one-sided MinHash probes (containment-oriented candidate index)
 # ---------------------------------------------------------------------------
 
-#: probes per document for the containment index.  Candidate recall for
-#: a pair with max-direction containment C is 1 - (1 - C)^16 — at the
-#: catalog's 0.6 report threshold that is 1 - 0.4^16 ≈ 1 - 4.3e-7, i.e.
-#: effectively complete, INDEPENDENT of the pair's Jaccard (the quantity
-#: banded MinHash tunes for, and the reason the Jaccard-banded index
-#: structurally misses short-quoted-in-long pairs).
+#: probes per document for the containment index.  A probe hit has
+#: probability C (the pair's directional containment), INDEPENDENT of
+#: the pair's Jaccard — the quantity banded MinHash tunes for, and the
+#: reason the Jaccard-banded index structurally misses
+#: short-quoted-in-long pairs.
 CONTAIN_PROBES = 16
+
+#: minimum probe hits (summed over BOTH directions) for a pair to reach
+#: exact verification.  The hit count is a binomial containment
+#: estimate: requiring >= 5 of 16 single-direction probes misses a
+#: boundary pair (C = 0.6) with probability P(Binom(16,0.6) < 5) =
+#: 4.9e-3 — an OVERSTATEMENT, since the other direction's probes add
+#: to the count — while pruning the sub-threshold candidate tail ~1000x
+#: (measured at sf0.1: 461 612 raw pairs -> 391 at min_hits=5, because
+#: C ~ 0.2-0.4 pairs keep only 20-80% of a far smaller per-pair hit
+#: mass).  Without it the exact verify pays array intersections for
+#: every weakly-overlapping pair — 11.6 s vs ~4 s at sf0.1.
+CONTAIN_MIN_HITS = 5
 
 
 def shingle_hashes(df: DataFrame, id_col: str,
@@ -247,7 +258,8 @@ def shingle_hashes(df: DataFrame, id_col: str,
 
 
 def containment_probe_candidates(hashed: DataFrame, id_col: str,
-                                 n_probes: int = CONTAIN_PROBES
+                                 n_probes: int = CONTAIN_PROBES,
+                                 min_hits: int = CONTAIN_MIN_HITS
                                  ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from ONE-SIDED MinHash probes —
     the containment-LSH construction (Broder 1997 resemblance-vs-
@@ -256,8 +268,13 @@ def containment_probe_candidates(hashed: DataFrame, id_col: str,
     A's probe is the shingle achieving ``min h_i`` over A's set.  That
     argmin shingle is a uniform random member of A, so
     ``P(probe_i(A) ∈ B) = |A ∩ B| / |A|`` — CONTAINMENT exactly, not
-    Jaccard — and a pair survives when ANY probe of either side lands
-    in the other's shingle set.
+    Jaccard — and a pair survives when at least ``min_hits`` probes
+    (summed over both directions) land in the other side's shingle
+    set.  The hit count is a binomial estimate of the pair's
+    containment, so the threshold is a cheap integer pre-filter that
+    prunes the weak-overlap candidate tail before the expensive exact
+    set arithmetic (see :data:`CONTAIN_MIN_HITS` for the measured
+    1000x reduction and the bounded recall cost).
 
     Determinism: h_i(x) = (a_i·x + b_i) mod p is a bijection on Z_p
     and base hashes are distinct residues < 2^32 < p, so per-document
@@ -289,7 +306,10 @@ def containment_probe_candidates(hashed: DataFrame, id_col: str,
             .where(F.col("__qid") != F.col("__tid"))
             .select(F.least("__qid", "__tid").alias("id_a"),
                     F.greatest("__qid", "__tid").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"]))
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("__nh"))
+            .where(F.col("__nh") >= min_hits)
+            .select("id_a", "id_b"))
 
 
 # ---------------------------------------------------------------------------

@@ -168,9 +168,18 @@ SF01_CEILINGS = {
     "pq_adc_topk": 7.0,
     # 4-micro-batch LM scoring loop — a blown ceiling means the sink
     # commits left tmpfs (fsync) or the per-batch model join went back
-    # to re-reading/re-joining the artifacts per batch (quiet 4.8 s;
-    # streaming harness variance runs higher than batch entries)
-    "streaming_lm_score_serve": 16.0,
+    # to re-reading/re-joining the artifacts per batch.  Tightened
+    # 16 -> 10 (VERDICT r10 item 6: 3.3x slack let a 2x plan
+    # regression through): quiet warm-artifact best-of-3 is 5.5 s, of
+    # which the declared per-trigger floor (BASELINE.md round 10) is
+    # ~3.4 s of commits + ~1 s stream start/stop — data-invariant
+    # constants, so 10 s only admits ambient noise, not a plan change.
+    "streaming_lm_score_serve": 10.0,
+    # 4-micro-batch classifier scoring loop (r10): one broadcast join
+    # vs the persisted vocab-bounded model — a blown ceiling means a
+    # per-batch model re-read/re-fit or a lost broadcast (quiet 2.9 s
+    # warm-artifact, commit floor ~1.2 s)
+    "streaming_quality_clf_serve": 6.0,
 }
 
 pytestmark = pytest.mark.skipif(
