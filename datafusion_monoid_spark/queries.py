@@ -10463,12 +10463,45 @@ _DRIVER_WINDOW_R9 = [
 ]
 
 
+_DRIVER_WINDOW_R10 = [
+    # new this round
+    "dedup_containment_lsh", "hybrid_rrf_fusion", "quality_clf_fit",
+    "quality_clf_score", "streaming_quality_clf_serve",
+    # changed this round (r9 ADVICE nits + containment/bm25 rework)
+    "bm25_rank_topk", "dedup_containment_pairs",
+    "pq_opq_ivfadc_pretrained", "unigram_encode_viterbi",
+    "sim_topk_ivf_pretrained",
+    # ALL 38 r6-stale entries (VERDICT r9 item 2), staleness-then-
+    # registration order
+    "pack_sequences_stats", "stratified_sample_mix",
+    "doc_chunk_windows", "decontam_ngram_overlap",
+    "quality_repetition_filters", "tfidf_top_terms",
+    "q6_forecast_revenue", "q14_promo_revenue",
+    "q18_large_volume_customer", "q19_disjunctive_revenue",
+    "embedding_quantize_int8", "zorder_layout_stats",
+    "fuzzy_customer_matches", "dedup_substring_spans",
+    "lm_bigram_score", "bloom_join_prefilter", "pq_adc_pretrained",
+    "graph_triangle_stats", "curation_dsir_weights",
+    "embedding_pca_power", "bucketed_join_zero_shuffle",
+    "hardneg_mining_topk", "hardneg_mining_topk_np",
+    "kmv_source_overlap", "kmv_incremental_merge",
+    "streaming_kmv_distinct", "priority_sample_tokens",
+    "embedding_abtt_whiten", "bpe_train_merges", "bpe_encode_stats",
+    "bpe_encode_newbatch", "streaming_bpe_encode_serve",
+    "curation_filter_funnel", "vocab_drift_topk",
+    "session_overlap_topk", "mg_heavy_hitter_tokens",
+    "trend_monthly_revenue", "embedding_jl_distortion",
+    # the 2 oldest r7-stale entries to fill 50
+    "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats",
+]
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R9 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R10 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}
