@@ -257,6 +257,30 @@ def shingle_hashes(df: DataFrame, id_col: str,
             .select(id_col, (md5_long("__s") % F.lit(2**32)).alias("h")))
 
 
+def probe_argmins_long(hashed: DataFrame, id_col: str,
+                       n_probes: int = CONTAIN_PROBES) -> DataFrame:
+    """(id, h): each document's DISTINCT one-sided MinHash probe
+    hashes in join-ready long form — probe_i is the shingle hash
+    achieving ``min h_i`` over the document's set (tie-free, see
+    :func:`containment_probe_candidates`).  One partial agg (the 16
+    ``min_by``s combine map-side) + one bounded explode: <= n_probes
+    rows per document.  Shared by the in-session candidate index and
+    the PERSISTED containment-index artifact (the argmin over a
+    multiset equals the argmin over its support, so occurrence-level
+    and distinct inputs produce identical probes)."""
+    aggs = []
+    for i in range(n_probes):
+        a, b = _minhash_params(i)
+        aggs.append(F.min_by(
+            "h", (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)
+        ).alias(f"p{i}"))
+    probes = hashed.groupBy(id_col).agg(*aggs)
+    return probes.select(
+        id_col,
+        F.explode(F.array_distinct(F.array(
+            *[f"p{i}" for i in range(n_probes)]))).alias("h"))
+
+
 def containment_probe_candidates(hashed: DataFrame, id_col: str,
                                  n_probes: int = CONTAIN_PROBES,
                                  min_hits: int = CONTAIN_MIN_HITS
@@ -290,17 +314,8 @@ def containment_probe_candidates(hashed: DataFrame, id_col: str,
     ubiquitous shingles fall below any useful containment threshold).
     One partial agg (probes) + one hash join + one distinct; never
     all-pairs."""
-    aggs = []
-    for i in range(n_probes):
-        a, b = _minhash_params(i)
-        aggs.append(F.min_by(
-            "h", (F.lit(a) * F.col("h") + F.lit(b)) % F.lit(MINHASH_P)
-        ).alias(f"p{i}"))
-    probes = hashed.groupBy(id_col).agg(*aggs)
-    plong = probes.select(
-        F.col(id_col).alias("__qid"),
-        F.explode(F.array_distinct(F.array(
-            *[f"p{i}" for i in range(n_probes)]))).alias("h"))
+    plong = (probe_argmins_long(hashed, id_col, n_probes)
+             .withColumnRenamed(id_col, "__qid"))
     idx = hashed.select(F.col(id_col).alias("__tid"), "h")
     return (plong.join(idx, "h")
             .where(F.col("__qid") != F.col("__tid"))

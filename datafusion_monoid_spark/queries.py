@@ -869,6 +869,227 @@ def _probe_hashes_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _PROBE_HASH_SHARED[key]
 
 
+# -- containment-index triple (build / screen / streaming screen):
+# the probe index as a PERSISTED ingest-time artifact plus the
+# incremental new-batch screen — the containment analogue of
+# ``dedup_incremental_newbatch``'s Jaccard screen, completing the
+# round's headline operator into the catalog's fit/serve/streaming
+# discipline (the LM / BPE / quality-classifier pattern).  New batch =
+# doc_id % 11 == 0 (the incremental-screen convention); the index
+# covers everything else.
+
+#: DuckDB fragments shared by the three oracles: DISTINCT per-doc
+#: shingle-hash sets for the index (old) and new sides.  DISTINCT is
+#: deliberate — containment is over shingle SETS, the probe-hit count
+#: becomes properly binomial (a probe landing on a twice-repeated
+#: shingle counts once), and the persisted artifact shrinks.
+_CIDX_OLD = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+             "(SELECT doc_id, unnest({shg}) AS s FROM documents "
+             "WHERE doc_id % 11 <> 0)")
+_CIDX_NEW = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+             "(SELECT doc_id, unnest({shg}) AS s FROM documents "
+             "WHERE doc_id % 11 = 0)")
+
+
+def _cidx_set_sql(which: str) -> str:
+    t = _CIDX_OLD if which == "old" else _CIDX_NEW
+    return t.format(mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
+
+
+def _cidx_probes_sql(src_cte: str) -> str:
+    """arg_min probe CTE pair over a (doc_id, h) CTE: wide argmins,
+    then the distinct long form — the SQL twin of
+    ``dd.probe_argmins_long``."""
+    n = dd.CONTAIN_PROBES
+    cols = ", ".join(
+        f"arg_min(h, (h * {dd._minhash_params(i)[0]} + "
+        f"{dd._minhash_params(i)[1]}) % {dd.MINHASH_P}) AS p{i}"
+        for i in range(n))
+    plist = "[" + ", ".join(f"p{i}" for i in range(n)) + "]"
+    return (f"(SELECT DISTINCT doc_id, h FROM (SELECT doc_id, "
+            f"unnest({plist}) AS h FROM (SELECT doc_id, {cols} "
+            f"FROM {src_cte} GROUP BY doc_id)))")
+
+
+def _contain_index_oracle_sql() -> str:
+    return f"""
+WITH idx AS ({_cidx_set_sql('old')}),
+ip AS (SELECT doc_id, count(*) AS np
+       FROM {_cidx_probes_sql('idx')} GROUP BY doc_id)
+SELECT idx.doc_id,
+       CAST(count(*) AS BIGINT) AS n_hashes,
+       CAST(min(h) AS BIGINT) AS min_h,
+       CAST(max(h) AS BIGINT) AS max_h,
+       CAST(sum(h) AS BIGINT) AS sum_h,
+       CAST(any_value(np) AS BIGINT) AS n_probes
+FROM idx JOIN ip USING (doc_id)
+GROUP BY idx.doc_id
+"""
+
+
+def _contain_screen_pairs_sql() -> str:
+    """The screen's per-pair relation — shared by the batch entry and
+    the streaming twin's oracle (stream == batch by per-doc
+    independence: a pair's hits and verify depend only on the new
+    doc's own hashes plus the static index)."""
+    return f"""
+WITH newh AS ({_cidx_set_sql('new')}),
+idx AS ({_cidx_set_sql('old')}),
+d1 AS (SELECT q.doc_id AS new_id, t.doc_id AS old_id
+       FROM {_cidx_probes_sql('newh')} q JOIN idx t USING (h)),
+d2 AS (SELECT t.doc_id AS new_id, p.doc_id AS old_id
+       FROM {_cidx_probes_sql('idx')} p JOIN newh t USING (h)),
+cand AS (SELECT new_id, old_id
+         FROM (SELECT * FROM d1 UNION ALL SELECT * FROM d2)
+         GROUP BY new_id, old_id
+         HAVING count(*) >= {dd.CONTAIN_MIN_HITS}),
+inter AS (SELECT c.new_id, c.old_id, count(*) AS n_common
+          FROM cand c JOIN newh a ON c.new_id = a.doc_id
+                      JOIN idx b ON c.old_id = b.doc_id AND a.h = b.h
+          GROUP BY c.new_id, c.old_id),
+nn AS (SELECT doc_id, count(*) AS n FROM newh GROUP BY doc_id),
+no AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id)
+SELECT new_id, old_id,
+       CAST(n_common AS BIGINT) AS n_common,
+       CAST(nn.n AS BIGINT) AS n_new,
+       CAST(no.n AS BIGINT) AS n_old,
+       CAST((n_common * 1000000) // nn.n AS BIGINT)
+         AS cont_new_in_old_micro,
+       CAST((n_common * 1000000) // no.n AS BIGINT)
+         AS cont_old_in_new_micro
+FROM inter JOIN nn ON inter.new_id = nn.doc_id
+           JOIN no ON inter.old_id = no.doc_id
+WHERE greatest((n_common * 1000000) // nn.n,
+               (n_common * 1000000) // no.n) >= 600000
+"""
+
+
+def _build_containment_index(spark: SparkSession, sf_dir: str,
+                             overwrite: bool) -> tuple[str, str]:
+    """Persist the containment probe index over the EXISTING corpus
+    (doc_id % 11 != 0) as two parquet artifacts: the DISTINCT
+    (doc_id, h) shingle-hash set relation — the index side of every
+    future screen — and the <= 16-rows-per-doc probe relation
+    (``dd.probe_argmins_long``), precomputed at INGEST time so the
+    reverse direction (indexed-doc-quoted-inside-new-doc) never
+    re-aggregates the corpus per screen — the rotated-corpus lesson
+    applied to dedup.  Freshness requires BOTH _SUCCESS markers newer
+    than the source, so a crash between the two writes re-runs the
+    build rather than serving a mixed-generation index."""
+    ipath = _artifact_path(sf_dir, "contain_index")
+    ppath = _artifact_path(sf_dir, "contain_probes")
+    src = f"{sf_dir}/documents.parquet"
+    if (not overwrite and _artifact_fresh(ipath, src)
+            and _artifact_fresh(ppath, src)):
+        return ipath, ppath
+    old = _docs(spark, sf_dir).where(F.col("doc_id") % 11 != 0)
+    hashed = dd.shingle_hashes(old, "doc_id", dd.word_shingles("text"))
+    # materialize the occurrence relation once: it feeds the distinct
+    # write AND the probe agg (two jobs below)
+    hashed = _track_ckpt(hashed.localCheckpoint(eager=True))
+    idx = hashed.distinct()
+    idx.write.mode("overwrite").parquet(ipath)
+    (dd.probe_argmins_long(hashed, "doc_id")
+     .write.mode("overwrite").parquet(ppath))
+    return ipath, ppath
+
+
+@register("containment_index_build", _contain_index_oracle_sql())
+def containment_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD the persisted containment probe index (see
+    :func:`_build_containment_index`) and return the per-document
+    digest of the ON-DISK state — (n_hashes, min/max/sum of hashes,
+    probe count) per indexed doc — so the oracle verifies exactly what
+    later screens will serve (sum_h stays < 2^42: <= ~1e3 distinct
+    shingles/doc x 2^32).
+
+    Scale: the build is one tokenize+explode over the corpus, one
+    distinct, one 16-argmin partial agg — all map-side-combinable; the
+    artifacts are narrow int relations (text never persists), written
+    once per ingest and bucketed by h in a production deployment."""
+    ipath, ppath = _build_containment_index(spark, sf_dir, overwrite=True)
+    idx = spark.read.parquet(ipath)
+    np_ = (spark.read.parquet(ppath).groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
+    return (idx.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+                 F.min("h").cast("bigint").alias("min_h"),
+                 F.max("h").cast("bigint").alias("max_h"),
+                 F.sum("h").cast("bigint").alias("sum_h"))
+            .join(np_, "doc_id"))
+
+
+def _containment_screen_kernel(new_docs: DataFrame, idx: DataFrame,
+                               iprobes: DataFrame) -> DataFrame:
+    """Screen a batch of NEW documents against the persisted
+    containment index: probe hits in BOTH directions (new-side probes
+    vs the index sets, precomputed index-side probes vs the new sets)
+    sum into the binomial hit count; pairs with >= CONTAIN_MIN_HITS
+    reach the exact distinct-set verify, computed candidates-only and
+    INDEX-NATIVE — the intersection is a relational join on (old_id,
+    h) against the index slice semi-joined to candidate docs, so no
+    shingle arrays are ever rebuilt for the corpus side.
+
+    Scale: per-ingest work is O(|batch| x shingle-df) for candidates
+    plus O(candidates x overlap) for the verify; the index relation is
+    only ever hash-joined (bucketed by h / old_id in production) and
+    the corpus text is never touched."""
+    nh = _track_ckpt(
+        dd.shingle_hashes(new_docs, "doc_id", dd.word_shingles("text"))
+        .distinct().localCheckpoint(eager=True))
+    d1 = (dd.probe_argmins_long(nh, "doc_id")
+          .withColumnRenamed("doc_id", "new_id")
+          .join(idx.withColumnRenamed("doc_id", "old_id"), "h")
+          .select("new_id", "old_id"))
+    d2 = (iprobes.withColumnRenamed("doc_id", "old_id")
+          .join(nh.withColumnRenamed("doc_id", "new_id"), "h")
+          .select("new_id", "old_id"))
+    cand = (d1.unionByName(d2).groupBy("new_id", "old_id")
+            .agg(F.count(F.lit(1)).alias("__nh"))
+            .where(F.col("__nh") >= dd.CONTAIN_MIN_HITS)
+            .select("new_id", "old_id"))
+    # verify candidates-only: slice the index to candidate old docs
+    # BEFORE any per-pair join, so the corpus-sized relation never
+    # shuffles on a pair key
+    idx_c = (idx.withColumnRenamed("doc_id", "old_id")
+             .join(cand.select("old_id").distinct(), "old_id",
+                   "left_semi"))
+    inter = (cand.join(nh.withColumnRenamed("doc_id", "new_id"), "new_id")
+             .join(idx_c, ["old_id", "h"])
+             .groupBy("new_id", "old_id")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    nn = nh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    no = idx_c.groupBy("old_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_old"))
+    j = (inter.join(nn.withColumnRenamed("doc_id", "new_id"), "new_id")
+         .join(no, "old_id")
+         .select("new_id", "old_id", "n_common", "n_new", "n_old",
+                 _idiv(F.col("n_common") * 1_000_000, F.col("n_new"))
+                 .alias("cont_new_in_old_micro"),
+                 _idiv(F.col("n_common") * 1_000_000, F.col("n_old"))
+                 .alias("cont_old_in_new_micro")))
+    return j.where(F.greatest("cont_new_in_old_micro",
+                              "cont_old_in_new_micro") >= 600_000)
+
+
+@register("dedup_containment_screen", _contain_screen_pairs_sql())
+def dedup_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment screen: today's batch (doc_id % 11 = 0,
+    the ``dedup_incremental_newbatch`` convention) against the
+    PERSISTED containment index (build-if-absent) — the daily-ingest
+    operation the Jaccard screen cannot do: a new doc that quotes an
+    indexed doc wholesale (or is itself quoted inside one) is caught
+    regardless of the pair's Jaccard, because probe hits estimate
+    CONTAINMENT in each direction (new-side probes for new-in-old,
+    the artifact's precomputed index-side probes for old-in-new).
+    Exact distinct-set verify on candidates only; both directions
+    reported in exact micro-integers, kept when either >= 0.6."""
+    ipath, ppath = _build_containment_index(spark, sf_dir,
+                                            overwrite=False)
+    new = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    return _containment_screen_kernel(
+        new, spark.read.parquet(ipath), spark.read.parquet(ppath))
 
 
 def _simhash_sims_cte() -> str:
@@ -7447,6 +7668,9 @@ register("streaming_lm_score_serve", _lm_doc_oracle_sql())(
     sq.streaming_lm_score_serve)
 register("streaming_quality_clf_serve", _qc_doc_oracle_sql())(
     sq.streaming_quality_clf_serve)
+register("streaming_containment_screen_serve",
+         _contain_screen_pairs_sql())(
+    sq.streaming_containment_screen_serve)
 
 
 def _pq_ivfadc_oracle_sql(k: int = 5, nprobe: int = 6) -> str:
@@ -10467,10 +10691,16 @@ _DRIVER_WINDOW_R10 = [
     # new this round
     "dedup_containment_lsh", "hybrid_rrf_fusion", "quality_clf_fit",
     "quality_clf_score", "streaming_quality_clf_serve",
-    # changed this round (r9 ADVICE nits + containment/bm25 rework)
+    "containment_index_build", "dedup_containment_screen",
+    "streaming_containment_screen_serve",
+    # changed this round (containment/bm25 rework + the OPQ artifact
+    # lifecycle fix).  The other two r9-ADVICE-nit entries
+    # (unigram_encode_viterbi: encodability assertion only;
+    # sim_topk_ivf_pretrained: cache-eviction discipline only) cannot
+    # change query output, are r9-green, and stay oracle-pinned
+    # in-suite — dropped so all 38 r6-stale entries still fit.
     "bm25_rank_topk", "dedup_containment_pairs",
-    "pq_opq_ivfadc_pretrained", "unigram_encode_viterbi",
-    "sim_topk_ivf_pretrained",
+    "pq_opq_ivfadc_pretrained",
     # ALL 38 r6-stale entries (VERDICT r9 item 2), staleness-then-
     # registration order
     "pack_sequences_stats", "stratified_sample_mix",
@@ -10491,8 +10721,8 @@ _DRIVER_WINDOW_R10 = [
     "curation_filter_funnel", "vocab_drift_topk",
     "session_overlap_topk", "mg_heavy_hitter_tokens",
     "trend_monthly_revenue", "embedding_jl_distortion",
-    # the 2 oldest r7-stale entries to fill 50
-    "dedup_simhash_bucket_stats", "dedup_lsh_bucket_stats",
+    # the oldest r7-stale entry to fill 50
+    "dedup_simhash_bucket_stats",
 ]
 
 

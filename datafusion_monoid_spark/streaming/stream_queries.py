@@ -559,6 +559,78 @@ def streaming_quality_clf_serve(spark: SparkSession,
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def streaming_containment_screen_serve(spark: SparkSession,
+                                       sf_dir: str) -> DataFrame:
+    """Streaming containment SCREEN serve: new documents arrive as
+    micro-batches and are screened against the PERSISTED containment
+    probe index (``queries.containment_index_build``) — the always-on
+    form of the daily-ingest dedup gate, completing the containment
+    tier's build/serve/streaming triple.  Both index relations (the
+    distinct shingle-hash sets and the precomputed index-side probes)
+    load + persist ONCE before the stream (the r9 lm-serve lesson);
+    each micro-batch then runs the shared screen kernel — probe hits
+    both directions, binomial pre-filter, exact candidates-only
+    verify.  Serving is STATELESS: the index carries all the state.
+
+    A pair's hit count and verify depend only on (the new doc's own
+    hashes, the static index), so the union of per-batch screen
+    results equals the batch screen — that batch twin is this entry's
+    DuckDB oracle, full hash check.  Sink writes are idempotent per
+    epoch (batch_id-keyed overwrite)."""
+    from datafusion_monoid_spark import queries as _qcat
+
+    ipath, ppath = _qcat._build_containment_index(spark, sf_dir,
+                                                  overwrite=False)
+    idx = spark.read.parquet(ipath).persist()
+    iprobes = spark.read.parquet(ppath).persist()
+    idx.count(), iprobes.count()  # materialize pre-stream, not per batch
+    new = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where(F.col("doc_id") % 11 == 0)
+           .select("doc_id", "text"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _scratch_dir("cscreen_docs_")
+        sink = _scratch_dir("cscreen_pairs_")
+        new.repartition(4).write.mode("overwrite").parquet(stage)
+
+        dstream = (spark.readStream.schema(new.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def screen_batch(batch_df: DataFrame, batch_id: int) -> None:
+            out = _qcat._containment_screen_kernel(
+                batch_df.repartition(STREAM_SHUFFLE), idx, iprobes)
+            with _commit_timer("streaming_containment_screen_serve"):
+                out.write.mode("overwrite").parquet(
+                    f"{sink}/batch={batch_id}")
+
+        _COMMITS.pop("streaming_containment_screen_serve", None)
+        ckpt = _ckpt_dir("streaming_containment_screen_serve")
+        q = (dstream.writeStream.foreachBatch(screen_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            _record_metrics("streaming_containment_screen_serve",
+                            q.recentProgress)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        return _qcat._track_ckpt(
+            spark.read.option("recursiveFileLookup", "true").parquet(sink)
+            .select("new_id", "old_id", "n_common", "n_new", "n_old",
+                    "cont_new_in_old_micro", "cont_old_in_new_micro")
+            .localCheckpoint(eager=True))
+    finally:
+        idx.unpersist()
+        iprobes.unpersist()
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def streaming_bpe_encode_serve(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """Streaming BPE ENCODE serve: documents arrive as micro-batches

@@ -200,3 +200,104 @@ def test_containment_lsh_superset_of_banded_entry(spark, cat):
     probed = {(r["id_a"], r["id_b"]) for r in
               cat["dedup_containment_lsh"][0](spark, SF).collect()}
     assert banded <= probed
+
+
+# ---------------------------------------------------------------------------
+# containment-index triple (build / screen / streaming screen)
+# ---------------------------------------------------------------------------
+
+def _screen(spark, old_rows, new_rows):
+    """Run the screen kernel over constructed old/new corpora, index
+    relations built in-session exactly as the artifact build does."""
+    old = spark.createDataFrame(old_rows, "doc_id bigint, text string")
+    new = spark.createDataFrame(new_rows, "doc_id bigint, text string")
+    oh = dd.shingle_hashes(old, "doc_id",
+                           dd.word_shingles("text")).distinct()
+    out = qcat._containment_screen_kernel(
+        new, oh, dd.probe_argmins_long(oh, "doc_id"))
+    return {(r["new_id"], r["old_id"]):
+            (r["cont_new_in_old_micro"], r["cont_old_in_new_micro"])
+            for r in out.collect()}
+
+
+_QUOTE = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(5))
+_FILLER = " ".join(f"noise{i} word{i} pad{i}" for i in range(100))
+_BG = [(3 + 7 * k, " ".join(f"bg{k}x{i} item{k}y{i}" for i in range(30)))
+       for k in range(8)]  # ids avoid % 11 == 0
+
+
+def test_screen_catches_new_quoted_in_old(spark):
+    """A short NEW doc fully quoted inside a long INDEXED doc must be
+    caught with containment(new in old) exactly 1.0 — the direction
+    the new side's own probes estimate."""
+    got = _screen(spark, [(1, _QUOTE + " " + _FILLER)] + _BG,
+                  [(11, _QUOTE)])
+    assert (11, 1) in got and got[(11, 1)][0] == 1_000_000
+
+
+def test_screen_catches_old_quoted_in_new(spark):
+    """A short INDEXED doc fully quoted inside a long NEW doc must be
+    caught with containment(old in new) exactly 1.0 — the direction
+    only the artifact's precomputed INDEX-side probes can see (the
+    new side's probes mostly land in its filler)."""
+    got = _screen(spark, [(1, _QUOTE)] + _BG,
+                  [(11, _QUOTE + " " + _FILLER)])
+    assert (11, 1) in got and got[(11, 1)][1] == 1_000_000
+
+
+def test_screen_recall_vs_exact_cross_split(spark, cat):
+    """Recall floor on the real sf0.001 corpus: every cross-split pair
+    with max-direction exact containment >= 0.6 must be reported by
+    the screen entry (test-only all-pairs oracle, 500 docs)."""
+    docs = (spark.read.parquet(f"{SF001}/documents.parquet")
+            .select("doc_id",
+                    F.array_distinct(dd.word_shingles("text")).alias("shg"))
+            .where(F.size("shg") > 0))
+    new = docs.where(F.col("doc_id") % 11 == 0).alias("a")
+    old = docs.where(F.col("doc_id") % 11 != 0).alias("b")
+    inter = F.size(F.array_intersect("a.shg", "b.shg")).cast("bigint")
+    exact = {(r["new_id"], r["old_id"]) for r in
+             (new.join(old, F.lit(True))
+              .select(F.col("a.doc_id").alias("new_id"),
+                      F.col("b.doc_id").alias("old_id"),
+                      (inter * 1_000_000).alias("i_micro"),
+                      F.size("a.shg").cast("bigint").alias("n_a"),
+                      F.size("b.shg").cast("bigint").alias("n_b"))
+              .where((F.col("i_micro") >= 600_000 * F.col("n_a"))
+                     | (F.col("i_micro") >= 600_000 * F.col("n_b")))
+              ).collect()}
+    got = {(r["new_id"], r["old_id"]) for r in
+           cat["dedup_containment_screen"][0](spark, SF001).collect()}
+    assert exact, "fixture corpus lost its cross-split containment pairs"
+    assert len(exact & got) / len(exact) >= 0.98
+    assert got <= exact  # never a pair the exact criterion rejects
+
+
+def test_streaming_screen_equals_batch(spark, cat):
+    """stream == batch: the union of per-micro-batch screen results
+    must equal the one-shot batch screen against the same persisted
+    index."""
+    key = ("new_id", "old_id", "n_common", "n_new", "n_old",
+           "cont_new_in_old_micro", "cont_old_in_new_micro")
+    got = {tuple(r[c] for c in key) for r in
+           cat["streaming_containment_screen_serve"][0](
+               spark, SF001).collect()}
+    want = {tuple(r[c] for c in key) for r in
+            cat["dedup_containment_screen"][0](spark, SF001).collect()}
+    assert got == want
+
+
+def test_containment_index_serves_without_refit(spark, cat):
+    """After the build entry publishes the artifacts, the screen must
+    SERVE them — both _SUCCESS mtimes unchanged across a screen call
+    (a refit here is the in-plan-rebuild regression class)."""
+    import os
+    cat["containment_index_build"][0](spark, SF001).collect()
+    ipath, ppath = (qcat._artifact_path(SF001, "contain_index"),
+                    qcat._artifact_path(SF001, "contain_probes"))
+    before = tuple(os.path.getmtime(os.path.join(p, "_SUCCESS"))
+                   for p in (ipath, ppath))
+    cat["dedup_containment_screen"][0](spark, SF001).collect()
+    after = tuple(os.path.getmtime(os.path.join(p, "_SUCCESS"))
+                  for p in (ipath, ppath))
+    assert before == after
