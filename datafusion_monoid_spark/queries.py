@@ -10460,6 +10460,218 @@ def tokenizer_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("agree_micro")))
 
 
+# ---------------------------------------------------------------------------
+# round-10 tail additions (post-window breadth): near-dup-aware split,
+# retrieval quality evaluation, perplexity-bucket curation.  Registered
+# AFTER the committed r10 window head — the driver gate covers the first
+# 50 catalog entries, and the r10 window (sentinels + all 38 r6-stale
+# backlog entries) is frozen; these three are oracle-pinned in-suite at
+# sf0.01 (tests/test_pipeline_r10b.py, the driver's exact hash protocol)
+# and lead the r11 sentinel head.
+# ---------------------------------------------------------------------------
+
+
+def _leakage_safe_split_oracle_sql() -> str:
+    grp_bucket = "(" + dd.md5_long_sql("CAST(grp AS VARCHAR)") \
+        + f" % {smp.SPLIT_MOD})"
+    return f"""
+{_minhash_candidates_cte()},
+strong AS (
+  SELECT id_a, id_b FROM cand
+  WHERE len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
+                        i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM} >= 0.5
+),
+bidir AS (SELECT id_a AS u, id_b AS v FROM strong
+          UNION SELECT id_b, id_a FROM strong),
+nodes AS (SELECT DISTINCT u AS node FROM bidir),
+reach AS (
+  WITH RECURSIVE r(src, dst) AS (
+    SELECT u, v FROM bidir
+    UNION
+    SELECT r.src, b.v FROM r JOIN bidir b ON r.dst = b.u
+  ) SELECT * FROM r
+),
+comp AS (
+  SELECT n.node AS doc_id,
+         least(n.node, min(coalesce(r.dst, n.node))) AS component
+  FROM nodes n LEFT JOIN reach r ON r.src = n.node
+  GROUP BY n.node
+),
+d AS (
+  SELECT documents.doc_id, n_chars,
+         coalesce(comp.component, documents.doc_id) AS grp
+  FROM documents LEFT JOIN comp ON documents.doc_id = comp.doc_id
+),
+s AS (
+  SELECT doc_id, n_chars, grp,
+         CASE WHEN {grp_bucket} < 100 THEN 'test' ELSE 'train' END AS side,
+         CASE WHEN {_BUCKET} < 100 THEN 'test' ELSE 'train' END AS side_naive
+  FROM d
+)
+SELECT side, count(*) AS n_docs,
+       CAST(count(DISTINCT grp) AS BIGINT) AS n_groups,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(CASE WHEN side != side_naive THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_moved
+FROM s GROUP BY side
+"""
+
+
+@register("leakage_safe_split", _leakage_safe_split_oracle_sql())
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAR-DUP-AWARE train/test split — the decontamination story told
+    end-to-end: a plain per-document hash split lets two near-duplicate
+    documents land on opposite sides (the test set then contains
+    near-copies of training documents — benchmark leakage, Lee et al.
+    2022 §6).  Here the split key is the near-dup GROUP: connected
+    components over strong MinHash candidates (the ``dedup_clusters``
+    machinery), singleton docs keying on their own id, so every member
+    of a near-dup cluster lands on the SAME side by construction.
+    Report per side: docs, distinct groups, chars, and ``n_moved`` —
+    docs whose group-aware side differs from their naive per-doc side,
+    i.e. the leakage the group key actually prevented.
+
+    Scale: the CC label relation is bounded by CLUSTERED docs (a small
+    fraction of the corpus); the split itself is a map-side hash of the
+    group key — no extra shuffle beyond the CC rounds the dedup family
+    already pays, and the final report is one partial agg.  Oracle:
+    recursive-CTE transitive closure + the identical md5 bucket."""
+    _, cand = _minhash_shared(spark, sf_dir)
+    strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
+                 .select("id_a", "id_b")
+    cc = connected_components(strong, track=_track_ckpt)
+    docs = _docs(spark, sf_dir).select("doc_id", "n_chars")
+    d = (docs.join(cc, docs.doc_id == cc.node, "left")
+         .select("doc_id", "n_chars",
+                 F.coalesce("component", "doc_id").alias("grp")))
+    side = lambda key: F.when(smp.hash_bucket(key) < 100,
+                              F.lit("test")).otherwise(F.lit("train"))
+    s = d.select("n_chars", "grp",
+                 side(F.col("grp")).alias("side"),
+                 side(F.col("doc_id")).alias("side_naive"))
+    return (s.groupBy("side")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.countDistinct("grp").cast("bigint").alias("n_groups"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum((F.col("side") != F.col("side_naive")).cast("int"))
+                 .cast("bigint").alias("n_moved")))
+
+
+def _ann_eval_oracle_sql() -> str:
+    return f"""
+WITH ex AS (SELECT query_id, cand_id FROM ({_BRUTE_TOPK_ORACLE})),
+ap AS (SELECT query_id, cand_id, rank
+       FROM ({_ivf_kmeans_oracle_sql()})),
+j AS (SELECT ex.query_id, ap.rank
+      FROM ex LEFT JOIN ap USING (query_id, cand_id))
+SELECT query_id, CAST(count(rank) AS BIGINT) AS n_hits,
+       CAST(coalesce(max(1000000 // rank), 0) AS BIGINT) AS rr_micro
+FROM j GROUP BY query_id
+"""
+
+
+@register("ann_eval_recall_mrr", _ann_eval_oracle_sql())
+def ann_eval_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRIEVAL EVALUATION of the approximate index against exact
+    ground truth — the acceptance gate a pipeline runs before trusting
+    an ANN serve path: per query, ``n_hits`` = |IVF top-5 ∩ exact
+    top-5| (the recall@5 numerator) and ``rr_micro`` = 1e6 // (best
+    IVF rank that is exact-relevant) — the reciprocal-rank summand of
+    MRR, exact in integers so both engines replay it bit-for-bit.
+    Ground truth = brute-force cosine top-5; system = the PERSISTED
+    IVF-kmeans serve (fit-if-absent, literal centroids).  The catalog's
+    pinned recall floors assert a threshold; this entry publishes the
+    full per-query table those floors summarize.
+
+    Scale: the exact leg is the designated brute-force tier (query
+    batch broadcast, corpus never shuffled — at 100 TB ground truth is
+    computed once for a SAMPLED query set, exactly this shape); the
+    approximate leg is the map-only pretrained serve; the eval join
+    touches 2 x |queries| x k rows — driver-trivial at any corpus
+    size."""
+    e = _emb(spark, sf_dir)
+    q = e.where(F.col("vec_id") < 20)
+    ex = sim.brute_force_topk(e, q, k=5).select("query_id", "cand_id")
+    path = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    cent_list = _load_centroids_cached(spark, path)
+    ap = (sim.ivf_topk_pretrained(e, q, cent_list, k=5, nprobe=7)
+          .select("query_id", "cand_id", "rank"))
+    j = ex.join(ap, ["query_id", "cand_id"], "left")
+    return (j.groupBy("query_id")
+            .agg(F.count("rank").cast("bigint").alias("n_hits"),
+                 F.coalesce(F.max(_idiv(F.lit(1_000_000).cast("bigint"),
+                                        F.col("rank").cast("bigint"))),
+                            F.lit(0)).cast("bigint").alias("rr_micro")))
+
+
+def _lm_buckets_oracle_sql() -> str:
+    return f"""
+WITH d AS ({_lm_doc_oracle_sql()}),
+hist AS (SELECT score_micro, count(*) AS cnt,
+                CAST(sum(n_bigrams) AS BIGINT) AS nb
+         FROM d GROUP BY score_micro),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS w FROM hist),
+cb AS (SELECT score_micro, cnt, nb,
+              coalesce(sum(cnt) OVER (ORDER BY score_micro
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS cum_before
+       FROM hist),
+bk AS (SELECT score_micro, cnt, nb,
+              CAST(1 + (3 * cum_before) // w AS BIGINT) AS bucket
+       FROM cb CROSS JOIN tot)
+SELECT bucket, CAST(sum(cnt) AS BIGINT) AS n_docs,
+       CAST(sum(nb) AS BIGINT) AS n_bigrams,
+       CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+       CAST(max(score_micro) AS BIGINT) AS max_score_micro
+FROM bk GROUP BY bucket
+"""
+
+
+@register("lm_perplexity_buckets", _lm_buckets_oracle_sql())
+def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-STYLE PERPLEXITY BUCKETING (Wenzek et al. 2020): split the
+    corpus into head/middle/tail TERTILES of the corpus-trained bigram
+    LM score (``lm_bigram_score``'s per-doc relation) and report each
+    bucket's doc count, bigram mass, and score range — the relation a
+    curation planner samples from ("keep head, downsample tail").
+
+    The tertile thresholds are EXACT, not approximated, yet never sort
+    the corpus: ``score_micro`` lives in [0, 1e6] by construction (a
+    mean of micro-unit probabilities), so the per-score histogram is
+    bounded at ~1e6 rows NO MATTER the corpus size — the cumulative
+    window runs over that compressed relation (the same
+    window-over-histogram discipline as the novelty curve's
+    restatement), and docs re-join their bucket through the broadcast
+    threshold table.  Equal scores share a bucket (cum count BEFORE the
+    score decides), so the cut is deterministic on every engine.  Docs
+    with <2 tokens have no bigrams and are excluded (inner-join
+    semantics, as in ``lm_bigram_score``)."""
+    docs = _docs(spark, sf_dir)
+    b = _track_ckpt(_lm_doc_bigrams(docs).localCheckpoint(eager=True))
+    bgc = b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
+    d = _lm_score_docs(b, bgc, ctx)
+    hist = (d.groupBy("score_micro")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"),
+                 F.sum("n_bigrams").cast("bigint").alias("nb")))
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("w"))
+    wcum = Window.orderBy("score_micro") \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    cb = hist.select(
+        "score_micro", "cnt", "nb",
+        F.coalesce(F.sum("cnt").over(wcum), F.lit(0).cast("bigint"))
+         .alias("cum_before"))
+    bk = cb.crossJoin(F.broadcast(tot)).select(
+        "score_micro", "cnt", "nb",
+        (F.lit(1) + _idiv(3 * F.col("cum_before"), F.col("w")))
+        .cast("bigint").alias("bucket"))
+    return (bk.groupBy("bucket")
+            .agg(F.sum("cnt").cast("bigint").alias("n_docs"),
+                 F.sum("nb").cast("bigint").alias("n_bigrams"),
+                 F.min("score_micro").cast("bigint").alias("min_score_micro"),
+                 F.max("score_micro").cast("bigint").alias("max_score_micro")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
