@@ -10672,6 +10672,234 @@ def lm_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("score_micro").cast("bigint").alias("max_score_micro")))
 
 
+#: empty-tertile sentinel: score_micro <= 1e6 by construction, so this
+#: cut is unreachable — a CASE against it assigns nothing to the bucket
+_LM_CUT_SENTINEL = 1_000_001
+
+
+def _lm_doc_scores_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, n_bigrams, score_micro) computed FROM the
+    persisted bigram-model artifacts (fit-if-absent): the two count
+    relations fold into one model-sized (bg, p_micro) table (the
+    streaming serve's hoist), then one broadcast join over the corpus
+    bigram stream + a per-doc partial agg.  The serve-side twin of
+    ``lm_bigram_score``'s in-plan fit."""
+    bg_path, ctx_path = _fit_lm_persisted(spark, sf_dir, overwrite=False)
+    scores = (spark.read.parquet(bg_path)
+              .withColumn("w1", F.substring_index("bg", " ", 1))
+              .join(spark.read.parquet(ctx_path), "w1")
+              .select("bg", cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                      .alias("p_micro")))
+    b = _lm_doc_bigrams(_docs(spark, sf_dir))
+    return (b.join(F.broadcast(scores), "bg")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                 _idiv(F.sum("p_micro"), F.count(F.lit(1)))
+                 .alias("score_micro")))
+
+
+def _lm_thresholds_df(d: DataFrame) -> DataFrame:
+    """1-row (cut2_micro, cut3_micro, n_docs): the tertile cut scores
+    of the per-doc score relation — min score landing in buckets 2 and
+    3 under the cum-count-before rule, sentineled when a tie group
+    swallows a tertile."""
+    hist = d.groupBy("score_micro").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    tot = hist.agg(F.sum("cnt").cast("bigint").alias("w"))
+    wcum = Window.orderBy("score_micro") \
+                 .rowsBetween(Window.unboundedPreceding, -1)
+    bk = (hist.select("score_micro", "cnt",
+                      F.coalesce(F.sum("cnt").over(wcum),
+                                 F.lit(0).cast("bigint")).alias("cb"))
+          .crossJoin(F.broadcast(tot))
+          .select("score_micro", "w",
+                  (F.lit(1) + _idiv(3 * F.col("cb"), F.col("w")))
+                  .alias("bucket")))
+    cut = lambda k: F.coalesce(
+        F.min(F.when(F.col("bucket") >= k, F.col("score_micro"))),
+        F.lit(_LM_CUT_SENTINEL)).cast("bigint")
+    return bk.agg(cut(2).alias("cut2_micro"), cut(3).alias("cut3_micro"),
+                  F.max("w").cast("bigint").alias("n_docs"))
+
+
+def _fit_lm_thresholds_persisted(spark: SparkSession, sf_dir: str,
+                                 overwrite: bool) -> str:
+    """Compute the corpus tertile cuts from the SERVED score relation
+    and persist the 1-row artifact; returns the path."""
+    path = _artifact_path(sf_dir, "lm_bucket_thresholds")
+    src = f"{sf_dir}/documents.parquet"
+    if not overwrite and _artifact_fresh(path, src):
+        return path
+    (_lm_thresholds_df(_lm_doc_scores_served(spark, sf_dir))
+     .coalesce(1).write.mode("overwrite").parquet(path))
+    return path
+
+
+def _lm_thresholds_oracle_ctes() -> str:
+    """CTE chain ending in ``cuts(cut2_micro, cut3_micro, n_docs)`` —
+    the SQL replay of the persisted threshold artifact."""
+    return f"""d AS ({_lm_doc_oracle_sql()}),
+hist AS (SELECT score_micro, CAST(count(*) AS BIGINT) AS cnt
+         FROM d GROUP BY score_micro),
+tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS w FROM hist),
+bk AS (SELECT score_micro, w,
+              1 + (3 * coalesce(sum(cnt) OVER (ORDER BY score_micro
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0)) // w AS bucket
+       FROM hist CROSS JOIN tot),
+cuts AS (SELECT
+  CAST(coalesce(min(CASE WHEN bucket >= 2 THEN score_micro END),
+                {_LM_CUT_SENTINEL}) AS BIGINT) AS cut2_micro,
+  CAST(coalesce(min(CASE WHEN bucket >= 3 THEN score_micro END),
+                {_LM_CUT_SENTINEL}) AS BIGINT) AS cut3_micro,
+  CAST(max(w) AS BIGINT) AS n_docs
+  FROM bk)"""
+
+
+@register("lm_bucket_thresholds", f"""
+WITH {_lm_thresholds_oracle_ctes()}
+SELECT cut2_micro, cut3_micro, n_docs FROM cuts
+""")
+def lm_bucket_thresholds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIT the perplexity-bucket THRESHOLD artifact: the two tertile
+    cut scores of the corpus LM-score distribution, computed from the
+    persisted bigram model (no refit) and persisted as a 1-row
+    relation — the quantile-model half of the CCNet filter, split out
+    the way every index here splits fit from serve: downstream screens
+    bucket NEW batches against these literal cuts without touching the
+    corpus again.  Returns the READ-BACK of the on-disk artifact.
+    Empty tertiles (a tie group swallowing a cut) persist the
+    unreachable sentinel 1_000_001 (scores cap at 1e6) — tested.
+
+    Scale: one broadcast model join over the corpus bigram stream, one
+    per-doc partial agg, then the cumulative window over the
+    SCORE-HISTOGRAM (bounded at ~1e6 rows whatever the corpus size);
+    the artifact is 1 row."""
+    path = _fit_lm_thresholds_persisted(spark, sf_dir, overwrite=True)
+    return spark.read.parquet(path).select(
+        F.col("cut2_micro").cast("bigint").alias("cut2_micro"),
+        F.col("cut3_micro").cast("bigint").alias("cut3_micro"),
+        F.col("n_docs").cast("bigint").alias("n_docs"))
+
+
+@register("lm_bucket_screen_newbatch", f"""
+WITH {_lm_thresholds_oracle_ctes()}
+SELECT CASE WHEN score_micro >= cut3_micro THEN 3
+            WHEN score_micro >= cut2_micro THEN 2 ELSE 1 END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_bigrams) AS BIGINT) AS n_bigrams,
+       CAST(min(score_micro) AS BIGINT) AS min_score_micro,
+       CAST(max(score_micro) AS BIGINT) AS max_score_micro
+FROM d CROSS JOIN cuts
+WHERE doc_id % 11 = 0
+GROUP BY bucket
+""")
+def lm_bucket_screen_newbatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVE the perplexity buckets over an ARRIVING batch (the
+    held-out ``doc_id % 11 == 0`` slice, the screen convention of the
+    containment tier): score each new document against the PERSISTED
+    bigram model, assign its tertile against the PERSISTED threshold
+    cuts (a 1-row artifact collected driver-side and compared as
+    literals — the bucket CASE is a map-only projection), and report
+    the arriving batch's quality mix.  This is the ingest-time router
+    of a CCNet-style pipeline: head goes to training, tail to review —
+    with NO corpus re-histogram per batch.
+
+    Scale: per-batch work is one broadcast model join over the batch's
+    bigrams + one per-doc partial agg + a literal CASE; both artifacts
+    are fit once per corpus generation.  Oracle replays model,
+    thresholds, and screen in one chain."""
+    tpath = _fit_lm_thresholds_persisted(spark, sf_dir, overwrite=False)
+    cuts = spark.read.parquet(tpath).collect()[0]  # 1-row artifact
+    bg_path, ctx_path = _fit_lm_persisted(spark, sf_dir, overwrite=False)
+    scores = (spark.read.parquet(bg_path)
+              .withColumn("w1", F.substring_index("bg", " ", 1))
+              .join(spark.read.parquet(ctx_path), "w1")
+              .select("bg", cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                      .alias("p_micro")))
+    batch = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    d = (_lm_doc_bigrams(batch)
+         .join(F.broadcast(scores), "bg")
+         .groupBy("doc_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+              _idiv(F.sum("p_micro"), F.count(F.lit(1)))
+              .alias("score_micro")))
+    bucket = (F.when(F.col("score_micro") >= int(cuts["cut3_micro"]), 3)
+              .when(F.col("score_micro") >= int(cuts["cut2_micro"]), 2)
+              .otherwise(1)).cast("int").alias("bucket")
+    return (d.select(bucket, "n_bigrams", "score_micro")
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_bigrams").cast("bigint").alias("n_bigrams"),
+                 F.min("score_micro").cast("bigint").alias("min_score_micro"),
+                 F.max("score_micro").cast("bigint").alias("max_score_micro")))
+
+
+#: per-tertile keep rates (per-mille): head (most fluent) kept whole,
+#: middle halved, tail decimated — the CCNet "keep head, downsample
+#: tail" sampling plan as deterministic hash gates
+_MIX_RATES = {1: 100, 2: 500, 3: 1000}
+
+
+@register("bucket_temperature_mix", f"""
+WITH {_lm_thresholds_oracle_ctes()},
+db AS (SELECT doc_id, n_bigrams, score_micro,
+              CASE WHEN score_micro >= cut3_micro THEN 3
+                   WHEN score_micro >= cut2_micro THEN 2 ELSE 1 END AS bucket
+       FROM d CROSS JOIN cuts),
+k AS (SELECT bucket, n_bigrams,
+             CASE WHEN ({dd.md5_long_sql("CAST(doc_id AS VARCHAR)")}
+                        % {smp.SPLIT_MOD})
+                  < (CASE bucket WHEN 1 THEN {_MIX_RATES[1]}
+                                 WHEN 2 THEN {_MIX_RATES[2]}
+                                 ELSE {_MIX_RATES[3]} END)
+                  THEN 1 ELSE 0 END AS kept
+      FROM db)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n_total,
+       CAST(sum(kept) AS BIGINT) AS n_kept,
+       CAST(sum(n_bigrams) AS BIGINT) AS tokens_total,
+       CAST(sum(CASE WHEN kept = 1 THEN n_bigrams ELSE 0 END) AS BIGINT)
+         AS tokens_kept,
+       CAST((sum(kept) * 1000000) // count(*) AS BIGINT) AS kept_micro
+FROM k GROUP BY bucket
+""")
+def bucket_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPERATURE-MIX SAMPLING PLAN over the perplexity tertiles —
+    the curation step CCNet runs after bucketing: keep the head
+    (bucket 3, most fluent) whole, halve the middle, decimate the tail
+    (``_MIX_RATES``: 1000/500/100 per-mille), with membership decided by the
+    catalog's deterministic md5 split hash so the sample is identical
+    on every run, partitioning, and engine.  Reports per bucket the
+    planned-vs-achieved mix: doc and token (bigram-mass) totals, kept
+    counts, and the achieved keep rate in micro-units.
+
+    Scale: per-doc scores come from the persisted model (one broadcast
+    join over the bigram stream); tertile assignment is a literal CASE
+    against the persisted cuts; the keep gate is a map-side hash — the
+    whole plan adds ZERO shuffles beyond the per-doc partial agg the
+    scoring already pays."""
+    tpath = _fit_lm_thresholds_persisted(spark, sf_dir, overwrite=False)
+    cuts = spark.read.parquet(tpath).collect()[0]  # 1-row artifact
+    d = _lm_doc_scores_served(spark, sf_dir)
+    bucket = (F.when(F.col("score_micro") >= int(cuts["cut3_micro"]), 3)
+              .when(F.col("score_micro") >= int(cuts["cut2_micro"]), 2)
+              .otherwise(1)).cast("int")
+    rate = (F.when(F.col("bucket") == 1, _MIX_RATES[1])
+            .when(F.col("bucket") == 2, _MIX_RATES[2])
+            .otherwise(_MIX_RATES[3]))
+    k = (d.select(bucket.alias("bucket"), "n_bigrams", "doc_id")
+         .withColumn("kept", (smp.hash_bucket("doc_id") < rate)
+                     .cast("int")))
+    return (k.groupBy("bucket")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_total"),
+                 F.sum("kept").cast("bigint").alias("n_kept"),
+                 F.sum("n_bigrams").cast("bigint").alias("tokens_total"),
+                 F.sum(F.col("kept") * F.col("n_bigrams")).cast("bigint")
+                 .alias("tokens_kept"),
+                 _idiv(F.sum("kept") * 1_000_000, F.count(F.lit(1)))
+                 .alias("kept_micro")))
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with

@@ -22,7 +22,8 @@ SF001 = "/root/testdata/sf0.001"
 SF = "/root/testdata/sf0.01"
 
 NEW_ENTRIES = ("leakage_safe_split", "ann_eval_recall_mrr",
-               "lm_perplexity_buckets")
+               "lm_perplexity_buckets", "lm_bucket_thresholds",
+               "lm_bucket_screen_newbatch", "bucket_temperature_mix")
 
 
 def _run(spark, name, sf=SF):
@@ -136,3 +137,44 @@ def test_lm_buckets_partition_and_order(spark):
     # no single bucket holds the whole corpus
     total = sum(r["n_docs"] for r in rows)
     assert all(r["n_docs"] < total for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# threshold-artifact serve tier: CASE-against-cuts must replay the
+# batch cum-count-before bucketing exactly for seen scores
+# ---------------------------------------------------------------------------
+
+def test_serve_buckets_equal_batch_buckets(spark):
+    batch = {r["bucket"]: r for r in
+             _run(spark, "lm_perplexity_buckets", SF001).collect()}
+    mix = {r["bucket"]: r for r in
+           _run(spark, "bucket_temperature_mix", SF001).collect()}
+    assert set(batch) == set(mix)
+    for b in batch:
+        assert mix[b]["n_total"] == batch[b]["n_docs"]
+        assert mix[b]["tokens_total"] == batch[b]["n_bigrams"]
+        # every kept count is a true subset of its bucket
+        assert 0 <= mix[b]["n_kept"] <= mix[b]["n_total"]
+        assert 0 <= mix[b]["tokens_kept"] <= mix[b]["tokens_total"]
+
+
+def test_thresholds_sentinel_on_degenerate_corpus(spark, tmp_path):
+    """ALL docs share one score -> one tie group swallows buckets 2/3:
+    the artifact must persist the unreachable sentinel and the screen
+    must route every arriving doc to bucket 1."""
+    text = "alpha beta gamma delta epsilon"
+    rows = [(i, text, "en", "srcA", len(text)) for i in range(12)]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, "
+              "n_chars bigint")
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+
+    cuts = _run(spark, "lm_bucket_thresholds", str(tmp_path)).collect()[0]
+    assert cuts["cut2_micro"] == qcat._LM_CUT_SENTINEL
+    assert cuts["cut3_micro"] == qcat._LM_CUT_SENTINEL
+    assert cuts["n_docs"] == 12
+
+    screened = _run(spark, "lm_bucket_screen_newbatch",
+                    str(tmp_path)).collect()
+    assert [r["bucket"] for r in screened] == [1]
+    assert screened[0]["n_docs"] == 2  # doc_ids 0 and 11 arrive
