@@ -6880,7 +6880,12 @@ def _fit_lm_persisted(spark: SparkSession, sf_dir: str,
     if (not overwrite and _artifact_fresh(bg_path, src)
             and _artifact_fresh(ctx_path, src)):
         return bg_path, ctx_path
-    b = _lm_doc_bigrams(_docs(spark, sf_dir))
+    # checkpoint the occurrence relation: the two artifact writes are
+    # separate jobs and would each re-run the tokenize-heavy explode
+    # (the lm_bigram_score discipline — measured ~2x fit cost at sf1
+    # without)
+    b = _track_ckpt(_lm_doc_bigrams(_docs(spark, sf_dir))
+                    .localCheckpoint(eager=True))
     (b.groupBy("bg").agg(F.count(F.lit(1)).alias("c_bg"))
      .coalesce(1).write.mode("overwrite").parquet(bg_path))
     (b.groupBy("w1").agg(F.count(F.lit(1)).alias("c_ctx"))
@@ -10898,6 +10903,128 @@ def bucket_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("tokens_kept"),
                  _idiv(F.sum("kept") * 1_000_000, F.count(F.lit(1)))
                  .alias("kept_micro")))
+
+
+def _ivf_assign_oracle_ctes(pred: str = "TRUE") -> str:
+    """CTE chain ending in ``asg(cand_id, cent_id)`` — the learned-
+    centroid assignment replay (cosine argmax, ties to the lowest
+    centroid id), filterable by ``pred`` over ``c``."""
+    csim_cand = _COS_SQL.format(a="c.v", b="ct.cent")
+    return f"""{_kmeans_ctes(8, 3)},
+cent AS (SELECT cid AS cent_id,
+                list_transform(cv, x -> x / 1000000.0) AS cent
+         FROM cents3),
+e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+asg AS (
+  SELECT cand_id, cent_id FROM (
+    SELECT c.vec_id AS cand_id, ct.cent_id,
+           row_number() OVER (PARTITION BY c.vec_id
+                              ORDER BY {csim_cand} DESC, ct.cent_id) AS rn
+    FROM e c CROSS JOIN cent ct WHERE {pred})
+  WHERE rn = 1)"""
+
+
+def _build_ivf_postings(spark: SparkSession, sf_dir: str,
+                        overwrite: bool) -> str:
+    """Persist the (cand_id, cent_id) postings of the EXISTING corpus
+    (vec_id % 11 != 0) against the persisted centroids — the
+    inverted-list half of the IVF index materialized at INGEST time,
+    so maintenance jobs (appends, rebalance reports) never re-assign
+    the corpus."""
+    path = _artifact_path(sf_dir, "ivf_postings_old")
+    src = f"{sf_dir}/embeddings.parquet"
+    if not overwrite and _artifact_fresh(path, src):
+        return path
+    cpath = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    cent_list = _load_centroids_cached(spark, cpath)
+    old = _emb(spark, sf_dir).where(F.col("vec_id") % 11 != 0)
+    (sim.ivf_assign_pretrained(old, cent_list)
+     .select("cand_id", F.col("cent_id").cast("bigint").alias("cent_id"))
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
+@register("ivf_postings_build", f"""
+WITH {_ivf_assign_oracle_ctes("c.vec_id % 11 != 0")}
+SELECT CAST(cent_id AS BIGINT) AS cent_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(cand_id) AS BIGINT) AS min_vec_id,
+       CAST(max(cand_id) AS BIGINT) AS max_vec_id,
+       CAST(sum(cand_id) AS BIGINT) AS sum_vec_id
+FROM asg GROUP BY cent_id
+""")
+def ivf_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUILD the persisted IVF postings (inverted lists): assign every
+    EXISTING corpus vector (vec_id % 11 != 0) to its nearest persisted
+    centroid via the map-only literal projection and persist the
+    narrow (cand_id, cent_id) relation — in production, bucketed by
+    cent_id so a probe scans only its lists.  Returns the per-centroid
+    digest of the ON-DISK state (count + min/max/sum of member ids,
+    all < 2^53), so the oracle verifies exactly what maintenance jobs
+    will serve.
+
+    Scale: assignment is scan -> literal argmax projection -> write;
+    no shuffle at all (the digest's partial agg is the only exchange,
+    and only in this verification entry)."""
+    path = _build_ivf_postings(spark, sf_dir, overwrite=True)
+    p = spark.read.parquet(path)
+    return (p.groupBy("cent_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.min("cand_id").cast("bigint").alias("min_vec_id"),
+                 F.max("cand_id").cast("bigint").alias("max_vec_id"),
+                 F.sum("cand_id").cast("bigint").alias("sum_vec_id")))
+
+
+@register("ivf_postings_append", f"""
+WITH {_ivf_assign_oracle_ctes()}
+SELECT CAST(cent_id AS BIGINT) AS cent_id,
+       CAST(sum(CASE WHEN cand_id % 11 != 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_old,
+       CAST(sum(CASE WHEN cand_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_new,
+       CAST(count(*) AS BIGINT) AS n_total
+FROM asg GROUP BY cent_id
+""")
+def ivf_postings_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND to the IVF index without a refit — the index-MAINTENANCE
+    operation a 100 TB deployment runs on every ingest: the arriving
+    batch (vec_id % 11 == 0, the screen convention) is assigned to the
+    SAME persisted centroids by the same map-only literal projection
+    and lands in its own artifact generation next to the existing
+    postings (idempotent overwrite — re-running an ingest replaces,
+    never duplicates).  Returns the per-centroid occupancy report of
+    the combined ON-DISK index (old + appended + total) — the drift
+    signal that tells an operator when accumulated appends warrant a
+    centroid refit (the standing kmeans fit entry).
+
+    Scale: per-ingest work is O(|batch|) map-only; the existing
+    postings are only ever READ for the report, never re-assigned; the
+    centroids never retrain."""
+    old_path = _build_ivf_postings(spark, sf_dir, overwrite=False)
+    new_path = _artifact_path(sf_dir, "ivf_postings_new")
+    cpath = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    cent_list = _load_centroids_cached(spark, cpath)
+    batch = _emb(spark, sf_dir).where(F.col("vec_id") % 11 == 0)
+    (sim.ivf_assign_pretrained(batch, cent_list)
+     .select("cand_id", F.col("cent_id").cast("bigint").alias("cent_id"))
+     .write.mode("overwrite").parquet(new_path))
+    old = spark.read.parquet(old_path).withColumn("is_new", F.lit(0))
+    new = spark.read.parquet(new_path).withColumn("is_new", F.lit(1))
+    u = old.unionByName(new)
+    return (u.groupBy("cent_id")
+            .agg(F.sum(F.lit(1) - F.col("is_new")).cast("bigint")
+                 .alias("n_old"),
+                 F.sum("is_new").cast("bigint").alias("n_new"),
+                 F.count(F.lit(1)).cast("bigint").alias("n_total")))
+
+
+register("streaming_bucket_route_serve", f"""
+WITH {_lm_thresholds_oracle_ctes()}
+SELECT doc_id, source, n_bigrams, score_micro,
+       CASE WHEN score_micro >= cut3_micro THEN 3
+            WHEN score_micro >= cut2_micro THEN 2 ELSE 1 END AS bucket
+FROM d CROSS JOIN cuts
+""")(sq.streaming_bucket_route_serve)
 
 
 #: The COMMITTED driver-window manifest for this round — the first 50

@@ -559,6 +559,98 @@ def streaming_quality_clf_serve(spark: SparkSession,
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
 
+def streaming_bucket_route_serve(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """Streaming QUALITY ROUTER: documents arrive as micro-batches,
+    are scored against the PERSISTED bigram model and routed into
+    per-tertile sinks against the PERSISTED threshold cuts
+    (``queries.lm_bucket_thresholds``) — the always-on form of the
+    CCNet head/middle/tail router: head partitions feed training,
+    tail partitions feed review, and the sink layout IS the routing
+    (``partitionBy(bucket)``, so downstream consumers scan only their
+    tertile).  Both artifacts load once before the stream (model
+    folded + persisted, cuts collected as literals), serving is
+    STATELESS, and the bucket CASE is a map-only projection per batch.
+
+    Each document lands in exactly one micro-batch and its
+    (score, bucket) depends only on (its own bigrams, the two static
+    artifacts), so the union of per-batch routes equals the batch
+    computation — the per-doc batch twin is this entry's DuckDB
+    oracle, full hash check.  Sink writes are idempotent per epoch
+    (batch_id-keyed overwrite)."""
+    from datafusion_monoid_spark import queries as _qcat
+    from datafusion_monoid_spark.operators import curation as _cu
+
+    tpath = _qcat._fit_lm_thresholds_persisted(spark, sf_dir,
+                                               overwrite=False)
+    cuts = spark.read.parquet(tpath).collect()[0]  # 1-row artifact
+    bg_path, ctx_path = _qcat._fit_lm_persisted(spark, sf_dir,
+                                                overwrite=False)
+    scores = (spark.read.parquet(bg_path)
+              .withColumn("w1", F.substring_index("bg", " ", 1))
+              .join(spark.read.parquet(ctx_path), "w1")
+              .select("bg", _cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                      .alias("p_micro"))).persist()
+    bucket = (F.when(F.col("score_micro") >= int(cuts["cut3_micro"]), 3)
+              .when(F.col("score_micro") >= int(cuts["cut2_micro"]), 2)
+              .otherwise(1)).cast("int").alias("bucket")
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", "source", "text"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _scratch_dir("route_docs_")
+        sink = _scratch_dir("route_out_")
+        # 4 arrival files -> 4 micro-batches
+        docs.repartition(4).write.mode("overwrite").parquet(stage)
+
+        dstream = (spark.readStream.schema(docs.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def route_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # a file-source micro-batch is ONE split: repartition
+            # before the tokenize-heavy explode or it runs one-core
+            b = _qcat._lm_doc_bigrams(batch_df.repartition(STREAM_SHUFFLE))
+            out = (b.join(F.broadcast(scores), "bg")
+                   .groupBy("doc_id", "source")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+                        _qcat._idiv(F.sum("p_micro"), F.count(F.lit(1)))
+                        .alias("score_micro"))
+                   .select("doc_id", "source", "n_bigrams",
+                           "score_micro", bucket))
+            with _commit_timer("streaming_bucket_route_serve"):
+                (out.write.mode("overwrite").partitionBy("bucket")
+                 .parquet(f"{sink}/batch={batch_id}"))
+
+        _COMMITS.pop("streaming_bucket_route_serve", None)
+        ckpt = _ckpt_dir("streaming_bucket_route_serve")
+        q = (dstream.writeStream.foreachBatch(route_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            _record_metrics("streaming_bucket_route_serve",
+                            q.recentProgress)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # NO recursiveFileLookup here: it disables partition discovery,
+        # and this sink's routing lives in the bucket=K directories —
+        # standard k=v inference surfaces (batch, bucket) as columns
+        return _qcat._track_ckpt(
+            spark.read.option("basePath", sink).parquet(sink)
+            .select("doc_id", "source", "n_bigrams", "score_micro",
+                    F.col("bucket").cast("int").alias("bucket"))
+            .localCheckpoint(eager=True))
+    finally:
+        scores.unpersist()
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
 def streaming_containment_screen_serve(spark: SparkSession,
                                        sf_dir: str) -> DataFrame:
     """Streaming containment SCREEN serve: new documents arrive as

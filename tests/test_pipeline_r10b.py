@@ -23,7 +23,9 @@ SF = "/root/testdata/sf0.01"
 
 NEW_ENTRIES = ("leakage_safe_split", "ann_eval_recall_mrr",
                "lm_perplexity_buckets", "lm_bucket_thresholds",
-               "lm_bucket_screen_newbatch", "bucket_temperature_mix")
+               "lm_bucket_screen_newbatch", "bucket_temperature_mix",
+               "streaming_bucket_route_serve", "ivf_postings_build",
+               "ivf_postings_append")
 
 
 def _run(spark, name, sf=SF):
@@ -156,6 +158,21 @@ def test_serve_buckets_equal_batch_buckets(spark):
         # every kept count is a true subset of its bucket
         assert 0 <= mix[b]["n_kept"] <= mix[b]["n_total"]
         assert 0 <= mix[b]["tokens_kept"] <= mix[b]["tokens_total"]
+
+
+# ---------------------------------------------------------------------------
+# IVF postings maintenance: append never re-assigns, never duplicates
+# ---------------------------------------------------------------------------
+
+def test_ivf_append_idempotent_and_complete(spark):
+    r1 = sorted(map(tuple, _run(spark, "ivf_postings_append").collect()))
+    r2 = sorted(map(tuple, _run(spark, "ivf_postings_append").collect()))
+    assert r1 == r2  # re-running an ingest replaces, never duplicates
+    # the combined index covers the whole embeddings table exactly once
+    n_vecs = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert sum(r[3] for r in r1) == n_vecs  # n_total column
+    for _, n_old, n_new, n_total in r1:
+        assert n_old + n_new == n_total
 
 
 def test_thresholds_sentinel_on_degenerate_corpus(spark, tmp_path):
