@@ -11255,41 +11255,52 @@ _DRIVER_WINDOW_R9 = [
 
 
 _DRIVER_WINDOW_R10 = [
-    # new this round
+    # ALL 17 never-driver-checked entries lead (the committed
+    # no-entry-ships-outside-the-gate invariant,
+    # test_driver_window_covers_backlog): the containment/RRF/
+    # quality-classifier wave, then the post-freeze wave (leakage-safe
+    # split, ANN eval, the perplexity-bucket fit/serve/streaming
+    # triple + temperature mix, IVF postings build/append)
     "dedup_containment_lsh", "hybrid_rrf_fusion", "quality_clf_fit",
     "quality_clf_score", "streaming_quality_clf_serve",
     "containment_index_build", "dedup_containment_screen",
     "streaming_containment_screen_serve",
+    "leakage_safe_split", "ann_eval_recall_mrr",
+    "lm_perplexity_buckets", "lm_bucket_thresholds",
+    "lm_bucket_screen_newbatch", "bucket_temperature_mix",
+    "streaming_bucket_route_serve", "ivf_postings_build",
+    "ivf_postings_append",
     # changed this round (containment/bm25 rework + the OPQ artifact
-    # lifecycle fix).  The other two r9-ADVICE-nit entries
-    # (unigram_encode_viterbi: encodability assertion only;
-    # sim_topk_ivf_pretrained: cache-eviction discipline only) cannot
-    # change query output, are r9-green, and stay oracle-pinned
-    # in-suite — dropped so all 38 r6-stale entries still fit.
+    # lifecycle fix).  Output-identical changes (assertion/cache/
+    # checkpoint-discipline only: unigram_encode_viterbi,
+    # sim_topk_ivf_pretrained, streaming_lm_score_serve) stay
+    # oracle-pinned in-suite and are not re-sentineled.
     "bm25_rank_topk", "dedup_containment_pairs",
     "pq_opq_ivfadc_pretrained",
-    # ALL 38 r6-stale entries (VERDICT r9 item 2), staleness-then-
-    # registration order
+    # 30 of the 38 r6-stale entries (VERDICT r9 item 2), staleness-
+    # then-registration order.  The 17 never-checked entries outrank
+    # completing the rotation, so the 8 LOWEST-RISK r6-stale entries —
+    # pure built-in Catalyst compositions with pinned plans and no
+    # code touched since their last green check (q6/q14/q18/q19,
+    # trend_monthly_revenue, zorder_layout_stats,
+    # bucketed_join_zero_shuffle, session_overlap_topk) — defer to
+    # lead the r11 rotation together with dedup_simhash_bucket_stats
+    # (r7-stale).
     "pack_sequences_stats", "stratified_sample_mix",
     "doc_chunk_windows", "decontam_ngram_overlap",
     "quality_repetition_filters", "tfidf_top_terms",
-    "q6_forecast_revenue", "q14_promo_revenue",
-    "q18_large_volume_customer", "q19_disjunctive_revenue",
-    "embedding_quantize_int8", "zorder_layout_stats",
+    "embedding_quantize_int8",
     "fuzzy_customer_matches", "dedup_substring_spans",
     "lm_bigram_score", "bloom_join_prefilter", "pq_adc_pretrained",
     "graph_triangle_stats", "curation_dsir_weights",
-    "embedding_pca_power", "bucketed_join_zero_shuffle",
+    "embedding_pca_power",
     "hardneg_mining_topk", "hardneg_mining_topk_np",
     "kmv_source_overlap", "kmv_incremental_merge",
     "streaming_kmv_distinct", "priority_sample_tokens",
     "embedding_abtt_whiten", "bpe_train_merges", "bpe_encode_stats",
     "bpe_encode_newbatch", "streaming_bpe_encode_serve",
     "curation_filter_funnel", "vocab_drift_topk",
-    "session_overlap_topk", "mg_heavy_hitter_tokens",
-    "trend_monthly_revenue", "embedding_jl_distortion",
-    # the oldest r7-stale entry to fill 50
-    "dedup_simhash_bucket_stats",
+    "mg_heavy_hitter_tokens", "embedding_jl_distortion",
 ]
 
 
