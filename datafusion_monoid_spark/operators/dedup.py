@@ -198,8 +198,13 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     (id, band_idx, band_hash): exploding the 64-element signature 16×
     through the self-join shuffle doubles-to-quadruples shuffle bytes for
     nothing — signatures re-attach to the deduplicated pairs afterwards
-    (two narrow hash joins on id).  Output carries both signatures for
-    estimation."""
+    (two narrow hash joins on id) and are CONSUMED IN PLACE: the output
+    is the narrow (id_a, id_b, n_agree) relation, n_agree = count of
+    agreeing minhash components.  Every downstream decision is a
+    threshold or rounding of n_agree/MINHASH_NUM, so the 64-long arrays
+    never persist or shuffle past this projection — persisting them
+    with 25M sf10 candidate pairs measured ~25 GB columnar (heap OOM at
+    32 g); the narrow form is ~600 MB."""
     banded = minhash_band_buckets(sigs, id_col, bands, rows)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
@@ -212,8 +217,11 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     )
     sa = sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
-    return pairs.join(sa, "id_a").join(sb, "id_b") \
-                .select("id_a", "id_b", "sig_a", "sig_b")
+    eq = F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .select("id_a", "id_b",
+                    F.aggregate(eq, F.lit(0), lambda acc, v: acc + v)
+                    .alias("n_agree")))
 
 
 def estimated_jaccard(sig_a: Column | str, sig_b: Column | str,
@@ -221,6 +229,15 @@ def estimated_jaccard(sig_a: Column | str, sig_b: Column | str,
     """Fraction of agreeing minhash components."""
     eq = F.zip_with(_c(sig_a), _c(sig_b), lambda x, y: (x == y).cast("int"))
     return F.aggregate(eq, F.lit(0), lambda acc, v: acc + v) / F.lit(float(num_hashes))
+
+
+def estimated_jaccard_count(n_agree: Column | str,
+                            num_hashes: int = MINHASH_NUM) -> Column:
+    """Fraction of agreeing components from the precomputed ``n_agree``
+    carried by :func:`lsh_candidate_pairs` — the identical int/num
+    double division as :func:`estimated_jaccard`, so thresholds and
+    ``round(est, 3)`` outputs replay bit-for-bit."""
+    return _c(n_agree) / F.lit(float(num_hashes))
 
 
 # ---------------------------------------------------------------------------

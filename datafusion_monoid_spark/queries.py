@@ -679,7 +679,7 @@ def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands x 4): near-dup candidates without an
     all-pairs product; estimated Jaccard from signature agreement."""
     _, cand = _minhash_shared(spark, sf_dir)
-    est = dd.estimated_jaccard("sig_a", "sig_b")
+    est = dd.estimated_jaccard_count("n_agree")
     return (
         cand.where(est >= 0.35)
         .select("id_a", "id_b", F.round(est, 3).alias("est_jacc"))
@@ -1284,7 +1284,7 @@ def pipeline_dedup_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the two-agg crossJoin at sf0.1 — AQE's ReuseExchange already
     # deduplicated the shared subtree — but one scan is the honest plan
     # and doesn't depend on the reuse optimization firing.)
-    est = dd.estimated_jaccard("sig_a", "sig_b")
+    est = dd.estimated_jaccard_count("n_agree")
     cand_stats = cand.agg(
         F.count(F.lit(1)).alias("n_candidate_pairs"),
         F.sum(F.when(est >= 0.35, 1).otherwise(0)).cast("bigint")
@@ -1734,7 +1734,7 @@ def multimodal_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sigs = _ckpt(dd.minhash_from_shingles(media, "doc_id",
                                           mm.byte_shingles("media", 4)))
     cand = dd.lsh_candidate_pairs(sigs, "doc_id")
-    est = dd.estimated_jaccard("sig_a", "sig_b")
+    est = dd.estimated_jaccard_count("n_agree")
     return (cand.where(est >= 0.5)
             .select("id_a", "id_b", F.round(est, 3).alias("est_jacc")))
 
@@ -2615,7 +2615,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (signature agreement >= 0.5).  component = min doc_id = the kept
     representative.  Oracle: recursive-CTE transitive closure."""
     _, cand = _minhash_shared(spark, sf_dir)
-    strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
+    strong = cand.where(dd.estimated_jaccard_count("n_agree") >= 0.5) \
                  .select("id_a", "id_b")
     cc = connected_components(strong, track=_track_ckpt)
     return cc.select(F.col("node").alias("doc_id"), "component")
@@ -2695,7 +2695,7 @@ def dedup_cluster_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle replays the closure recursively plus the identical
     quantized score."""
     _, cand = _minhash_shared(spark, sf_dir)
-    strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
+    strong = cand.where(dd.estimated_jaccard_count("n_agree") >= 0.5) \
                  .select("id_a", "id_b")
     cc = connected_components(strong, track=_track_ckpt)
     score = _docs(spark, sf_dir).select(
@@ -6040,7 +6040,7 @@ def pagerank_neardup_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     value.  No dangling mass: the graph is undirected, so every node
     has out-degree >= 1."""
     _, cand = _minhash_shared(spark, sf_dir)
-    est = dd.estimated_jaccard("sig_a", "sig_b")
+    est = dd.estimated_jaccard_count("n_agree")
     pairs = cand.where(est >= 0.35).select("id_a", "id_b")
     return _pagerank_from_pairs(spark, pairs)
 
@@ -7595,7 +7595,7 @@ def _cascade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
                               "left_semi")
         sigs = dd.minhash_signatures(survivors, "doc_id", "text")
         cand = dd.lsh_candidate_pairs(sigs, "doc_id")
-        est = dd.estimated_jaccard("sig_a", "sig_b")
+        est = dd.estimated_jaccard_count("n_agree")
         (cand.where(est >= 0.35)
          .select(F.least("id_a", "id_b").alias("a"),
                  F.greatest("id_a", "id_b").alias("b"))
@@ -10542,7 +10542,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     already pays, and the final report is one partial agg.  Oracle:
     recursive-CTE transitive closure + the identical md5 bucket."""
     _, cand = _minhash_shared(spark, sf_dir)
-    strong = cand.where(dd.estimated_jaccard("sig_a", "sig_b") >= 0.5) \
+    strong = cand.where(dd.estimated_jaccard_count("n_agree") >= 0.5) \
                  .select("id_a", "id_b")
     cc = connected_components(strong, track=_track_ckpt)
     docs = _docs(spark, sf_dir).select("doc_id", "n_chars")

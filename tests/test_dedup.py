@@ -48,7 +48,7 @@ def test_minhash_lsh_finds_neardups(spark, docs):
     assert (1, 3) in pairs             # exact dups always collide
     assert (1, 2) in pairs             # high-jaccard near-dups collide
     est = {(r["id_a"], r["id_b"]): r["e"] for r in cand.select(
-        "id_a", "id_b", dd.estimated_jaccard("sig_a", "sig_b").alias("e")).collect()}
+        "id_a", "id_b", dd.estimated_jaccard_count("n_agree").alias("e")).collect()}
     assert est[(1, 3)] == 1.0
 
 
