@@ -180,6 +180,23 @@ SF01_CEILINGS = {
     # per-batch model re-read/re-fit or a lost broadcast (quiet 2.9 s
     # warm-artifact, commit floor ~1.2 s)
     "streaming_quality_clf_serve": 6.0,
+    # near-dup-group split (r10): CC over the NARROW (id_a, id_b,
+    # n_agree) candidate relation — a blown ceiling means the
+    # signature arrays came back into the persisted pairs (the sf10
+    # heap-OOM shape) or the CC rounds stopped releasing checkpoints
+    # (cold-sweep 3.1 s, 0.17x its DuckDB oracle)
+    "leakage_safe_split": 9.0,
+    # 4-micro-batch tertile router (r10): both artifacts load once
+    # pre-stream, bucket CASE is literal — a blown ceiling means a
+    # per-batch threshold/model re-read or a corpus re-histogram
+    # (cold-sweep 4.2 s, commit floor ~2.6 s of 3.4 s engine)
+    "streaming_bucket_route_serve": 9.0,
+    # persisted-threshold fit (r10): score histogram + 1-row write
+    # from the persisted model — a blown ceiling means the corpus
+    # re-sorts instead of the histogram window, or the LM fit's
+    # occurrence checkpoint regressed to two tokenize passes
+    # (cold-sweep 1.7 s fit-absorbed)
+    "lm_bucket_thresholds": 5.0,
 }
 
 pytestmark = pytest.mark.skipif(
