@@ -518,3 +518,49 @@ def test_tokenizer_agreement_single_corpus_pass(spark, catalog):
     p = _explain(df, "simple")
     assert "SortMergeJoin" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_leakage_split_no_cartesian_no_shuffle_join(spark, catalog):
+    """Round-10: the group-keyed split is a map-side hash over the
+    CC labels — the docs-to-labels join may hash-join, but nothing may
+    expand pairwise and the window-free report is one partial agg."""
+    df = catalog["leakage_safe_split"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "Window" not in p
+
+
+def test_lm_bucket_screen_is_broadcast_only(spark, catalog):
+    """Round-10: the new-batch screen joins the arriving batch's
+    bigrams to the persisted model by BROADCAST and buckets by a
+    literal CASE — no shuffle join, no window, no corpus re-histogram
+    (the cuts are literals collected from the 1-row artifact)."""
+    df = catalog["lm_bucket_screen_newbatch"][0](spark, SF)
+    p = _explain(df, "simple")
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+    assert "Window" not in p
+
+
+def test_ivf_postings_build_is_map_only_assignment(spark, catalog):
+    """Round-10: postings assignment is scan -> literal-centroid
+    projection (no centroid join of any kind); the only exchange in
+    the digest entry is its verification partial agg."""
+    from pyspark.sql import functions as F
+
+    path = qcat._build_ivf_postings(spark, SF, overwrite=True)
+    from datafusion_monoid_spark.operators import similarity as sim
+    from datafusion_monoid_spark.queries import (_emb,
+                                                 _fit_centroids_persisted,
+                                                 _load_centroids_cached)
+    cents = _load_centroids_cached(
+        spark, _fit_centroids_persisted(spark, SF, overwrite=False))
+    assigned = sim.ivf_assign_pretrained(
+        _emb(spark, SF).where(F.col("vec_id") % 11 != 0), cents)
+    p = _explain(assigned.select("cand_id", "cent_id"), "simple")
+    assert "Join" not in p          # assignment is a pure projection
+    # ... and key-shuffle-free: the only Exchange allowed is _emb's
+    # documented round-robin repartition (test-file split count)
+    assert "Exchange hashpartitioning" not in p
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
