@@ -300,7 +300,8 @@ def probe_argmins_long(hashed: DataFrame, id_col: str,
 
 def containment_probe_candidates(hashed: DataFrame, id_col: str,
                                  n_probes: int = CONTAIN_PROBES,
-                                 min_hits: int = CONTAIN_MIN_HITS
+                                 min_hits: int = CONTAIN_MIN_HITS,
+                                 max_df: int | None = None
                                  ) -> DataFrame:
     """Candidate pairs (id_a < id_b) from ONE-SIDED MinHash probes —
     the containment-LSH construction (Broder 1997 resemblance-vs-
@@ -326,14 +327,32 @@ def containment_probe_candidates(hashed: DataFrame, id_col: str,
 
     Scale: the probe side is ≤ n_probes rows per document; the index
     side joins on the shingle hash, so a probe's fan-out is that
-    shingle's document frequency (at 100 TB, cap df on the index side
-    to bound stop-shingle lists — pairs whose overlap is ONLY
-    ubiquitous shingles fall below any useful containment threshold).
-    One partial agg (probes) + one hash join + one distinct; never
-    all-pairs."""
+    shingle's document frequency — ``max_df`` caps it by dropping
+    index-side postings of shingle hashes whose document frequency
+    exceeds the cap BEFORE the candidate join (the 100 TB stop-shingle
+    guard: one ubiquitous boilerplate shingle otherwise fans every
+    probe that lands on it out to its full posting list).  The recall
+    argument for why the cap is safe at a containment threshold like
+    0.6: dropping a capped hash removes at most ONE of a probing doc's
+    ≤ n_probes hit opportunities per occurrence, so pairs whose
+    overlap is substantial keep nearly all their binomial hit mass,
+    while pairs whose overlap is ONLY ubiquitous shingles — the pairs
+    the cap silences — have true containment ≈ (few shared
+    stop-shingles)/|A|, far below any useful threshold (asserted
+    exactly against the all-pairs criterion in
+    tests/test_pipeline_r11.py).  The df relation is one partial agg
+    on the same key the join shuffles on; in production it is
+    precomputed at ingest next to the postings.  One partial agg
+    (probes) + one hash join + one distinct; never all-pairs."""
     plong = (probe_argmins_long(hashed, id_col, n_probes)
              .withColumnRenamed(id_col, "__qid"))
     idx = hashed.select(F.col(id_col).alias("__tid"), "h")
+    if max_df is not None:
+        keep = (hashed.groupBy("h")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_df)
+                .select("h"))
+        idx = idx.join(keep, "h", "left_semi")
     return (plong.join(idx, "h")
             .where(F.col("__qid") != F.col("__tid"))
             .select(F.least("__qid", "__tid").alias("id_a"),

@@ -965,7 +965,8 @@ WHERE greatest((n_common * 1000000) // nn.n,
 
 
 def _build_containment_index(spark: SparkSession, sf_dir: str,
-                             overwrite: bool) -> tuple[str, str]:
+                             overwrite: bool,
+                             max_df: int | None = None) -> tuple[str, str]:
     """Persist the containment probe index over the EXISTING corpus
     (doc_id % 11 != 0) as two parquet artifacts: the DISTINCT
     (doc_id, h) shingle-hash set relation — the index side of every
@@ -973,9 +974,13 @@ def _build_containment_index(spark: SparkSession, sf_dir: str,
     (``dd.probe_argmins_long``), precomputed at INGEST time so the
     reverse direction (indexed-doc-quoted-inside-new-doc) never
     re-aggregates the corpus per screen — the rotated-corpus lesson
-    applied to dedup.  Freshness requires BOTH _SUCCESS markers newer
-    than the source, so a crash between the two writes re-runs the
-    build rather than serving a mixed-generation index."""
+    applied to dedup.  ``max_df`` drops postings of shingle hashes
+    whose document frequency exceeds the cap at BUILD time (the 100 TB
+    stop-shingle guard — see ``dd.containment_probe_candidates`` for
+    the recall argument); off by default, so the catalog entries stay
+    bit-identical to their oracles.  Freshness requires BOTH _SUCCESS
+    markers newer than the source, so a crash between the two writes
+    re-runs the build rather than serving a mixed-generation index."""
     ipath = _artifact_path(sf_dir, "contain_index")
     ppath = _artifact_path(sf_dir, "contain_probes")
     src = f"{sf_dir}/documents.parquet"
@@ -988,6 +993,10 @@ def _build_containment_index(spark: SparkSession, sf_dir: str,
     # write AND the probe agg (two jobs below)
     hashed = _track_ckpt(hashed.localCheckpoint(eager=True))
     idx = hashed.distinct()
+    if max_df is not None:
+        keep = (idx.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_df).select("h"))
+        idx = idx.join(keep, "h", "left_semi")
     idx.write.mode("overwrite").parquet(ipath)
     (dd.probe_argmins_long(hashed, "doc_id")
      .write.mode("overwrite").parquet(ppath))
@@ -4258,17 +4267,31 @@ _REPO_ROOT = _os_mod.path.dirname(
     _os_mod.path.dirname(_os_mod.path.abspath(__file__)))
 
 
-def _artifact_fresh(path: str, src: str,
+def _artifact_fresh(path: str, src: str, *upstreams: str,
                     marker: str = "_SUCCESS") -> bool:
     """True when the artifact's completion marker exists AND is newer
     than the source it was derived from — regenerating a testdata tier
     invalidates derived artifacts instead of serving stale copies
-    (which would surface as a baffling oracle mismatch)."""
+    (which would surface as a baffling oracle mismatch).
+
+    ``upstreams`` are artifact DIRECTORIES this artifact was derived
+    from (e.g. the postings' centroids, the threshold cut's model
+    counts): a derived artifact is stale when any upstream's marker is
+    missing or newer than its own (ADVICE r10 — gating rebuilds only on
+    the raw-source mtime silently served assignments from a superseded
+    model after an upstream re-fit)."""
     m = _os_mod.path.join(path, marker)
     if not _os_mod.path.isfile(m):
         return False
     try:
-        return _os_mod.path.getmtime(m) >= _os_mod.path.getmtime(src)
+        mt = _os_mod.path.getmtime(m)
+        if mt < _os_mod.path.getmtime(src):
+            return False
+        for up in upstreams:
+            um = _os_mod.path.join(up, marker)
+            if not _os_mod.path.isfile(um) or mt < _os_mod.path.getmtime(um):
+                return False
+        return True
     except OSError:
         return False
 
@@ -10723,8 +10746,12 @@ def _lm_thresholds_df(d: DataFrame) -> DataFrame:
     cut = lambda k: F.coalesce(
         F.min(F.when(F.col("bucket") >= k, F.col("score_micro"))),
         F.lit(_LM_CUT_SENTINEL)).cast("bigint")
+    # coalesce(0): a degenerate corpus (no doc with >= 2 tokens) has an
+    # empty bk — the cuts already sentinel, and n_docs must be a defined
+    # 0, not NULL, in the persisted 1-row artifact (ADVICE r10)
     return bk.agg(cut(2).alias("cut2_micro"), cut(3).alias("cut3_micro"),
-                  F.max("w").cast("bigint").alias("n_docs"))
+                  F.coalesce(F.max("w"), F.lit(0)).cast("bigint")
+                  .alias("n_docs"))
 
 
 def _fit_lm_thresholds_persisted(spark: SparkSession, sf_dir: str,
@@ -10733,7 +10760,10 @@ def _fit_lm_thresholds_persisted(spark: SparkSession, sf_dir: str,
     and persist the 1-row artifact; returns the path."""
     path = _artifact_path(sf_dir, "lm_bucket_thresholds")
     src = f"{sf_dir}/documents.parquet"
-    if not overwrite and _artifact_fresh(path, src):
+    # derived artifact: the cuts score against the persisted bigram
+    # model, so a model re-fit invalidates them (ADVICE r10)
+    bg_path, ctx_path = _fit_lm_persisted(spark, sf_dir, overwrite=False)
+    if not overwrite and _artifact_fresh(path, src, bg_path, ctx_path):
         return path
     (_lm_thresholds_df(_lm_doc_scores_served(spark, sf_dir))
      .coalesce(1).write.mode("overwrite").parquet(path))
@@ -10757,7 +10787,7 @@ cuts AS (SELECT
                 {_LM_CUT_SENTINEL}) AS BIGINT) AS cut2_micro,
   CAST(coalesce(min(CASE WHEN bucket >= 3 THEN score_micro END),
                 {_LM_CUT_SENTINEL}) AS BIGINT) AS cut3_micro,
-  CAST(max(w) AS BIGINT) AS n_docs
+  CAST(coalesce(max(w), 0) AS BIGINT) AS n_docs
   FROM bk)"""
 
 
@@ -10933,9 +10963,12 @@ def _build_ivf_postings(spark: SparkSession, sf_dir: str,
     the corpus."""
     path = _artifact_path(sf_dir, "ivf_postings_old")
     src = f"{sf_dir}/embeddings.parquet"
-    if not overwrite and _artifact_fresh(path, src):
-        return path
+    # derived artifact: freshness is gated on the centroid artifact it
+    # assigns against, not just the raw source (ADVICE r10 — a centroid
+    # re-fit must invalidate postings that carry the old assignments)
     cpath = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    if not overwrite and _artifact_fresh(path, src, cpath):
+        return path
     cent_list = _load_centroids_cached(spark, cpath)
     old = _emb(spark, sf_dir).where(F.col("vec_id") % 11 != 0)
     (sim.ivf_assign_pretrained(old, cent_list)
