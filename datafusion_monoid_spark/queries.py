@@ -7701,7 +7701,7 @@ register("streaming_containment_screen_serve",
     sq.streaming_containment_screen_serve)
 
 
-def _pq_ivfadc_oracle_sql(k: int = 5, nprobe: int = 6) -> str:
+def _pq_ivfadc_oracle_sql(k: int = 5, nprobe: int = 7) -> str:
     it = pqm.PQ_ITERS
     subdim = pqm.PQ_SUBDIM
     short = pqm.PQ_SHORTLIST
@@ -7777,14 +7777,20 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVFADC — the billion-scale production ANN composition (FAISS
     IndexIVFPQ shape): the learned coarse quantizer (the catalog's
     quantized-Lloyd k-means, k=8) prunes WHICH vectors are scored
-    (each query probes its 6 nearest cells), and the product quantizer
+    (each query probes its 7 nearest cells), and the product quantizer
     scores ONLY those candidates in the compressed domain, shortlist
-    50, exact re-rank.  Raw-vector codes — kept as the measured
-    baseline the residual-encoded twin (`pq_ivfadc_residual_topk`,
-    the FAISS default) is compared against: same probes, same bits,
-    recall 0.90 vs 0.93 at sf0.1; the oracle composes the k-means CTE
-    chain, the grouped-Lloyd PQ chain, probe/assign, ADC, and both
-    rank stages bit-for-bit.
+    re-rank exact.  Raw-vector codes — kept as the measured baseline
+    the residual-encoded twin (`pq_ivfadc_residual_topk`, the FAISS
+    default) is compared against: at EQUAL nprobe 6 raw codes measure
+    recall@5 0.90 vs residual 0.93 at sf0.1 (the coding-gain
+    comparison the docstrings cite).  This entry ships nprobe 7
+    (VERDICT r10 item 4): on these structureless near-uniform vectors
+    the extra probe lifts raw-code recall 0.90 -> 0.95 at sf0.1 for a
+    ~17% larger scored candidate set and no measurable wall change
+    (1.7 -> 1.8 s quiet) — the knob was probe coverage, not code
+    resolution.  The oracle composes the k-means CTE chain, the
+    grouped-Lloyd PQ chain, probe/assign, ADC, and both rank stages
+    bit-for-bit at the same nprobe.
 
     Scale: this entry is WHY the catalog has both halves.  Flat ADC
     scans every code (32x lighter than floats but still O(corpus));
@@ -7813,7 +7819,7 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _ckpt(pqm.pq_codes_literal(raw, books))
     queries = e.where(F.col("vec_id") < 20)
     return pqm.pq_ivfadc_topk(e, None, cents, ccr, queries, k=5,
-                              nprobe=6, codes=codes)
+                              nprobe=7, codes=codes)
 
 
 def _pq_ivfadc_residual_oracle_sql(k: int = 5, nprobe: int = 6,
@@ -7907,7 +7913,9 @@ def pq_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     spread, not the absolute position, so the same 16 x 4-bit code
     budget resolves much finer distances — measured recall@5 at
     nprobe 6 rises accordingly (floor pinned in
-    tests/test_similarity.py; the raw-code variant's floor is 0.90).
+    tests/test_similarity.py; raw codes at the SAME nprobe 6 measure
+    0.90 — the raw entry now ships nprobe 7 to buy its recall back
+    through probe coverage instead).
 
     The query-side distance table is built per PROBED CELL from the
     query's residual against that cell's centroid — keyed

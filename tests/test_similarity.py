@@ -172,15 +172,16 @@ def test_pq_adc_rerank_recall(spark, emb, brute):
 
 
 def test_pq_ivfadc_recall(spark, emb, brute):
-    """IVFADC (nprobe 6 of 8 + ADC shortlist 50 + exact re-rank) must
-    hold recall@5 >= 0.8 vs exact brute force — measured 0.91 at
-    sf0.01 / 0.83 at nprobe 4 when pinned (round 6).  On these
-    structureless near-uniform vectors a query's true neighbors spread
-    across coarse cells (the same effect that pushed the plain-IVF
-    tier to nprobe 7/8), so the composition keeps nprobe at 6 — still
-    skipping a quarter of the corpus — as the documented probe/recall
-    trade; clustered production embeddings probe far fewer cells for
-    the same recall."""
+    """IVFADC (nprobe 7 of 8 + ADC shortlist + exact re-rank) must
+    hold recall@5 >= 0.93 vs exact brute force — measured 0.99 here /
+    0.95 at sf0.1 after the nprobe 6 -> 7 lift (VERDICT r10 item 4;
+    raw codes at nprobe 6 measured 0.90/0.91, the family's floor two
+    rounds running).  On these structureless near-uniform vectors a
+    query's true neighbors spread across coarse cells (the same effect
+    that pushed the plain-IVF tier to nprobe 7/8), and the extra probe
+    — not finer codes — is what buys the recall back: the scored
+    candidate set grows ~17% for no measurable wall change because the
+    driver-literal fits dominate the entry."""
     from datafusion_monoid_spark import queries as qcat
 
     got = {}
@@ -190,7 +191,7 @@ def test_pq_ivfadc_recall(spark, emb, brute):
     want = _as_sets(brute)
     hits = sum(len(got.get(qid, set()) & want[qid]) for qid in want)
     recall = hits / (len(want) * 5)
-    assert recall >= 0.8, f"IVFADC recall {recall:.2f} below floor 0.8"
+    assert recall >= 0.93, f"IVFADC recall {recall:.2f} below floor 0.93"
 
 
 def test_pq_ivfadc_residual_recall(spark, emb, brute):
