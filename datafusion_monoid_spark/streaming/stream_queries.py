@@ -306,7 +306,7 @@ def streaming_ann_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
             with _commit_timer("streaming_ann_serve"):
                 sim.ivf_search_pretrained(index, batch_df, cent_list,
                                           k=5, nprobe=7) \
-                   .write.mode("append").parquet(sink)
+                   .coalesce(1).write.mode("append").parquet(sink)
 
         _COMMITS.pop("streaming_ann_serve", None)
         ckpt = _ckpt_dir("streaming_ann_serve")
@@ -380,7 +380,8 @@ def streaming_rollup_maintenance(spark: SparkSession,
                      .alias("v_milli")))
             # idempotent replay: epoch N owns sink/batch=N exclusively
             with _commit_timer("streaming_rollup_maintenance"):
-                agg.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+                (agg.coalesce(1).write.mode("overwrite")
+                 .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_rollup_maintenance", None)
         ckpt = _ckpt_dir("streaming_rollup_maintenance")
@@ -464,8 +465,11 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                         _qcat._idiv(F.sum("p_micro"), F.count(F.lit(1)))
                         .alias("score_micro")))
+            # coalesce(1): one file per commit, not STREAM_SHUFFLE
+            # (per-file commit constants dominated the declared floor)
             with _commit_timer("streaming_lm_score_serve"):
-                out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+                (out.coalesce(1).write.mode("overwrite")
+                 .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_lm_score_serve", None)
         ckpt = _ckpt_dir("streaming_lm_score_serve")
@@ -535,7 +539,8 @@ def streaming_quality_clf_serve(spark: SparkSession,
             out = _qcat._qc_score_docs(
                 batch_df.repartition(STREAM_SHUFFLE), model)
             with _commit_timer("streaming_quality_clf_serve"):
-                out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+                (out.coalesce(1).write.mode("overwrite")
+                 .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_quality_clf_serve", None)
         ckpt = _ckpt_dir("streaming_quality_clf_serve")
@@ -620,9 +625,15 @@ def streaming_bucket_route_serve(spark: SparkSession,
                         .alias("score_micro"))
                    .select("doc_id", "source", "n_bigrams",
                            "score_micro", bucket))
+            # coalesce(1): ONE writer task -> one file per tertile per
+            # commit instead of STREAM_SHUFFLE x 3 (the commit constant
+            # is per-FILE metadata/fsync, and at sf10 it was ~98% of
+            # the loop's wall — VERDICT r10 item 3).  Only the final
+            # agg-merge stage collapses; the tokenize-heavy map side
+            # keeps its parallelism
             with _commit_timer("streaming_bucket_route_serve"):
-                (out.write.mode("overwrite").partitionBy("bucket")
-                 .parquet(f"{sink}/batch={batch_id}"))
+                (out.coalesce(1).write.mode("overwrite")
+                 .partitionBy("bucket").parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_bucket_route_serve", None)
         ckpt = _ckpt_dir("streaming_bucket_route_serve")
@@ -778,7 +789,8 @@ def streaming_bpe_encode_serve(spark: SparkSession,
                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                         F.sum("n_sym").cast("bigint").alias("n_symbols")))
             with _commit_timer("streaming_bpe_encode_serve"):
-                out.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+                (out.coalesce(1).write.mode("overwrite")
+                 .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_bpe_encode_serve", None)
         ckpt = _ckpt_dir("streaming_bpe_encode_serve")
@@ -846,7 +858,8 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
                           F.explode(_dd.word_shingles("text")).alias("sh")))
             sk = _sk.kmv_sketch(el, "source", "sh", k=k)
             with _commit_timer("streaming_kmv_distinct"):
-                sk.write.mode("overwrite").parquet(f"{sink}/batch={batch_id}")
+                (sk.coalesce(1).write.mode("overwrite")
+                 .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_kmv_distinct", None)
         ckpt = _ckpt_dir("streaming_kmv_distinct")
