@@ -11016,6 +11016,22 @@ def ivf_postings_build(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("cand_id").cast("bigint").alias("sum_vec_id")))
 
 
+def _append_ivf_postings(spark: SparkSession, sf_dir: str) -> str:
+    """Assign the arriving batch (vec_id % 11 == 0, the screen
+    convention) to the persisted centroids and write the appended
+    postings generation; idempotent overwrite — re-running an ingest
+    replaces, never duplicates.  Shared by the append entry and the
+    compaction entry."""
+    new_path = _artifact_path(sf_dir, "ivf_postings_new")
+    cpath = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
+    cent_list = _load_centroids_cached(spark, cpath)
+    batch = _emb(spark, sf_dir).where(F.col("vec_id") % 11 == 0)
+    (sim.ivf_assign_pretrained(batch, cent_list)
+     .select("cand_id", F.col("cent_id").cast("bigint").alias("cent_id"))
+     .write.mode("overwrite").parquet(new_path))
+    return new_path
+
+
 @register("ivf_postings_append", f"""
 WITH {_ivf_assign_oracle_ctes()}
 SELECT CAST(cent_id AS BIGINT) AS cent_id,
@@ -11042,13 +11058,7 @@ def ivf_postings_append(spark: SparkSession, sf_dir: str) -> DataFrame:
     postings are only ever READ for the report, never re-assigned; the
     centroids never retrain."""
     old_path = _build_ivf_postings(spark, sf_dir, overwrite=False)
-    new_path = _artifact_path(sf_dir, "ivf_postings_new")
-    cpath = _fit_centroids_persisted(spark, sf_dir, overwrite=False)
-    cent_list = _load_centroids_cached(spark, cpath)
-    batch = _emb(spark, sf_dir).where(F.col("vec_id") % 11 == 0)
-    (sim.ivf_assign_pretrained(batch, cent_list)
-     .select("cand_id", F.col("cent_id").cast("bigint").alias("cent_id"))
-     .write.mode("overwrite").parquet(new_path))
+    new_path = _append_ivf_postings(spark, sf_dir)
     old = spark.read.parquet(old_path).withColumn("is_new", F.lit(0))
     new = spark.read.parquet(new_path).withColumn("is_new", F.lit(1))
     u = old.unionByName(new)
@@ -11057,6 +11067,53 @@ def ivf_postings_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("n_old"),
                  F.sum("is_new").cast("bigint").alias("n_new"),
                  F.count(F.lit(1)).cast("bigint").alias("n_total")))
+
+
+@register("ivf_postings_compact", f"""
+WITH {_ivf_assign_oracle_ctes()}
+SELECT CAST(cent_id AS BIGINT) AS cent_id,
+       CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(min(cand_id) AS BIGINT) AS min_vec_id,
+       CAST(max(cand_id) AS BIGINT) AS max_vec_id,
+       CAST(sum(cand_id) AS BIGINT) AS sum_vec_id
+FROM asg GROUP BY cent_id
+""")
+def ivf_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPACT the IVF index: fold the appended postings generation
+    back into the base layout — the maintenance operation that closes
+    the build/append pair (VERDICT r10 item 6).  Appends accumulate as
+    per-ingest generations; compaction unions base + appends and
+    rewrites ONE artifact partitioned by ``cent_id`` (the inverted-
+    list layout: a probe reads only its cells' directories — the
+    partition-pruned read the serve path wants).  Idempotent: the
+    write is a full overwrite keyed by nothing run-dependent, so
+    re-running replaces the same artifact; and because assignment is
+    deterministic, compact(build ∪ append) is row-identical to a
+    from-scratch build over the whole corpus — asserted hash-for-hash
+    in tests/test_pipeline_r11.py, and this entry's oracle is exactly
+    that from-scratch assignment digest.  Returns the per-centroid
+    digest of the compacted ON-DISK artifact.
+
+    Scale: O(index), never O(corpus) — the inputs are the two narrow
+    postings relations (the corpus vectors are touched only if a
+    missing generation must first be built, which is the build/append
+    entries' job); one hash exchange on cent_id co-locates each cell's
+    postings, then the write is cell-local.  The containment probe
+    index needs no analogue: its screen entries read the two build
+    artifacts directly and no appended generation accumulates."""
+    old_path = _build_ivf_postings(spark, sf_dir, overwrite=False)
+    new_path = _append_ivf_postings(spark, sf_dir)
+    out_path = _artifact_path(sf_dir, "ivf_postings_compacted")
+    u = (spark.read.parquet(old_path)
+         .unionByName(spark.read.parquet(new_path)))
+    (u.repartition("cent_id").write.mode("overwrite")
+     .partitionBy("cent_id").parquet(out_path))
+    p = spark.read.parquet(out_path)  # cent_id read back as partition col
+    return (p.groupBy(F.col("cent_id").cast("bigint").alias("cent_id"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                 F.min("cand_id").cast("bigint").alias("min_vec_id"),
+                 F.max("cand_id").cast("bigint").alias("max_vec_id"),
+                 F.sum("cand_id").cast("bigint").alias("sum_vec_id")))
 
 
 register("streaming_bucket_route_serve", f"""

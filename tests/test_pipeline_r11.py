@@ -95,3 +95,51 @@ def test_df_cap_recall_unchanged_at_threshold(spark):
         got = {(r["id_a"], r["id_b"]) for r in
                qcat._containment_exact_verify(docs, cand).collect()}
         assert got == exact, f"max_df={max_df}: {got}"
+
+
+# ---------------------------------------------------------------------------
+# IVF postings compaction (ivf_postings_compact)
+# ---------------------------------------------------------------------------
+
+def test_postings_compact_equals_build_from_scratch(spark, cat):
+    """build -> append -> compact must equal a from-scratch assignment
+    of the WHOLE corpus against the same persisted centroids, row for
+    row — and compaction must be idempotent (a second run replaces the
+    artifact with identical content)."""
+    from datafusion_monoid_spark.operators import similarity as sim
+
+    cat["ivf_postings_build"][0](spark, SF001).collect()
+    cat["ivf_postings_append"][0](spark, SF001).collect()
+    cat["ivf_postings_compact"][0](spark, SF001).collect()
+    out_path = qcat._artifact_path(SF001, "ivf_postings_compacted")
+
+    def on_disk():
+        return {(r["cand_id"], int(r["cent_id"])) for r in
+                spark.read.parquet(out_path).collect()}
+
+    got = on_disk()
+    cpath = qcat._fit_centroids_persisted(spark, SF001, overwrite=False)
+    cl = qcat._load_centroids_cached(spark, cpath)
+    e = spark.read.parquet(f"{SF001}/embeddings.parquet")
+    want = {(r["cand_id"], int(r["cent_id"])) for r in
+            sim.ivf_assign_pretrained(e, cl).collect()}
+    assert got == want
+    cat["ivf_postings_compact"][0](spark, SF001).collect()
+    assert on_disk() == got
+
+
+def test_postings_compact_layout_is_cell_partitioned(spark, cat):
+    """The compacted artifact must carry the inverted-list layout:
+    one cent_id=K directory per occupied cell, so a probe's read is
+    partition-pruned to its cells."""
+    import os
+    cat["ivf_postings_compact"][0](spark, SF001).collect()
+    out_path = qcat._artifact_path(SF001, "ivf_postings_compacted")
+    cells = sorted(d for d in os.listdir(out_path)
+                   if d.startswith("cent_id="))
+    assert cells, "no cell directories in the compacted artifact"
+    on_disk = {int(d.split("=")[1]) for d in cells}
+    want = {int(r["cent_id"]) for r in
+            spark.read.parquet(out_path).select("cent_id")
+            .distinct().collect()}
+    assert on_disk == want
