@@ -927,13 +927,13 @@ GROUP BY idx.doc_id
 """
 
 
-def _contain_screen_pairs_sql() -> str:
-    """The screen's per-pair relation — shared by the batch entry and
-    the streaming twin's oracle (stream == batch by per-doc
-    independence: a pair's hits and verify depend only on the new
-    doc's own hashes plus the static index)."""
-    return f"""
-WITH newh AS ({_cidx_set_sql('new')}),
+def _contain_screen_chain_sql(newh_sql: str) -> str:
+    """CTE chain ``newh -> ... -> screen`` over a GIVEN new-side
+    (doc_id, h) DISTINCT-set subquery — the screen's per-pair relation,
+    shared by the incremental screen, its streaming twin, and the
+    cascade-composed pipeline (which feeds exact-dedup SURVIVORS as the
+    new side)."""
+    return f"""newh AS ({newh_sql}),
 idx AS ({_cidx_set_sql('old')}),
 d1 AS (SELECT q.doc_id AS new_id, t.doc_id AS old_id
        FROM {_cidx_probes_sql('newh')} q JOIN idx t USING (h)),
@@ -948,19 +948,32 @@ inter AS (SELECT c.new_id, c.old_id, count(*) AS n_common
                       JOIN idx b ON c.old_id = b.doc_id AND a.h = b.h
           GROUP BY c.new_id, c.old_id),
 nn AS (SELECT doc_id, count(*) AS n FROM newh GROUP BY doc_id),
-no AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id)
-SELECT new_id, old_id,
-       CAST(n_common AS BIGINT) AS n_common,
-       CAST(nn.n AS BIGINT) AS n_new,
-       CAST(no.n AS BIGINT) AS n_old,
-       CAST((n_common * 1000000) // nn.n AS BIGINT)
-         AS cont_new_in_old_micro,
-       CAST((n_common * 1000000) // no.n AS BIGINT)
-         AS cont_old_in_new_micro
-FROM inter JOIN nn ON inter.new_id = nn.doc_id
-           JOIN no ON inter.old_id = no.doc_id
-WHERE greatest((n_common * 1000000) // nn.n,
-               (n_common * 1000000) // no.n) >= 600000
+no AS (SELECT doc_id, count(*) AS n FROM idx GROUP BY doc_id),
+screen AS (
+  SELECT new_id, old_id,
+         CAST(n_common AS BIGINT) AS n_common,
+         CAST(nn.n AS BIGINT) AS n_new,
+         CAST(no.n AS BIGINT) AS n_old,
+         CAST((n_common * 1000000) // nn.n AS BIGINT)
+           AS cont_new_in_old_micro,
+         CAST((n_common * 1000000) // no.n AS BIGINT)
+           AS cont_old_in_new_micro
+  FROM inter JOIN nn ON inter.new_id = nn.doc_id
+             JOIN no ON inter.old_id = no.doc_id
+  WHERE greatest((n_common * 1000000) // nn.n,
+                 (n_common * 1000000) // no.n) >= 600000)"""
+
+
+def _contain_screen_pairs_sql() -> str:
+    """The screen's per-pair relation — shared by the batch entry and
+    the streaming twin's oracle (stream == batch by per-doc
+    independence: a pair's hits and verify depend only on the new
+    doc's own hashes plus the static index)."""
+    return f"""
+WITH {_contain_screen_chain_sql(_cidx_set_sql('new'))}
+SELECT new_id, old_id, n_common, n_new, n_old,
+       cont_new_in_old_micro, cont_old_in_new_micro
+FROM screen
 """
 
 
@@ -1099,6 +1112,69 @@ def dedup_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     new = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
     return _containment_screen_kernel(
         new, spark.read.parquet(ipath), spark.read.parquet(ppath))
+
+
+def _pipeline_containment_screen_sql() -> str:
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    surv_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+                 "(SELECT doc_id, unnest({shg}) AS s FROM surv)").format(
+        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
+    return f"""
+WITH nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+reps AS (SELECT min(doc_id) AS doc_id FROM nb GROUP BY md5({norm})),
+surv AS (SELECT nb.doc_id, nb.text FROM nb JOIN reps USING (doc_id)),
+{_contain_screen_chain_sql(surv_newh)}
+SELECT (SELECT count(*) FROM nb) AS n_batch,
+       (SELECT count(*) FROM reps) AS n_exact_unique,
+       (SELECT count(*) FROM screen) AS n_flagged_pairs,
+       (SELECT count(DISTINCT new_id) FROM screen) AS n_flagged_docs,
+       (SELECT count(*) FROM reps)
+         - (SELECT count(DISTINCT new_id) FROM screen) AS n_clean_docs
+"""
+
+
+@register("pipeline_containment_screen", _pipeline_containment_screen_sql())
+def pipeline_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-DEDUP-FIRST containment screen — the cascade composed into
+    the ingest gate (VERDICT r10 item 5): the arriving batch
+    (doc_id % 11 == 0) is exact-deduped to min-id representatives
+    (one content-hash shuffle), and only the SURVIVORS probe the
+    persisted containment index.  This is the production cure for the
+    clone-heavy-corpus quadratic the direct screen's sf10 adjudication
+    documents: a doc with c exact copies in the batch otherwise sends
+    all c through the probe join and every (copy, indexed-near-dup)
+    pair through the exact verify — c x the candidate mass for zero
+    information, since copies screen identically.  Reports the
+    per-stage survivor counts (batch -> exact-unique -> flagged/clean)
+    so the reduction is visible, the cascade-entry convention.
+
+    Scale: stage 1 is one partial-agg hash shuffle over the batch;
+    stage 2 is the standard screen kernel over the (possibly far
+    smaller) survivor set — per-ingest work drops from
+    O(|batch| x df) to O(|unique batch| x df) and the verify's
+    candidate mass by the clone factor squared.  Oracle replays
+    dedup, probes both directions, and the exact verify in one
+    chain."""
+    ipath, ppath = _build_containment_index(spark, sf_dir,
+                                            overwrite=False)
+    nb = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    keyed = dd.exact_dedup_keys(nb, "text")
+    reps = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
+    surv = nb.join(reps.select("doc_id"), "doc_id", "left_semi")
+    flagged = _containment_screen_kernel(
+        surv, spark.read.parquet(ipath), spark.read.parquet(ppath))
+    fstats = flagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_flagged_pairs"),
+        F.countDistinct("new_id").cast("bigint").alias("n_flagged_docs"))
+    nstats = nb.agg(F.count(F.lit(1)).cast("bigint").alias("n_batch"))
+    rstats = reps.agg(F.count(F.lit(1)).cast("bigint")
+                      .alias("n_exact_unique"))
+    # three 1-row aggregates compose broadcast (the cascade-entry shape)
+    return (nstats.crossJoin(rstats).crossJoin(fstats)
+            .select("n_batch", "n_exact_unique", "n_flagged_pairs",
+                    "n_flagged_docs",
+                    (F.col("n_exact_unique") - F.col("n_flagged_docs"))
+                    .cast("bigint").alias("n_clean_docs")))
 
 
 def _simhash_sims_cte() -> str:

@@ -98,6 +98,58 @@ def test_df_cap_recall_unchanged_at_threshold(spark):
 
 
 # ---------------------------------------------------------------------------
+# cascade-composed containment screen (pipeline_containment_screen)
+# ---------------------------------------------------------------------------
+
+def test_pipeline_containment_screen_stage_accounting(spark, cat):
+    """On the base tier (no exact clones by construction) the cascade
+    is a no-op pass-through: exact-unique == batch, and the flagged
+    pairs equal the DIRECT screen's output — composing the cascade
+    never changes results on a clone-free batch, it only caps the
+    clone-heavy case."""
+    row = cat["pipeline_containment_screen"][0](spark, SF001).collect()[0]
+    direct = cat["dedup_containment_screen"][0](spark, SF001).collect()
+    assert row["n_batch"] > 0
+    assert row["n_exact_unique"] == row["n_batch"]
+    assert row["n_flagged_pairs"] == len(direct)
+    assert row["n_flagged_docs"] == len({r["new_id"] for r in direct})
+    assert row["n_clean_docs"] == (row["n_exact_unique"]
+                                   - row["n_flagged_docs"])
+
+
+def test_pipeline_containment_screen_dedups_clone_batch(spark):
+    """On a clone-heavy batch the cascade screens ONLY survivors: a doc
+    with c exact copies contributes one probe-side doc, not c — the
+    candidate mass drops by the clone factor (the sf10 adjudication's
+    cure, measured here structurally on a constructed corpus)."""
+    old_rows = [(1, " ".join(f"alpha{i} beta{i} gamma{i}"
+                             for i in range(8)))]
+    old_rows += [(2 + k, " ".join(f"bg{k}x{i} item{k}y{i}"
+                                  for i in range(30))) for k in range(5)]
+    quote = old_rows[0][1]
+    # batch: 4 exact copies of a doc quoting the indexed doc + 2 unique
+    batch_rows = [(100 + j, quote) for j in range(4)]
+    batch_rows += [(200, "plain unique words here " * 5),
+                   (201, "other unique tokens there " * 5)]
+    old = spark.createDataFrame(old_rows, "doc_id bigint, text string")
+    nb = spark.createDataFrame(batch_rows, "doc_id bigint, text string")
+    oh = dd.shingle_hashes(old, "doc_id",
+                           dd.word_shingles("text")).distinct()
+    iprobes = dd.probe_argmins_long(oh, "doc_id")
+    keyed = dd.exact_dedup_keys(nb, "text")
+    reps = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
+    surv = nb.join(reps.select("doc_id"), "doc_id", "left_semi")
+    assert surv.count() == 3  # 4 clones collapsed to 1 + 2 unique
+    flagged = qcat._containment_screen_kernel(surv, oh, iprobes).collect()
+    # exactly the representative clone flags against the quoted doc
+    assert {(r["new_id"], r["old_id"]) for r in flagged} == {(100, 1)}
+    # the DIRECT screen pays all 4 clones through the verify
+    direct = qcat._containment_screen_kernel(nb, oh, iprobes).collect()
+    assert {(r["new_id"], r["old_id"]) for r in direct} == {
+        (100, 1), (101, 1), (102, 1), (103, 1)}
+
+
+# ---------------------------------------------------------------------------
 # IVF postings compaction (ivf_postings_compact)
 # ---------------------------------------------------------------------------
 
