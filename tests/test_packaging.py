@@ -72,3 +72,25 @@ def test_driver_window_covers_backlog():
     assert not missing, (
         f"{len(missing)} never-driver-checked entries outside the "
         f"50-entry window: {missing}")
+
+
+def test_r11_window_leads_with_deferred():
+    """The r10 window deferred 8 r6-stale entries to fit 17 new
+    sentinels; ADVICE r10 pins that deferral so the rotation cannot
+    silently slip again — the r11 window MUST lead with exactly those
+    8, verified against the on-disk artifacts (they are the oldest
+    latest-check in the checkout)."""
+    import glob
+    import json
+
+    from datafusion_monoid_spark import queries as qcat
+
+    window = list(qcat.catalog())[:50]
+    assert window[:8] == qcat._R11_DEFERRED_HEAD
+    seen: dict = {}
+    for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            for name in json.load(f):
+                seen[name] = os.path.basename(path)
+    oldest = min(seen.values())
+    assert {seen.get(n) for n in qcat._R11_DEFERRED_HEAD} == {oldest}
