@@ -625,14 +625,19 @@ def streaming_bucket_route_serve(spark: SparkSession,
                         .alias("score_micro"))
                    .select("doc_id", "source", "n_bigrams",
                            "score_micro", bucket))
-            # coalesce(1): ONE writer task -> one file per tertile per
-            # commit instead of STREAM_SHUFFLE x 3 (the commit constant
-            # is per-FILE metadata/fsync, and at sf10 it was ~98% of
-            # the loop's wall — VERDICT r10 item 3).  Only the final
-            # agg-merge stage collapses; the tokenize-heavy map side
-            # keeps its parallelism
+            # one file PER TERTILE per commit (VERDICT r10 item 3):
+            # range-partition on bucket so each tertile gets its own
+            # writer task — 3 files instead of STREAM_SHUFFLE x 3,
+            # with the parquet encode still 3-way parallel.  A plain
+            # coalesce(1) was measured 222 s commit at sf10 vs 170 s
+            # for the 24-file form: the router's payload is the whole
+            # scored batch, so writer PARALLELISM matters more than
+            # the per-file constant once batches are large — per-
+            # tertile writers keep both.  The tokenize-heavy map side
+            # is untouched either way
             with _commit_timer("streaming_bucket_route_serve"):
-                (out.coalesce(1).write.mode("overwrite")
+                (out.repartitionByRange(3, "bucket")
+                 .write.mode("overwrite")
                  .partitionBy("bucket").parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_bucket_route_serve", None)
