@@ -781,13 +781,18 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      cand_full.select("id_a", "id_b"))
 
 
-def _containment_lsh_oracle_sql() -> str:
+def _containment_lsh_oracle_sql(max_df: int | None = None) -> str:
     n = dd.CONTAIN_PROBES
     probe_cols = ", ".join(
         f"arg_min(h, (h * {dd._minhash_params(i)[0]} + "
         f"{dd._minhash_params(i)[1]}) % {dd.MINHASH_P}) AS p{i}"
         for i in range(n))
     plist = "[" + ", ".join(f"p{i}" for i in range(n)) + "]"
+    # the cap applies to the INDEX side of the candidate join only —
+    # probes stay each document's own argmins (dd twin semantics)
+    idx = ("(SELECT * FROM hashed WHERE h IN (SELECT h FROM hashed "
+           f"GROUP BY h HAVING count(*) <= {max_df}))"
+           if max_df is not None else "hashed")
     return f"""
 WITH hashed AS (
   SELECT doc_id, {dd.md5_long_sql('s')} % 4294967296 AS h
@@ -800,7 +805,7 @@ cand AS (
   SELECT id_a, id_b FROM (
     SELECT least(q.doc_id, t.doc_id) AS id_a,
            greatest(q.doc_id, t.doc_id) AS id_b
-    FROM plong q JOIN hashed t USING (h)
+    FROM plong q JOIN {idx} t USING (h)
     WHERE q.doc_id != t.doc_id)
   GROUP BY id_a, id_b
   HAVING count(*) >= {dd.CONTAIN_MIN_HITS}
@@ -842,6 +847,38 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     hashed = _probe_hashes_shared(spark, sf_dir)
     cand = dd.containment_probe_candidates(hashed, "doc_id")
+    return _containment_exact_verify(docs, cand)
+
+
+#: df cap for the capped catalog entry — sized ~1% of the sf0.01
+#: corpus (5000 docs): genuinely ubiquitous boilerplate is pruned,
+#: topical co-occurrence survives
+_CONTAIN_MAX_DF = 64
+
+
+@register("dedup_containment_lsh_capped",
+          _containment_lsh_oracle_sql(max_df=_CONTAIN_MAX_DF))
+def dedup_containment_lsh_capped(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The probe-indexed containment entry WITH the document-frequency
+    cap engaged (max_df = 64) — the 100 TB stop-shingle guard as a
+    driver-gated entry, capped identically in both engines so the cap
+    SEMANTICS are hash-checked, not just unit-tested: index-side
+    postings of shingle hashes with df > 64 drop before the candidate
+    join; probes stay each document's own argmins.  Pairs whose
+    candidate mass rode only on ubiquitous shingles lose it (their
+    true containment is far below 0.6 — the recall argument at
+    ``dd.containment_probe_candidates``); everything else verifies
+    through the same exact micro-integer kernel.
+
+    Scale: identical posture to ``dedup_containment_lsh`` plus one
+    partial agg on the join key; at 100 TB the df relation is
+    precomputed at ingest next to the postings and the cap is what
+    bounds the hottest posting list."""
+    docs = _docs(spark, sf_dir)
+    hashed = _probe_hashes_shared(spark, sf_dir)
+    cand = dd.containment_probe_candidates(hashed, "doc_id",
+                                           max_df=_CONTAIN_MAX_DF)
     return _containment_exact_verify(docs, cand)
 
 
@@ -11749,10 +11786,10 @@ _DRIVER_WINDOW_R11 = [
     # the deferred r6-stale head (judge-reverified green in r10; the
     # committed rotation debt)
     *_R11_DEFERRED_HEAD,
-    # the 3 never-driver-checked r11 entries (cascade-composed screen,
-    # postings compaction, curation capstone)
+    # the 4 never-driver-checked r11 entries (cascade-composed screen,
+    # postings compaction, curation capstone, capped probe index)
     "pipeline_containment_screen", "ivf_postings_compact",
-    "pipeline_curation_capstone",
+    "pipeline_curation_capstone", "dedup_containment_lsh_capped",
     # changed this round: pq_ivfadc_topk's OUTPUT changed (nprobe 6->7
     # recall lift, oracle in lockstep); lm_bucket_thresholds' oracle
     # gained the degenerate-corpus n_docs coalesce; the containment
@@ -11779,7 +11816,7 @@ _DRIVER_WINDOW_R11 = [
     "dedup_cluster_keep_best", "curation_token_budget_mix",
     "dedup_incremental_newbatch", "skew_aqe_join_deviation",
     "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
-    "semdedup_prune_pretrained", "dq_integrity_report",
+    "semdedup_prune_pretrained",
 ]
 
 
