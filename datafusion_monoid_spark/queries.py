@@ -2916,6 +2916,62 @@ def pack_sequences_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum("n_toks").cast("bigint").alias("bin_tokens")))
 
 
+#: shard count for the training-shard export entry
+_EXPORT_SHARDS = 16
+
+
+@register("export_training_shards", f"""
+WITH sized AS (
+  SELECT doc_id, text, len({_TOKS}) AS n_toks,
+         {dd.md5_long_sql("CAST(doc_id AS VARCHAR)")} AS skey
+  FROM documents)
+SELECT CAST(skey % {_EXPORT_SHARDS} AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+       CAST(min(skey) AS BIGINT) AS min_key,
+       CAST(max(skey) AS BIGINT) AS max_key
+FROM sized GROUP BY shard
+""")
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXPORT the corpus as deterministically-shuffled training shards
+    — the last mile of a curation pipeline: every trainer reads shards
+    whose membership AND within-shard order are pure functions of the
+    data (md5 of the doc id), so the "global shuffle" is reproducible
+    on any engine, any partitioning, any run, with no RNG state to
+    ship.  Shard = hash mod {_EXPORT_SHARDS} (uniform by construction);
+    rows land hash-ordered within their shard file (pinned in
+    tests/test_pipeline_r11.py), which is what breaks source/time
+    locality for training.  The artifact is a shard-partitioned
+    parquet directory (one dir per shard — trainers read their shard
+    with partition pruning); the entry returns the per-shard digest of
+    the ON-DISK state, so the oracle verifies exactly what a trainer
+    would consume.
+
+    Scale: shard assignment is a map-only hash; the write is one
+    exchange on the shard key + a within-partition sort — the classic
+    repartition + sortWithinPartitions export, no global sort, no
+    driver involvement.  The sort prefix (shard) satisfies the
+    writer's required partition ordering, so no second sort is
+    inserted."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", "text",
+        tx.token_counts("text")["ws_tokens"].alias("n_toks"),
+        dd.md5_long(F.col("doc_id").cast("string")).alias("skey"))
+    out = _artifact_path(sf_dir, "training_shards")
+    (sized.withColumn("shard",
+                      (F.col("skey") % _EXPORT_SHARDS).cast("bigint"))
+     .repartition(_EXPORT_SHARDS, "shard")
+     .sortWithinPartitions("shard", "skey", "doc_id")
+     .write.mode("overwrite").partitionBy("shard").parquet(out))
+    p = spark.read.parquet(out)  # shard read back as partition column
+    return (p.groupBy(F.col("shard").cast("bigint").alias("shard"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("shard_tokens"),
+                 F.min("skey").cast("bigint").alias("min_key"),
+                 F.max("skey").cast("bigint").alias("max_key")))
+
+
 _STRATA_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.1}
 
 
@@ -11786,10 +11842,12 @@ _DRIVER_WINDOW_R11 = [
     # the deferred r6-stale head (judge-reverified green in r10; the
     # committed rotation debt)
     *_R11_DEFERRED_HEAD,
-    # the 4 never-driver-checked r11 entries (cascade-composed screen,
-    # postings compaction, curation capstone, capped probe index)
+    # the 5 never-driver-checked r11 entries (cascade-composed screen,
+    # postings compaction, curation capstone, capped probe index,
+    # training-shard export)
     "pipeline_containment_screen", "ivf_postings_compact",
     "pipeline_curation_capstone", "dedup_containment_lsh_capped",
+    "export_training_shards",
     # changed this round: pq_ivfadc_topk's OUTPUT changed (nprobe 6->7
     # recall lift, oracle in lockstep); lm_bucket_thresholds' oracle
     # gained the degenerate-corpus n_docs coalesce; the containment
@@ -11816,7 +11874,6 @@ _DRIVER_WINDOW_R11 = [
     "dedup_cluster_keep_best", "curation_token_budget_mix",
     "dedup_incremental_newbatch", "skew_aqe_join_deviation",
     "sim_ivf_fit_centroids", "sim_topk_ivf_pretrained",
-    "semdedup_prune_pretrained",
 ]
 
 

@@ -205,6 +205,39 @@ def test_postings_compact_equals_build_from_scratch(spark, cat):
     assert on_disk() == got
 
 
+def test_export_shards_deterministic_shuffle(spark, cat):
+    """The exported shards must be a pure function of the data: shard
+    membership = md5(doc_id) mod 16, every shard directory present,
+    and rows HASH-ORDERED within each shard file (the property that
+    breaks source/time locality for training) — checked by reading a
+    part file directly, which preserves parquet row order."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    from datafusion_monoid_spark.operators.dedup import md5_long
+
+    cat["export_training_shards"][0](spark, SF001).collect()
+    out = qcat._artifact_path(SF001, "training_shards")
+    shards = sorted(d for d in os.listdir(out) if d.startswith("shard="))
+    assert len(shards) == qcat._EXPORT_SHARDS
+    # membership: every doc in shard k has skey % 16 == k
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    want = {r["doc_id"]: r["k"] for r in
+            docs.select("doc_id",
+                        (md5_long(F.col("doc_id").cast("string"))
+                         % qcat._EXPORT_SHARDS).alias("k")).collect()}
+    exported = spark.read.parquet(out).select("doc_id", "shard").collect()
+    assert len(exported) == len(want)
+    assert all(want[r["doc_id"]] == int(r["shard"]) for r in exported)
+    # within-file hash order, checked on every shard's part files
+    for d in shards:
+        for f in glob.glob(os.path.join(out, d, "*.parquet")):
+            keys = pq.read_table(f, columns=["skey"])["skey"].to_pylist()
+            assert keys == sorted(keys), f"unsorted shard file {f}"
+
+
 def test_postings_compact_layout_is_cell_partitioned(spark, cat):
     """The compacted artifact must carry the inverted-list layout:
     one cent_id=K directory per occupied cell, so a probe's read is
