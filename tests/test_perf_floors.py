@@ -194,9 +194,12 @@ SF01_CEILINGS = {
     # persisted-threshold fit (r10): score histogram + 1-row write
     # from the persisted model — a blown ceiling means the corpus
     # re-sorts instead of the histogram window, or the LM fit's
-    # occurrence checkpoint regressed to two tokenize passes
-    # (cold-sweep 1.7 s fit-absorbed)
-    "lm_bucket_thresholds": 5.0,
+    # occurrence checkpoint regressed to two tokenize passes.
+    # 5.0 -> 6.0 (r11): quiet warm best is 2.7-3.1 s (isolated
+    # re-measure), but the full suite's own load tipped a best-of-2
+    # over 5.0 once — 6.0 keeps the 2x-plan-change sensitivity with
+    # in-suite ambient margin
+    "lm_bucket_thresholds": 6.0,
     # IVFADC fused entry (r11, VERDICT r10 item 4): slowest catalog
     # entry two rounds running with no ceiling to tell ambient from a
     # plan change.  The driver-literal Lloyd fits dominate (~85% of
