@@ -11476,8 +11476,13 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     s3 = _track_ckpt(
         s2.join(reps.select("doc_id"), "doc_id", "left_semi")
         .localCheckpoint(eager=True))
-    # stage 4: containment screen among survivors, keep-min policy
-    hashed = dd.shingle_hashes(s3, "doc_id", dd.word_shingles("text"))
+    # stage 4: containment screen among survivors, keep-min policy.
+    # The survivor shingle-hash relation is the session-shared corpus
+    # index semi-joined to survivors — the corpus tokenizes into
+    # shingles ONCE per session, not once per consumer (word_shingles
+    # is per-doc distinct, so the slice equals a fresh build)
+    hashed = (_probe_hashes_shared(spark, sf_dir)
+              .join(s3.select("doc_id"), "doc_id", "left_semi"))
     flagged = _containment_exact_verify(
         s3, dd.containment_probe_candidates(hashed, "doc_id"))
     drop = flagged.select(F.col("id_b").alias("doc_id")).distinct()
