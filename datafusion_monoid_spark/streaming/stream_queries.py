@@ -465,10 +465,15 @@ def streaming_lm_score_serve(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
                         _qcat._idiv(F.sum("p_micro"), F.count(F.lit(1)))
                         .alias("score_micro")))
-            # coalesce(1): one file per commit, not STREAM_SHUFFLE
-            # (per-file commit constants dominated the declared floor)
+            # repartition(1), not coalesce(1): one file per commit
+            # (per-file constants dominated the declared floor), but
+            # through an EXPLICIT exchange so the per-doc agg's reduce
+            # side keeps its parallelism — coalesce(1) collapses that
+            # whole stage to one task, which serializes the 1.25M-row
+            # agg merge at sf10 (the router study's lesson applied to
+            # the unpartitioned sinks)
             with _commit_timer("streaming_lm_score_serve"):
-                (out.coalesce(1).write.mode("overwrite")
+                (out.repartition(1).write.mode("overwrite")
                  .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_lm_score_serve", None)
@@ -539,7 +544,7 @@ def streaming_quality_clf_serve(spark: SparkSession,
             out = _qcat._qc_score_docs(
                 batch_df.repartition(STREAM_SHUFFLE), model)
             with _commit_timer("streaming_quality_clf_serve"):
-                (out.coalesce(1).write.mode("overwrite")
+                (out.repartition(1).write.mode("overwrite")
                  .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_quality_clf_serve", None)
@@ -794,7 +799,7 @@ def streaming_bpe_encode_serve(spark: SparkSession,
                    .agg(F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
                         F.sum("n_sym").cast("bigint").alias("n_symbols")))
             with _commit_timer("streaming_bpe_encode_serve"):
-                (out.coalesce(1).write.mode("overwrite")
+                (out.repartition(1).write.mode("overwrite")
                  .parquet(f"{sink}/batch={batch_id}"))
 
         _COMMITS.pop("streaming_bpe_encode_serve", None)
