@@ -200,14 +200,31 @@ SF01_CEILINGS = {
     # over 5.0 once — 6.0 keeps the 2x-plan-change sensitivity with
     # in-suite ambient margin
     "lm_bucket_thresholds": 6.0,
+    # round-11 entries (quiet local[8] sf0.1 best-of-2 in parens;
+    # ceilings ~2x with in-suite ambient margin).  A blown capstone
+    # ceiling means a stage re-shuffled another's output or a gate
+    # lost its broadcast; a blown capped-probe ceiling means the df
+    # relation stopped semi-joining (index exploded); a blown screen
+    # ceiling means the batch stopped exact-deduping before the probe
+    # join; export/compact ceilings mean the exchange+sort write grew
+    # a global sort or a second corpus scan
+    "pipeline_curation_capstone": 40.0,   # (22.0)
+    "dedup_containment_lsh_capped": 14.0,  # (7.5)
+    "pipeline_containment_screen": 8.0,   # (3.8)
+    "export_training_shards": 4.0,        # (1.3)
+    "ivf_postings_compact": 5.0,          # (1.8)
     # IVFADC fused entry (r11, VERDICT r10 item 4): slowest catalog
     # entry two rounds running with no ceiling to tell ambient from a
     # plan change.  The driver-literal Lloyd fits dominate (~85% of
     # wall); the nprobe 6 -> 7 recall lift (0.90 -> 0.95 at sf0.1)
     # costs no measurable wall (8.3 vs 8.4 s warm).  A blown ceiling
     # means per-round fit jobs multiplied or the probe/ADC candidate
-    # join lost its broadcast (quiet warm best-of-2 8.4 s)
-    "pq_ivfadc_topk": 12.0,
+    # join lost its broadcast.  Quiet warm best-of-2 is 8.4 s in a
+    # dedicated session, but inside this suite (fresh session, one
+    # tpch warm-up, the giant ADC plan's codegen still cold) best-of-2
+    # measures ~12 s — 16 keeps 2x-plan-change sensitivity in the
+    # context the test actually runs in
+    "pq_ivfadc_topk": 16.0,
 }
 
 pytestmark = pytest.mark.skipif(
