@@ -238,6 +238,30 @@ def test_export_shards_deterministic_shuffle(spark, cat):
             assert keys == sorted(keys), f"unsorted shard file {f}"
 
 
+def test_export_write_plan_no_global_sort(spark):
+    """The export's pre-write frame must sort WITHIN partitions only
+    (global=false in the Sort node) over one hash exchange on the
+    shard key — a global sort here would serialize the corpus through
+    a single range at 100 TB."""
+    from datafusion_monoid_spark.operators import dedup as dd2
+    from datafusion_monoid_spark.operators import text as tx
+
+    docs = spark.read.parquet(f"{SF001}/documents.parquet")
+    frame = (docs.select(
+        "doc_id", "text",
+        tx.token_counts("text")["ws_tokens"].alias("n_toks"),
+        dd2.md5_long(F.col("doc_id").cast("string")).alias("skey"))
+        .withColumn("shard", (F.col("skey") % qcat._EXPORT_SHARDS)
+                    .cast("bigint"))
+        .repartition(qcat._EXPORT_SHARDS, "shard")
+        .sortWithinPartitions("shard", "skey", "doc_id"))
+    p = frame._sc._jvm.PythonSQLUtils.explainString(
+        frame._jdf.queryExecution(), "simple")
+    assert "Sort" in p and "false, 0" in p   # partition-local sort
+    assert "true, 0" not in p                # no global sort anywhere
+    assert "hashpartitioning(shard" in p
+
+
 def test_postings_compact_layout_is_cell_partitioned(spark, cat):
     """The compacted artifact must carry the inverted-list layout:
     one cent_id=K directory per occupied cell, so a probe's read is
