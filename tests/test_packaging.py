@@ -74,23 +74,58 @@ def test_driver_window_covers_backlog():
         f"50-entry window: {missing}")
 
 
-def test_r11_window_leads_with_deferred():
-    """The r10 window deferred 8 r6-stale entries to fit 17 new
-    sentinels; ADVICE r10 pins that deferral so the rotation cannot
-    silently slip again — the r11 window MUST lead with exactly those
-    8, verified against the on-disk artifacts (they are the oldest
-    latest-check in the checkout)."""
+def _latest_check_by_entry(max_round: int) -> dict:
+    """Latest CORRECTNESS_r*.json round per entry, considering ONLY
+    artifacts from rounds <= ``max_round``.  Window tests MUST pin
+    against the artifact set that existed when the window was cut:
+    the r11 version of this test scanned ALL artifacts, so it
+    self-invalidated the moment the driver wrote CORRECTNESS_r11.json
+    (the deferred entries' latest check became r11, no longer the
+    checkout's oldest — ADVICE r11, VERDICT r11 item 1)."""
     import glob
     import json
+    import re
 
-    from datafusion_monoid_spark import queries as qcat
-
-    window = list(qcat.catalog())[:50]
-    assert window[:8] == qcat._R11_DEFERRED_HEAD
     seen: dict = {}
     for path in sorted(glob.glob(os.path.join(ROOT, "CORRECTNESS_r*.json"))):
+        rnd = int(re.search(r"_r(\d+)\.json$", path).group(1))
+        if rnd > max_round:
+            continue
         with open(path) as f:
             for name in json.load(f):
                 seen[name] = os.path.basename(path)
+    return seen
+
+
+def test_r11_window_leads_with_deferred():
+    """The r10 window deferred 8 r6-stale entries to fit 17 new
+    sentinels; ADVICE r10 pins that deferral so the rotation cannot
+    silently slip again — the r11 window led with exactly those 8,
+    verified against the artifacts that existed when r11 was cut
+    (r01–r10 only: their latest check in THAT set is the oldest)."""
+    from datafusion_monoid_spark import queries as qcat
+
+    assert qcat._DRIVER_WINDOW_R11[:8] == qcat._R11_DEFERRED_HEAD
+    seen = _latest_check_by_entry(max_round=10)
     oldest = min(seen.values())
     assert {seen.get(n) for n in qcat._R11_DEFERRED_HEAD} == {oldest}
+
+
+def test_r12_window_leads_with_r7_stale():
+    """VERDICT r11 item 2: the r12 window must lead with the 21
+    entries whose latest driver check (as of the r01–r11 artifact
+    set, i.e. when this window was cut) is r07 — the oldest cohort in
+    the rotation.  Pinned against rounds <= 11 so CORRECTNESS_r12.json
+    landing on disk cannot flip this assertion."""
+    from datafusion_monoid_spark import queries as qcat
+
+    window = list(qcat.catalog())[:50]
+    head = qcat._R12_STALE_HEAD
+    assert window[: len(head)] == head
+    seen = _latest_check_by_entry(max_round=11)
+    r7 = sorted(n for n, p in seen.items()
+                if p == "CORRECTNESS_r07.json")
+    assert sorted(head) == r7
+    # After this window runs, no entry's latest check is older than r8.
+    assert all(seen[n] >= "CORRECTNESS_r08.json"
+               for n in qcat._CATALOG if n not in window and n in seen)
