@@ -348,8 +348,13 @@ def containment_probe_candidates(hashed: DataFrame, id_col: str,
              .withColumnRenamed(id_col, "__qid"))
     idx = hashed.select(F.col(id_col).alias("__tid"), "h")
     if max_df is not None:
+        # df is DOCUMENT frequency — count distinct docs per hash, so
+        # the cap means the same thing whether the caller passes the
+        # occurrence-level relation (as here) or a distinct set (as
+        # the persisted-index build does): intra-doc repeats and
+        # non-distinct inputs no longer inflate the count (ADVICE r11)
         keep = (hashed.groupBy("h")
-                .agg(F.count(F.lit(1)).alias("__df"))
+                .agg(F.countDistinct(id_col).alias("__df"))
                 .where(F.col("__df") <= max_df)
                 .select("h"))
         idx = idx.join(keep, "h", "left_semi")

@@ -789,9 +789,14 @@ def _containment_lsh_oracle_sql(max_df: int | None = None) -> str:
         for i in range(n))
     plist = "[" + ", ".join(f"p{i}" for i in range(n)) + "]"
     # the cap applies to the INDEX side of the candidate join only —
-    # probes stay each document's own argmins (dd twin semantics)
+    # probes stay each document's own argmins (dd twin semantics);
+    # df is count(DISTINCT doc_id) — document frequency, the dd twin's
+    # definition — and the cap itself scales with the corpus:
+    # max(floor, n_docs // 100), so the "~1% of the corpus" rationale
+    # holds at every tier instead of only at sf0.01 (ADVICE r11)
     idx = ("(SELECT * FROM hashed WHERE h IN (SELECT h FROM hashed "
-           f"GROUP BY h HAVING count(*) <= {max_df}))"
+           "GROUP BY h HAVING count(DISTINCT doc_id) <= "
+           f"greatest({max_df}, (SELECT count(*) FROM documents) // 100)))"
            if max_df is not None else "hashed")
     return f"""
 WITH hashed AS (
@@ -850,9 +855,14 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _containment_exact_verify(docs, cand)
 
 
-#: df cap for the capped catalog entry — sized ~1% of the sf0.01
-#: corpus (5000 docs): genuinely ubiquitous boilerplate is pruned,
-#: topical co-occurrence survives
+#: df-cap FLOOR for the capped catalog entry.  The effective cap is
+#: ``max(_CONTAIN_MAX_DF, n_docs // 100)`` — derived from corpus size
+#: in BOTH engines so the "~1% of the corpus" recall rationale holds
+#: at every tier (ADVICE r11: a fixed 64 meant ~1% at sf0.01 but
+#: ~0.01% at sf10, a far more aggressive cut than validated; and the
+#: sf10 x100-clone tier would empty a fixed df=64 index outright —
+#: its clones alone push every shingle's docfreq past 64).  The floor
+#: keeps tiny corpora from degenerating to cap < typical topical df.
 _CONTAIN_MAX_DF = 64
 
 
@@ -861,24 +871,30 @@ _CONTAIN_MAX_DF = 64
 def dedup_containment_lsh_capped(spark: SparkSession,
                                  sf_dir: str) -> DataFrame:
     """The probe-indexed containment entry WITH the document-frequency
-    cap engaged (max_df = 64) — the 100 TB stop-shingle guard as a
-    driver-gated entry, capped identically in both engines so the cap
-    SEMANTICS are hash-checked, not just unit-tested: index-side
-    postings of shingle hashes with df > 64 drop before the candidate
-    join; probes stay each document's own argmins.  Pairs whose
-    candidate mass rode only on ubiquitous shingles lose it (their
-    true containment is far below 0.6 — the recall argument at
-    ``dd.containment_probe_candidates``); everything else verifies
+    cap engaged — the 100 TB stop-shingle guard as a driver-gated
+    entry, capped identically in both engines so the cap SEMANTICS are
+    hash-checked, not just unit-tested: index-side postings of shingle
+    hashes whose DOCUMENT frequency (count of distinct docs — the one
+    df definition shared with the persisted-index build, ADVICE r11)
+    exceeds ``max(64, n_docs // 100)`` drop before the candidate join;
+    probes stay each document's own argmins.  The cap scales with the
+    corpus so the ~1%-of-corpus recall rationale holds at every tier:
+    sf0.01 (5 000 docs) caps at the 64 floor, sf1 (500 000) at 5 000.
+    Pairs whose candidate mass rode only on ubiquitous shingles lose
+    it (their true containment is far below 0.6 — the recall argument
+    at ``dd.containment_probe_candidates``); everything else verifies
     through the same exact micro-integer kernel.
 
     Scale: identical posture to ``dedup_containment_lsh`` plus one
-    partial agg on the join key; at 100 TB the df relation is
-    precomputed at ingest next to the postings and the cap is what
-    bounds the hottest posting list."""
+    partial agg on the join key; the corpus count is the entry's one
+    driver-side scalar (the model-constant discipline); at 100 TB the
+    df relation is precomputed at ingest next to the postings and the
+    cap is what bounds the hottest posting list."""
     docs = _docs(spark, sf_dir)
+    cap = max(_CONTAIN_MAX_DF, docs.count() // 100)
     hashed = _probe_hashes_shared(spark, sf_dir)
     cand = dd.containment_probe_candidates(hashed, "doc_id",
-                                           max_df=_CONTAIN_MAX_DF)
+                                           max_df=cap)
     return _containment_exact_verify(docs, cand)
 
 
@@ -1015,8 +1031,7 @@ FROM screen
 
 
 def _build_containment_index(spark: SparkSession, sf_dir: str,
-                             overwrite: bool,
-                             max_df: int | None = None) -> tuple[str, str]:
+                             overwrite: bool) -> tuple[str, str]:
     """Persist the containment probe index over the EXISTING corpus
     (doc_id % 11 != 0) as two parquet artifacts: the DISTINCT
     (doc_id, h) shingle-hash set relation — the index side of every
@@ -1024,13 +1039,16 @@ def _build_containment_index(spark: SparkSession, sf_dir: str,
     (``dd.probe_argmins_long``), precomputed at INGEST time so the
     reverse direction (indexed-doc-quoted-inside-new-doc) never
     re-aggregates the corpus per screen — the rotated-corpus lesson
-    applied to dedup.  ``max_df`` drops postings of shingle hashes
-    whose document frequency exceeds the cap at BUILD time (the 100 TB
-    stop-shingle guard — see ``dd.containment_probe_candidates`` for
-    the recall argument); off by default, so the catalog entries stay
-    bit-identical to their oracles.  Freshness requires BOTH _SUCCESS
-    markers newer than the source, so a crash between the two writes
-    re-runs the build rather than serving a mixed-generation index."""
+    applied to dedup.  The persisted index is UNCAPPED — df capping
+    (the 100 TB stop-shingle guard) belongs to the PROBE side
+    (``dd.containment_probe_candidates``), where the df relation can
+    be recomputed per screen policy; a capped artifact served to an
+    uncapped consumer through the freshness gate would silently
+    diverge from its oracle (ADVICE r11, which led to dropping the
+    never-called build-time ``max_df`` parameter).  Freshness requires
+    BOTH _SUCCESS markers newer than the source, so a crash between
+    the two writes re-runs the build rather than serving a
+    mixed-generation index."""
     ipath = _artifact_path(sf_dir, "contain_index")
     ppath = _artifact_path(sf_dir, "contain_probes")
     src = f"{sf_dir}/documents.parquet"
@@ -1043,10 +1061,6 @@ def _build_containment_index(spark: SparkSession, sf_dir: str,
     # write AND the probe agg (two jobs below)
     hashed = _track_ckpt(hashed.localCheckpoint(eager=True))
     idx = hashed.distinct()
-    if max_df is not None:
-        keep = (idx.groupBy("h").agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") <= max_df).select("h"))
-        idx = idx.join(keep, "h", "left_semi")
     idx.write.mode("overwrite").parquet(ipath)
     (dd.probe_argmins_long(hashed, "doc_id")
      .write.mode("overwrite").parquet(ppath))
