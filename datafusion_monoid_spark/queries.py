@@ -1081,15 +1081,29 @@ def containment_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     artifacts are narrow int relations (text never persists), written
     once per ingest and bucketed by h in a production deployment."""
     ipath, ppath = _build_containment_index(spark, sf_dir, overwrite=True)
+    return _cidx_digest(spark, ipath, ppath)
+
+
+def _cidx_digest(spark: SparkSession, ipath: str, ppath: str,
+                 generation: str | None = None) -> DataFrame:
+    """Per-document digest of an ON-DISK containment-index generation
+    (postings + probes artifact pair): (n_hashes, min/max/sum of
+    hashes, probe count) per doc — what every index-lifecycle entry
+    returns so its oracle verifies exactly the state later screens
+    will serve.  ``generation`` labels the rows when digests of
+    several generations union into one report."""
     idx = spark.read.parquet(ipath)
     np_ = (spark.read.parquet(ppath).groupBy("doc_id")
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
-    return (idx.groupBy("doc_id")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
-                 F.min("h").cast("bigint").alias("min_h"),
-                 F.max("h").cast("bigint").alias("max_h"),
-                 F.sum("h").cast("bigint").alias("sum_h"))
-            .join(np_, "doc_id"))
+    d = (idx.groupBy("doc_id")
+         .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+              F.min("h").cast("bigint").alias("min_h"),
+              F.max("h").cast("bigint").alias("max_h"),
+              F.sum("h").cast("bigint").alias("sum_h"))
+         .join(np_, "doc_id"))
+    if generation is not None:
+        d = d.select(F.lit(generation).alias("generation"), "*")
+    return d
 
 
 def _containment_screen_kernel(new_docs: DataFrame, idx: DataFrame,
@@ -1110,6 +1124,16 @@ def _containment_screen_kernel(new_docs: DataFrame, idx: DataFrame,
     nh = _track_ckpt(
         dd.shingle_hashes(new_docs, "doc_id", dd.word_shingles("text"))
         .distinct().localCheckpoint(eager=True))
+    return _containment_screen_from_hashes(nh, idx, iprobes)
+
+
+def _containment_screen_from_hashes(nh: DataFrame, idx: DataFrame,
+                                    iprobes: DataFrame) -> DataFrame:
+    """The screen kernel over a PRECOMPUTED (doc_id, h) distinct-set
+    relation for the new side — split out so the append path can
+    tokenize the batch once and reuse the same relation for the screen
+    AND the admitted postings (``nh`` must already be materialized;
+    both entry points checkpoint it)."""
     d1 = (dd.probe_argmins_long(nh, "doc_id")
           .withColumnRenamed("doc_id", "new_id")
           .join(idx.withColumnRenamed("doc_id", "old_id"), "h")
@@ -1226,6 +1250,166 @@ def pipeline_containment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_flagged_docs",
                     (F.col("n_exact_unique") - F.col("n_flagged_docs"))
                     .cast("bigint").alias("n_clean_docs")))
+
+
+# -- containment-index lifecycle (append / compact): the maintenance
+# pair that completes the production ingest loop the screen started
+# (VERDICT r11 item 4) — screen the arriving batch, ADMIT its clean
+# survivors' postings as an O(batch) generation, periodically COMPACT
+# generations back into the base layout.  Mirrors the IVF postings
+# build/append/compact discipline; the hash identity compaction ==
+# build-from-scratch holds because both halves of the artifact are
+# per-doc-independent (a doc's distinct hash set and its 16 probe
+# argmins depend only on its own text), so union-of-generations IS the
+# from-scratch relation over the union corpus.
+
+
+def _contain_clean_chain_sql() -> str:
+    """CTE chain ``nb -> reps -> surv -> screen -> cleanh``: the
+    arriving batch exact-deduped to min-id representatives, screened
+    against the base index (the pipeline entry's chain), and reduced
+    to its CLEAN survivors' DISTINCT (doc_id, h) postings — the
+    relation the append admits.  Shared by the append and compact
+    oracles."""
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    surv_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+                 "(SELECT doc_id, unnest({shg}) AS s FROM surv)").format(
+        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
+    return f"""nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0),
+reps AS (SELECT min(doc_id) AS doc_id FROM nb GROUP BY md5({norm})),
+surv AS (SELECT nb.doc_id, nb.text FROM nb JOIN reps USING (doc_id)),
+{_contain_screen_chain_sql(surv_newh)},
+cleanh AS (SELECT doc_id, h FROM newh WHERE doc_id NOT IN
+           (SELECT DISTINCT new_id FROM screen))"""
+
+
+def _cidx_digest_sql(src: str, probes_np: str,
+                     generation: str | None = None) -> str:
+    gcol = (f"'{generation}' AS generation, "
+            if generation is not None else "")
+    return (f"SELECT {gcol}{src}.doc_id, "
+            "CAST(count(*) AS BIGINT) AS n_hashes, "
+            "CAST(min(h) AS BIGINT) AS min_h, "
+            "CAST(max(h) AS BIGINT) AS max_h, "
+            "CAST(sum(h) AS BIGINT) AS sum_h, "
+            "CAST(any_value(np) AS BIGINT) AS n_probes "
+            f"FROM {src} JOIN {probes_np} USING (doc_id) "
+            f"GROUP BY {src}.doc_id")
+
+
+def _contain_append_oracle_sql() -> str:
+    return f"""
+WITH {_contain_clean_chain_sql()},
+bnp AS (SELECT doc_id, count(*) AS np
+        FROM {_cidx_probes_sql('idx')} GROUP BY doc_id),
+anp AS (SELECT doc_id, count(*) AS np
+        FROM {_cidx_probes_sql('cleanh')} GROUP BY doc_id)
+{_cidx_digest_sql('idx', 'bnp', 'base')}
+UNION ALL
+{_cidx_digest_sql('cleanh', 'anp', 'appended')}
+"""
+
+
+def _contain_compact_oracle_sql() -> str:
+    return f"""
+WITH {_contain_clean_chain_sql()},
+allh AS (SELECT doc_id, h FROM idx UNION ALL
+         SELECT doc_id, h FROM cleanh),
+np AS (SELECT doc_id, count(*) AS np
+       FROM {_cidx_probes_sql('allh')} GROUP BY doc_id)
+{_cidx_digest_sql('allh', 'np')}
+"""
+
+
+def _append_containment_postings(spark: SparkSession,
+                                 sf_dir: str) -> tuple[str, str]:
+    """ADMIT the screened batch's clean survivors into the containment
+    index: exact-dedup the arriving batch (doc_id % 11 == 0), screen
+    the survivors against the base index, and write the CLEAN docs'
+    postings + probe argmins as an appended artifact generation.  The
+    batch tokenizes ONCE — the checkpointed (doc_id, h) relation feeds
+    the screen, the postings write, and the probe agg.  Idempotent
+    overwrite: re-running an ingest replaces, never duplicates.
+    Shared by the append entry and the compaction entry."""
+    ipath, ppath = _build_containment_index(spark, sf_dir,
+                                            overwrite=False)
+    inew = _artifact_path(sf_dir, "contain_index_new")
+    pnew = _artifact_path(sf_dir, "contain_probes_new")
+    nb = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    keyed = dd.exact_dedup_keys(nb, "text")
+    reps = keyed.groupBy("dup_key").agg(F.min("doc_id").alias("doc_id"))
+    surv = nb.join(reps.select("doc_id"), "doc_id", "left_semi")
+    nh = _track_ckpt(
+        dd.shingle_hashes(surv, "doc_id", dd.word_shingles("text"))
+        .distinct().localCheckpoint(eager=True))
+    flagged = _containment_screen_from_hashes(
+        nh, spark.read.parquet(ipath), spark.read.parquet(ppath))
+    cleanh = _track_ckpt(
+        nh.join(flagged.select(F.col("new_id").alias("doc_id"))
+                .distinct(), "doc_id", "left_anti")
+        .localCheckpoint(eager=True))
+    cleanh.write.mode("overwrite").parquet(inew)
+    (dd.probe_argmins_long(cleanh, "doc_id")
+     .write.mode("overwrite").parquet(pnew))
+    return inew, pnew
+
+
+@register("containment_postings_append", _contain_append_oracle_sql())
+def containment_postings_append(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """APPEND to the containment index without a rebuild — the
+    index-maintenance operation every ingest runs after the screen:
+    the batch's CLEAN survivors (exact-dedup reps the screen did not
+    flag against the base index) land as their own postings + probes
+    artifact generation, so tomorrow's screens see today's admissions
+    without ever re-tokenizing the corpus.  Returns the per-document
+    digest of the combined ON-DISK index, labeled by generation — the
+    occupancy report that tells an operator when accumulated
+    generations warrant a compaction.
+
+    Scale: per-ingest work is O(|batch|) — one tokenize over the
+    survivors (checkpointed once, feeding screen + both writes), the
+    screen's candidate join, and two narrow int writes; the base
+    artifacts are only ever READ.  The oracle replays batch -> dedup
+    -> screen -> clean postings and digests both generations."""
+    inew, pnew = _append_containment_postings(spark, sf_dir)
+    ipath, ppath = _build_containment_index(spark, sf_dir,
+                                            overwrite=False)
+    return (_cidx_digest(spark, ipath, ppath, "base")
+            .unionByName(_cidx_digest(spark, inew, pnew, "appended")))
+
+
+@register("containment_postings_compact", _contain_compact_oracle_sql())
+def containment_postings_compact(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """COMPACT the containment index: fold the appended postings
+    generation back into the base layout, rewriting ONE artifact pair
+    hash-clustered by the join key ``h`` (repartition + within-file
+    sort — the bucketed-by-h layout a production screen's candidate
+    join wants: each probe touches one h-cluster, and parquet min/max
+    on h prunes row groups).  Because both halves are per-doc-
+    independent, compact(base ∪ appended) is ROW-IDENTICAL to a
+    from-scratch build over (old corpus ∪ clean survivors) — this
+    entry's oracle IS that from-scratch digest, and the Spark-side
+    identity is pinned hash-for-hash in tests/test_pipeline_r12.py
+    (the ivf_postings_compact pattern).
+
+    Scale: O(index), never O(corpus) — inputs are the narrow postings
+    relations; one hash exchange on h each, then cell-local writes.
+    Corpus text is touched only if a missing generation must first be
+    built, which is the build/append entries' job."""
+    ipath, ppath = _build_containment_index(spark, sf_dir,
+                                            overwrite=False)
+    inew, pnew = _append_containment_postings(spark, sf_dir)
+    icomp = _artifact_path(sf_dir, "contain_index_compacted")
+    pcomp = _artifact_path(sf_dir, "contain_probes_compacted")
+    (spark.read.parquet(ipath).unionByName(spark.read.parquet(inew))
+     .repartition("h").sortWithinPartitions("h")
+     .write.mode("overwrite").parquet(icomp))
+    (spark.read.parquet(ppath).unionByName(spark.read.parquet(pnew))
+     .repartition("h").sortWithinPartitions("h")
+     .write.mode("overwrite").parquet(pcomp))
+    return _cidx_digest(spark, icomp, pcomp)
 
 
 def _simhash_sims_cte() -> str:
@@ -11282,8 +11466,8 @@ def ivf_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing generation must first be built, which is the build/append
     entries' job); one hash exchange on cent_id co-locates each cell's
     postings, then the write is cell-local.  The containment probe
-    index needs no analogue: its screen entries read the two build
-    artifacts directly and no appended generation accumulates."""
+    index follows the same lifecycle — see
+    ``containment_postings_append`` / ``containment_postings_compact``."""
     old_path = _build_ivf_postings(spark, sf_dir, overwrite=False)
     new_path = _append_ivf_postings(spark, sf_dir)
     out_path = _artifact_path(sf_dir, "ivf_postings_compacted")

@@ -1,0 +1,118 @@
+"""Round-12 operators: the containment-index lifecycle (append /
+compact — VERDICT r11 item 4).  Operator-level behavior on constructed
+corpora plus the compaction == build-from-scratch hash identity (full
+value equality vs DuckDB is the driver's gate / tools/check_oracles.py).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark import queries as qcat
+from datafusion_monoid_spark.operators import dedup as dd
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return qcat.catalog()
+
+
+def _hashed(spark, rows):
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    return (dd.shingle_hashes(docs, "doc_id", dd.word_shingles("text"))
+            .distinct())
+
+
+def _screen(spark, nh, idx):
+    iprobes = dd.probe_argmins_long(idx, "doc_id")
+    return {(r["new_id"], r["old_id"]) for r in
+            qcat._containment_screen_from_hashes(
+                nh.localCheckpoint(eager=True), idx, iprobes).collect()}
+
+
+def test_admit_then_screen_catches_new_dups(spark):
+    """The production ingest loop: a clean admitted doc becomes part
+    of the index, so the NEXT batch's near-dup of it is caught —
+    which the un-appended base index structurally cannot do."""
+    old = [(k + 1, " ".join(f"base{k}w{i} base{k}x{i}" for i in range(12)))
+           for k in range(3)]
+    clean_text = " ".join(f"fresh{i} item{i} note{i}" for i in range(8))
+    batch_a = [(100, clean_text)]
+    quote = [(200, clean_text + " " +
+              " ".join(f"tail{i} pad{i}" for i in range(20)))]
+    idx = _hashed(spark, old).localCheckpoint(eager=True)
+    nh_a = _hashed(spark, batch_a)
+    assert _screen(spark, nh_a, idx) == set()  # batch A is clean
+    # admit batch A: union-of-generations, per-doc independence
+    idx2 = idx.unionByName(nh_a).localCheckpoint(eager=True)
+    nh_b = _hashed(spark, quote)
+    assert _screen(spark, nh_b, idx) == set()       # base misses it
+    assert _screen(spark, nh_b, idx2) == {(200, 100)}  # admitted: caught
+
+
+def test_flagged_survivor_is_not_admitted(spark):
+    """A batch doc flagged against the index must NOT reach the
+    appended generation — admitting it would snowball near-dup mass
+    into the index."""
+    base_text = " ".join(f"core{i} word{i} unit{i}" for i in range(10))
+    old = [(1, base_text)]
+    batch = [(100, base_text + " extra trailing words here"),
+             (101, " ".join(f"novel{i} clean{i} doc{i}"
+                            for i in range(9)))]
+    idx = _hashed(spark, old).localCheckpoint(eager=True)
+    nh = _hashed(spark, batch).localCheckpoint(eager=True)
+    flagged = _screen(spark, nh, idx)
+    assert {p[0] for p in flagged} == {100}
+    clean = nh.join(
+        spark.createDataFrame([(i,) for i in {p[0] for p in flagged}],
+                              "doc_id bigint"),
+        "doc_id", "left_anti")
+    assert {r["doc_id"] for r in
+            clean.select("doc_id").distinct().collect()} == {101}
+
+
+def test_contain_compact_equals_from_scratch(spark, cat):
+    """compact(base ∪ appended) must be ROW-IDENTICAL to a from-scratch
+    build over (old corpus ∪ admitted clean docs) — the hash identity
+    that makes periodic compaction safe (the ivf_postings_compact
+    pattern at test_pipeline_r11.py).  The union corpus is defined by
+    the admit decision itself (whose semantics the driver's oracle
+    gate checks); this pin is the Spark-side recompute."""
+    comp = cat["containment_postings_compact"][0](spark, SF001)
+    got = sorted(tuple(r) for r in comp.collect())
+    clean_ids = [r["doc_id"] for r in spark.read.parquet(
+        qcat._artifact_path(SF001, "contain_index_new"))
+        .select("doc_id").distinct().collect()]
+    docs = qcat._docs(spark, SF001)
+    union_docs = docs.where((F.col("doc_id") % 11 != 0)
+                            | F.col("doc_id").isin(clean_ids))
+    hashed = (dd.shingle_hashes(union_docs, "doc_id",
+                                dd.word_shingles("text"))
+              .distinct().localCheckpoint(eager=True))
+    np_ = (dd.probe_argmins_long(hashed, "doc_id").groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
+    scratch = (hashed.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+                    F.min("h").cast("bigint").alias("min_h"),
+                    F.max("h").cast("bigint").alias("max_h"),
+                    F.sum("h").cast("bigint").alias("sum_h"))
+               .join(np_, "doc_id"))
+    want = sorted(tuple(r) for r in scratch.collect())
+    assert got == want
+
+
+def test_append_generations_partition_the_index(spark, cat):
+    """The append report's generations carry disjoint doc sets on the
+    convention split (base = doc_id % 11 != 0, appended ⊆ the batch),
+    and the appended count equals the pipeline screen's n_clean_docs
+    — the two entries must tell one story."""
+    rep = cat["containment_postings_append"][0](spark, SF001).collect()
+    base = {r["doc_id"] for r in rep if r["generation"] == "base"}
+    app = {r["doc_id"] for r in rep if r["generation"] == "appended"}
+    assert base and app and not base & app
+    assert all(d % 11 != 0 for d in base)
+    assert all(d % 11 == 0 for d in app)
+    screen = cat["pipeline_containment_screen"][0](
+        spark, SF001).collect()[0]
+    assert len(app) == screen["n_clean_docs"]
