@@ -1321,6 +1321,24 @@ np AS (SELECT doc_id, count(*) AS np
 """
 
 
+def _build_exact_key_index(spark: SparkSession, sf_dir: str,
+                           overwrite: bool = False) -> str:
+    """Persist the EXISTING corpus's (doc_id % 11 != 0) distinct
+    exact-dup keys (md5 of normalized text) — the exact-dedup stage's
+    screen-side artifact, built once at ingest like the containment
+    index so an always-on pipeline never re-hashes the corpus per
+    batch.  Narrow one-column relation; in production bucketed by key
+    so the screen's anti-join is co-located."""
+    path = _artifact_path(sf_dir, "exact_key_index")
+    src = f"{sf_dir}/documents.parquet"
+    if not overwrite and _artifact_fresh(path, src):
+        return path
+    old = _docs(spark, sf_dir).where(F.col("doc_id") % 11 != 0)
+    (dd.exact_dedup_keys(old, "text").select("dup_key").distinct()
+     .write.mode("overwrite").parquet(path))
+    return path
+
+
 def _append_containment_postings(spark: SparkSession,
                                  sf_dir: str) -> tuple[str, str]:
     """ADMIT the screened batch's clean survivors into the containment
@@ -11750,6 +11768,70 @@ SELECT doc_id, source, n_bigrams, score_micro,
             WHEN score_micro >= cut2_micro THEN 2 ELSE 1 END AS bucket
 FROM d CROSS JOIN cuts
 """)(sq.streaming_bucket_route_serve)
+
+
+def _streaming_capstone_oracle_sql() -> str:
+    """The streaming curation capstone's batch twin: every stage is
+    per-doc against static artifacts, so the per-doc replay IS the
+    stream's union of micro-batch outputs.  Expensive shared CTEs are
+    MATERIALIZED (the capstone-oracle lesson: DuckDB otherwise inlines
+    the tokenize-heavy chain once per reference)."""
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    side = ("CASE WHEN (" + dd.md5_long_sql("CAST(s3.doc_id AS VARCHAR)")
+            + f" % {smp.SPLIT_MOD}) < 100 THEN 'test' ELSE 'train' END")
+    s3_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+               "(SELECT doc_id, unnest({shg}) AS s FROM s3)").format(
+        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
+    chain = _contain_screen_chain_sql(s3_newh).replace(
+        "newh AS (", "newh AS MATERIALIZED (", 1)
+    return f"""
+WITH {_qc_model_cte()},
+qmodel AS (SELECT token,
+                  ((c_pos + 1) * 1000000) // (c_neg + 1) AS w_micro
+           FROM m),
+qstats AS (SELECT ((sum(c_pos) + count(*)) * 1000000)
+                  // (sum(c_neg) + count(*)) AS k_micro FROM m),
+qtok2 AS (SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+          WHERE doc_id % 11 = 0),
+qd AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+         CAST(sum(coalesce(w_micro, 1000000)) // count(*) AS BIGINT)
+           AS q_micro
+  FROM qtok2 LEFT JOIN qmodel USING (token) GROUP BY doc_id),
+qpass AS (SELECT doc_id, n_toks, q_micro FROM qd CROSS JOIN qstats
+          WHERE q_micro >= k_micro),
+lmd AS MATERIALIZED ({_lm_doc_oracle_sql()}),
+lhist AS (SELECT score_micro, CAST(count(*) AS BIGINT) AS cnt
+          FROM lmd GROUP BY score_micro),
+ltot AS (SELECT CAST(sum(cnt) AS BIGINT) AS w FROM lhist),
+lbk AS (SELECT score_micro, w,
+               1 + (3 * coalesce(sum(cnt) OVER (ORDER BY score_micro
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)) // w AS bucket
+        FROM lhist CROSS JOIN ltot),
+lcuts AS (SELECT CAST(coalesce(min(CASE WHEN bucket >= 2
+                                        THEN score_micro END),
+                               {_LM_CUT_SENTINEL}) AS BIGINT)
+            AS cut2_micro FROM lbk),
+ppass AS (SELECT lmd.doc_id, CAST(lmd.score_micro AS BIGINT) AS lm_micro
+          FROM lmd CROSS JOIN lcuts
+          WHERE lmd.score_micro >= cut2_micro AND lmd.doc_id % 11 = 0),
+s2 AS MATERIALIZED (
+  SELECT d.doc_id, d.text, qpass.n_toks, qpass.q_micro, ppass.lm_micro
+  FROM documents d JOIN qpass USING (doc_id) JOIN ppass USING (doc_id)),
+oldk AS MATERIALIZED (SELECT DISTINCT md5({norm}) AS k FROM documents
+                      WHERE doc_id % 11 <> 0),
+s3 AS MATERIALIZED (SELECT * FROM s2
+                    WHERE md5({norm}) NOT IN (SELECT k FROM oldk)),
+{chain}
+SELECT s3.doc_id, n_toks, q_micro, lm_micro, {side} AS side
+FROM s3
+WHERE s3.doc_id NOT IN (SELECT DISTINCT new_id FROM screen)
+"""
+
+
+register("streaming_curation_capstone",
+         _streaming_capstone_oracle_sql())(sq.streaming_curation_capstone)
 
 
 #: The COMMITTED driver-window manifest for this round — the first 50

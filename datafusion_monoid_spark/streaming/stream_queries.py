@@ -901,3 +901,154 @@ def streaming_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             if d:
                 shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def streaming_curation_capstone(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming CURATION CAPSTONE — the always-on twin of
+    ``queries.pipeline_curation_capstone`` (VERDICT r11 item 6):
+    micro-batches of arriving documents flow the full ingest pipeline
+    against PERSISTED artifacts — quality-classifier gate (NB model +
+    decision constant) -> perplexity filter (bigram LM + threshold
+    cuts) -> exact-dedup screen (corpus key index) -> containment
+    screen (probe index) -> deterministic train/test routing into
+    per-side sinks (``partitionBy(side)``, one writer per side — the
+    bucket-route sink study's layout).  Every artifact loads + persists
+    ONCE before the stream; serving is STATELESS — the five artifacts
+    carry all the state, so the loop scales by adding executors, not
+    state stores.
+
+    Stream == batch holds EXACTLY because every stage is per-doc
+    against static state: a document's scores, its exact key, its
+    screen verdict, and its side depend only on (its own text, the
+    artifacts), never on which micro-batch it landed in — so the union
+    of per-batch outputs equals the batch computation, and the per-doc
+    batch twin is this entry's DuckDB oracle, full hash check.  The
+    one cross-doc semantic this loop deliberately does NOT own is
+    WITHIN-STREAM dedup (two novel near-identical docs in the same
+    stream both pass): that is the index-maintenance loop's job —
+    ``containment_postings_append`` admits each batch's survivors and
+    ``containment_postings_compact`` folds them in, so later batches
+    screen against earlier admissions.  Sink writes are idempotent per
+    epoch (batch_id-keyed overwrite)."""
+    gates, release = _capstone_gates(spark, sf_dir)
+    from datafusion_monoid_spark import queries as _qcat
+
+    new = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where(F.col("doc_id") % 11 == 0)
+           .select("doc_id", "source", "text"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _scratch_dir("capstone_docs_")
+        sink = _scratch_dir("capstone_out_")
+        new.repartition(4).write.mode("overwrite").parquet(stage)
+        dstream = (spark.readStream.schema(new.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
+            # a file-source micro-batch is ONE split: spread before
+            # the tokenize-heavy stages
+            adm = gates(batch_df.repartition(STREAM_SHUFFLE))
+            # one writer per side (the measured sink-study layout)
+            with _commit_timer("streaming_curation_capstone"):
+                (adm.repartitionByRange(2, "side")
+                 .write.mode("overwrite").partitionBy("side")
+                 .parquet(f"{sink}/batch={batch_id}"))
+
+        _COMMITS.pop("streaming_curation_capstone", None)
+        ckpt = _ckpt_dir("streaming_curation_capstone")
+        q = (dstream.writeStream.foreachBatch(curate_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            _record_metrics("streaming_curation_capstone",
+                            q.recentProgress)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # k=v partition discovery surfaces (batch, side) as columns
+        return _qcat._track_ckpt(
+            spark.read.option("basePath", sink).parquet(sink)
+            .select("doc_id", "n_toks", "q_micro", "lm_micro",
+                    F.col("side").cast("string").alias("side"))
+            .localCheckpoint(eager=True))
+    finally:
+        release()
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+
+def _capstone_gates(spark: SparkSession, sf_dir: str):
+    """Hoist the five persisted curation artifacts and return
+    ``(gates, release)``: ``gates(df)`` applies the per-doc pipeline —
+    quality gate, perplexity gate, exact-key screen, containment
+    screen, side routing — to any (doc_id, source, text) relation and
+    returns the admitted (doc_id, n_toks, q_micro, lm_micro, side)
+    rows.  Shared by the streaming loop (per micro-batch) and the
+    stream==batch pytest twin (whole batch at once): per-doc
+    independence means the two must agree row-for-row.  ``release``
+    unpersists the hoisted relations."""
+    from datafusion_monoid_spark import queries as _qcat
+    from datafusion_monoid_spark.operators import curation as _cu
+    from datafusion_monoid_spark.operators import dedup as _dd
+    from datafusion_monoid_spark.operators import sampling as _smp
+
+    model = spark.read.parquet(
+        _qcat._fit_qc_persisted(spark, sf_dir, overwrite=False)).persist()
+    k_micro = int(model.agg(
+        _qcat._idiv((F.sum("c_pos") + F.count(F.lit(1))) * 1_000_000,
+                    F.sum("c_neg") + F.count(F.lit(1))).alias("k"))
+        .collect()[0]["k"])
+    bg_path, ctx_path = _qcat._fit_lm_persisted(spark, sf_dir,
+                                                overwrite=False)
+    scores = (spark.read.parquet(bg_path)
+              .withColumn("w1", F.substring_index("bg", " ", 1))
+              .join(spark.read.parquet(ctx_path), "w1")
+              .select("bg", _cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
+                      .alias("p_micro"))).persist()
+    tpath = _qcat._fit_lm_thresholds_persisted(spark, sf_dir,
+                                               overwrite=False)
+    cut2 = int(spark.read.parquet(tpath).collect()[0]["cut2_micro"])
+    old_keys = spark.read.parquet(
+        _qcat._build_exact_key_index(spark, sf_dir)).persist()
+    ipath, ppath = _qcat._build_containment_index(spark, sf_dir,
+                                                  overwrite=False)
+    idx = spark.read.parquet(ipath).persist()
+    iprobes = spark.read.parquet(ppath).persist()
+    hoisted = (model, scores, old_keys, idx, iprobes)
+    for df_ in hoisted:
+        df_.count()  # materialize now, not inside batch 0
+
+    def gates(b: DataFrame) -> DataFrame:
+        qs = (_qcat._qc_score_docs(b, model)
+              .where(F.col("score_micro") >= k_micro)
+              .select("doc_id", F.col("n_tokens").alias("n_toks"),
+                      F.col("score_micro").alias("q_micro")))
+        ls = (_qcat._lm_doc_bigrams(b)
+              .join(F.broadcast(scores), "bg")
+              .groupBy("doc_id")
+              .agg(_qcat._idiv(F.sum("p_micro"), F.count(F.lit(1)))
+                   .alias("lm_micro"))
+              .where(F.col("lm_micro") >= cut2))
+        s2 = b.join(qs, "doc_id").join(ls, "doc_id")
+        s3 = (_dd.exact_dedup_keys(s2, "text")
+              .join(old_keys, "dup_key", "left_anti"))
+        flagged = _qcat._containment_screen_kernel(
+            s3.select("doc_id", "text"), idx, iprobes)
+        return (s3.join(flagged.select(F.col("new_id").alias("doc_id"))
+                        .distinct(), "doc_id", "left_anti")
+                .select("doc_id", "n_toks", "q_micro", "lm_micro",
+                        F.when(_smp.hash_bucket("doc_id") < 100,
+                               F.lit("test")).otherwise(F.lit("train"))
+                        .alias("side")))
+
+    def release() -> None:
+        for df_ in hoisted:
+            df_.unpersist()
+
+    return gates, release

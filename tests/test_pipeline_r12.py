@@ -116,3 +116,25 @@ def test_append_generations_partition_the_index(spark, cat):
     screen = cat["pipeline_containment_screen"][0](
         spark, SF001).collect()[0]
     assert len(app) == screen["n_clean_docs"]
+
+
+def test_streaming_capstone_equals_batch(spark, cat):
+    """Stream == batch for the curation capstone serve: the SAME gate
+    chain (shared _capstone_gates closure) applied per micro-batch
+    through the streaming loop must union to exactly its one-shot
+    application over the whole arriving set — the per-doc-independence
+    contract that makes the DuckDB per-doc twin a valid oracle."""
+    from datafusion_monoid_spark.streaming import stream_queries as sq
+    from pyspark.sql import functions as F  # noqa: F811
+
+    got = {tuple(r) for r in
+           cat["streaming_curation_capstone"][0](spark, SF001).collect()}
+    gates, release = sq._capstone_gates(spark, SF001)
+    try:
+        whole = (spark.read.parquet(f"{SF001}/documents.parquet")
+                 .where(F.col("doc_id") % 11 == 0)
+                 .select("doc_id", "source", "text"))
+        want = {tuple(r) for r in gates(whole).collect()}
+    finally:
+        release()
+    assert got == want and got
