@@ -3188,6 +3188,100 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("skey").cast("bigint").alias("max_key")))
 
 
+#: micro-shard count for the token-balanced export — the fine-grained
+#: hash level whose per-micro token digest (<= this many rows) is the
+#: only thing the balancer ever sorts
+_EXPORT_MICRO = 1024
+
+
+@register("export_training_shards_balanced", f"""
+WITH sized AS (
+  SELECT doc_id, len({_TOKS}) AS n_toks,
+         {dd.md5_long_sql("CAST(doc_id AS VARCHAR)")} AS skey,
+         ({dd.md5_long_sql("CAST(doc_id AS VARCHAR)")}) % {_EXPORT_MICRO}
+           AS micro
+  FROM documents),
+md AS (SELECT micro, CAST(sum(n_toks) AS BIGINT) AS mtoks
+       FROM sized GROUP BY micro),
+rk AS (SELECT micro,
+              row_number() OVER (ORDER BY mtoks DESC, micro) - 1 AS rn
+       FROM md),
+asg AS (SELECT micro,
+               CASE WHEN rn % {2 * _EXPORT_SHARDS} < {_EXPORT_SHARDS}
+                    THEN rn % {2 * _EXPORT_SHARDS}
+                    ELSE {2 * _EXPORT_SHARDS - 1}
+                         - (rn % {2 * _EXPORT_SHARDS}) END AS shard
+        FROM rk)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS shard_tokens,
+       CAST(count(DISTINCT sized.micro) AS BIGINT) AS n_micro
+FROM sized JOIN asg USING (micro)
+GROUP BY shard
+""")
+def export_training_shards_balanced(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """TOKEN-BALANCED training-shard export (VERDICT r11 item 7b):
+    shards carry near-equal TOKEN budgets — what a trainer's step time
+    actually depends on — while membership stays a pure function of
+    the data, no RNG state.  Two-level composition of the plain
+    export's hash sharding with ``pack_sequences``' bin logic lifted
+    to shard granularity:
+
+    1. every doc hashes into one of {_EXPORT_MICRO} MICRO-shards
+       (map-only, the plain export's skey);
+    2. the per-micro token digest (<= {_EXPORT_MICRO} rows — model-
+       sized, the centroid-collect shape) is ranked by token mass and
+       dealt to the {_EXPORT_SHARDS} shards SERPENTINE (snake order:
+       0..15,15..0,...), the deterministic balanced-partitioning deal
+       that pairs heavy micro-shards with light ones;
+    3. the micro→shard map broadcasts back and the write is the plain
+       export's repartition + sortWithinPartitions + partitionBy —
+       one exchange, partition-local sort, no global sort anywhere
+       (the digest's rank is a window over a bounded relation, not
+       the corpus).
+
+    Within-shard order stays hash-of-doc (skey), so the export remains
+    a reproducible global shuffle; only the shard BOUNDARIES move to
+    equalize token mass.  Balance is pinned in tests (max/min shard
+    token ratio) alongside read-side partition pruning on ``shard=``.
+
+    Scale: the corpus pays one map (hash + token count), one partial
+    agg to the micro digest, one broadcast join, one exchange — the
+    balancer itself never sees a corpus-sized relation, and the
+    snake deal is a pure rank function so both engines replay it
+    bit-identically."""
+    docs = _docs(spark, sf_dir)
+    sized = docs.select(
+        "doc_id", "text",
+        tx.token_counts("text")["ws_tokens"].alias("n_toks"),
+        dd.md5_long(F.col("doc_id").cast("string")).alias("skey"))
+    sized = sized.withColumn(
+        "micro", (F.col("skey") % _EXPORT_MICRO).cast("bigint"))
+    md = sized.groupBy("micro").agg(
+        F.sum("n_toks").cast("bigint").alias("mtoks"))
+    # window over the bounded micro digest (no partitionBy: <= 1024
+    # rows by construction — this is the model-sized exception)
+    rn = (F.row_number().over(Window.orderBy(F.desc("mtoks"), "micro"))
+          - 1)
+    r = rn % (2 * _EXPORT_SHARDS)
+    asg = md.select(
+        "micro",
+        F.when(r < _EXPORT_SHARDS, r)
+        .otherwise(2 * _EXPORT_SHARDS - 1 - r)
+        .cast("bigint").alias("shard"))
+    out = _artifact_path(sf_dir, "training_shards_balanced")
+    (sized.join(F.broadcast(asg), "micro")
+     .repartition(_EXPORT_SHARDS, "shard")
+     .sortWithinPartitions("shard", "skey", "doc_id")
+     .write.mode("overwrite").partitionBy("shard").parquet(out))
+    p = spark.read.parquet(out)  # shard read back as partition column
+    return (p.groupBy(F.col("shard").cast("bigint").alias("shard"))
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                 F.sum("n_toks").cast("bigint").alias("shard_tokens"),
+                 F.countDistinct("micro").cast("bigint").alias("n_micro")))
+
+
 _STRATA_FRACTIONS = {"en": 1.0, "de": 0.5, "es": 0.5, "fr": 0.5, "zh": 0.1}
 
 
