@@ -172,6 +172,32 @@ def main(out_path: str | None = None) -> None:
     _force(qcat.catalog()["tpch_q1"][0](spark, SF_DIR))
 
     errors: dict[str, str] = {}
+
+    # Session-shared builds, materialized + timed as their OWN labeled
+    # lines BEFORE the catalog loop (VERDICT r11 item 3b): the MinHash
+    # signature/candidate build and the containment shingle-hash
+    # relation are computed once per session and consumed by many
+    # entries — un-attributed, their cost lands on whichever consumer
+    # the catalog order puts first, which swung the capstone's graded
+    # reading 11.8/21.4/31.7 s across same-HEAD sweeps.  Skipped for
+    # SPARK_GRAFT_BENCH_ONLY subsets (scale tiers pick their own
+    # attribution).
+    shared_builds: dict[str, float] = {}
+    if not ONLY:
+        for label, thunk in (
+            ("minhash_candidates",
+             lambda: [df.count()
+                      for df in qcat._minhash_shared(spark, SF_DIR)]),
+            ("containment_probe_hashes",
+             lambda: qcat._probe_hashes_shared(spark, SF_DIR).count()),
+        ):
+            t0 = time.perf_counter()
+            try:
+                thunk()
+            except Exception as e:
+                errors[f"shared:{label}"] = str(e).splitlines()[-1][:300]
+                continue
+            shared_builds[label] = round(time.perf_counter() - t0, 3)
     for name, (fn, _) in catalog.items():
         runs = []
         for _ in range(REPEATS):
@@ -208,12 +234,17 @@ def main(out_path: str | None = None) -> None:
 
     result = {
         "metric": "catalog wall-clock (median of %d, noop sink)" % REPEATS,
-        "value": round(sum(times.values()), 3),
+        # total = per-query medians + the labeled shared builds: the
+        # same work previous rounds counted inside the first consumer,
+        # so the headline number stays comparable across rounds
+        "value": round(sum(times.values())
+                       + sum(shared_builds.values()), 3),
         "unit": "sec",
         "queries": times,
         "recall": recall,
         "stream_processing_sec": stream_proc,
         "stream_metrics": stream_metrics,
+        "shared_builds": shared_builds,
         "sf": sf,
     }
     if errors:
@@ -250,6 +281,7 @@ def main(out_path: str | None = None) -> None:
         "queries_truncated": len(times) > len(slowest),
         "full_result": os.path.basename(out_path),
         "recall": recall,
+        "shared_builds": shared_builds,
     }
     if "duckdb" in result:
         compact["duckdb_value"] = result["duckdb"]["value"]

@@ -225,6 +225,29 @@ SF01_CEILINGS = {
     # measures ~12 s — 16 keeps 2x-plan-change sensitivity in the
     # context the test actually runs in
     "pq_ivfadc_topk": 16.0,
+    # r12 pins (quiet local[8] sf0.1 best-of-2 in parens; ceilings
+    # ~2x with in-suite ambient margin).  semdedup_prune: the r11
+    # driver read 13 s against a 4.4-5.4 s quiet band with nothing
+    # pinned to classify it (VERDICT r11 item 3a) — a blown ceiling
+    # means the per-cluster NumPy matmul went all-pairs-across-
+    # clusters or the assignment crossJoin lost its literal centroids
+    "semdedup_prune": 9.0,                 # (4.4)
+    # containment lifecycle: append is screen + two narrow writes off
+    # ONE checkpointed batch tokenize — a blown ceiling means the
+    # batch re-tokenizes per consumer or the screen's candidate join
+    # lost the index semi-join; compact is union + one h exchange —
+    # a blown ceiling means a corpus re-tokenize crept in (O(corpus),
+    # not O(index))
+    "containment_postings_append": 12.0,   # (5.6)
+    "containment_postings_compact": 12.0,  # (5.5)
+    # streaming capstone: 4 micro-batches x five persisted-artifact
+    # gates; artifacts hoist ONCE pre-stream — a blown ceiling means
+    # a per-batch artifact re-read/re-fit or a corpus-sized stage
+    # inside the loop
+    "streaming_curation_capstone": 45.0,   # (24.2)
+    # balanced export: map + micro digest + broadcast + one exchange
+    # — a blown ceiling means the balancer saw a corpus-sized sort
+    "export_training_shards_balanced": 4.0,  # (1.5)
 }
 
 pytestmark = pytest.mark.skipif(
