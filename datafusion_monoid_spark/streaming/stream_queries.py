@@ -969,11 +969,20 @@ def streaming_curation_capstone(spark: SparkSession,
         finally:
             q.stop()
             shutil.rmtree(ckpt, ignore_errors=True)
-        # k=v partition discovery surfaces (batch, side) as columns
+        # k=v partition discovery surfaces (batch, side) as columns.
+        # Schema is EXPLICIT: on a tier where every micro-batch admits
+        # zero docs (the sf1 x10-clone corpus — every arriving doc's
+        # exact key already sits in the old-corpus index) the sink
+        # holds only _SUCCESS markers and schema inference has nothing
+        # to read; the admitted-empty stream must return an empty
+        # relation, not UNABLE_TO_INFER_SCHEMA (found by the sf1 tier
+        # run, round 12)
+        sink_schema = ("doc_id bigint, n_toks bigint, q_micro bigint, "
+                       "lm_micro bigint, batch int, side string")
         return _qcat._track_ckpt(
-            spark.read.option("basePath", sink).parquet(sink)
-            .select("doc_id", "n_toks", "q_micro", "lm_micro",
-                    F.col("side").cast("string").alias("side"))
+            spark.read.option("basePath", sink).schema(sink_schema)
+            .parquet(sink)
+            .select("doc_id", "n_toks", "q_micro", "lm_micro", "side")
             .localCheckpoint(eager=True))
     finally:
         release()
