@@ -248,6 +248,14 @@ SF01_CEILINGS = {
     # balanced export: map + micro digest + broadcast + one exchange
     # — a blown ceiling means the balancer saw a corpus-sized sort
     "export_training_shards_balanced": 4.0,  # (1.5)
+    # LSH index lifecycle (r12 second session): signatures slice off
+    # the session-shared build, banding is map-only, the append's
+    # screen broadcasts batch bands — a blown ceiling means a second
+    # corpus signature pass or the bucket join shuffling the corpus
+    # side
+    "lsh_postings_build": 8.0,             # (3.7)
+    "lsh_postings_append": 11.0,           # (5.3)
+    "lsh_postings_compact": 10.0,          # (4.7)
 }
 
 pytestmark = pytest.mark.skipif(

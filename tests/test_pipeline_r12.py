@@ -172,3 +172,56 @@ def test_balanced_export_token_balance_and_determinism(spark, cat):
     assert ratio <= 1.05, f"shard token ratio {ratio:.3f}"
     again = cat["export_training_shards_balanced"][0](spark, SF001).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+# ---------------------------------------------------------------------------
+# LSH index lifecycle (second session)
+# ---------------------------------------------------------------------------
+
+def test_lsh_compact_equals_from_scratch(spark, cat):
+    """compact(base ∪ appended) must be ROW-IDENTICAL to a from-scratch
+    LSH index build over (old corpus ∪ admitted docs) — the per-doc-
+    independence identity, third family edition."""
+    comp = cat["lsh_postings_compact"][0](spark, SF001)
+    got = sorted(tuple(r) for r in comp.collect())
+    clean_ids = [r["doc_id"] for r in spark.read.parquet(
+        qcat._artifact_path(SF001, "lsh_sigs_new"))
+        .select("doc_id").collect()]
+    docs = qcat._docs(spark, SF001)
+    union_docs = docs.where((F.col("doc_id") % 11 != 0)
+                            | F.col("doc_id").isin(clean_ids))
+    sigs = (dd.minhash_signatures(union_docs, "doc_id", "text")
+            .localCheckpoint(eager=True))
+    acc = F.lit(0).cast("bigint")
+    sd = sigs.select(
+        "doc_id",
+        F.aggregate("sig", acc, lambda a, x: a + x).alias("sig_sum"),
+        F.array_min("sig").cast("bigint").alias("sig_min"),
+        F.array_max("sig").cast("bigint").alias("sig_max"))
+    bd = (dd.minhash_band_buckets(sigs, "doc_id").groupBy("doc_id")
+          .agg(F.count(F.lit(1)).cast("bigint").alias("n_bands"),
+               F.countDistinct("band_hash").cast("bigint")
+               .alias("n_buckets"),
+               F.min("band_hash").alias("min_band"),
+               F.max("band_hash").alias("max_band")))
+    want = sorted(tuple(r) for r in sd.join(bd, "doc_id").collect())
+    assert got == want and got
+
+
+def test_lsh_append_admits_only_unflagged(spark, cat):
+    """Appended docs must be exactly the batch minus the incremental
+    screen's flagged new docs (the 0.35 est-Jaccard convention) —
+    the lifecycle and the standing screen entry must tell one story."""
+    rep = cat["lsh_postings_append"][0](spark, SF001).collect()
+    app = {r["doc_id"] for r in rep if r["generation"] == "appended"}
+    base = {r["doc_id"] for r in rep if r["generation"] == "base"}
+    assert app and base and not app & base
+    assert all(d % 11 == 0 for d in app)
+    flagged = {r["new_id"] for r in
+               cat["dedup_incremental_newbatch"][0](spark, SF001)
+               .collect()}
+    sigs, _ = qcat._minhash_shared(spark, SF001)
+    batch = {r["doc_id"] for r in
+             sigs.where(F.col("doc_id") % 11 == 0)
+             .select("doc_id").collect()}
+    assert app == batch - flagged
