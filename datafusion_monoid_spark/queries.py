@@ -1499,11 +1499,12 @@ def _lsh_clean_ctes() -> str:
              f"i -> a.sig[i] = b.sig[i]))::DOUBLE / {dd.MINHASH_NUM}")
     return f"""{_lsh_index_ctes('o', 'doc_id % 11 <> 0')},
 {_lsh_index_ctes('n', 'doc_id % 11 = 0')},
+lcand AS (SELECT DISTINCT x.doc_id AS nid, y.doc_id AS oid
+          FROM nbanded x JOIN obanded y
+          ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash),
 flagged AS (
-  SELECT DISTINCT a.doc_id FROM nsigs a JOIN osigs b ON EXISTS (
-    SELECT 1 FROM nbanded x JOIN obanded y
-    ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
-    WHERE x.doc_id = a.doc_id AND y.doc_id = b.doc_id)
+  SELECT DISTINCT nid AS doc_id FROM lcand
+  JOIN nsigs a ON a.doc_id = nid JOIN osigs b ON b.doc_id = oid
   WHERE {agree} >= {_LSH_SCREEN_EST}),
 cleansigs AS (SELECT * FROM nsigs
               WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
