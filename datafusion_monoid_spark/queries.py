@@ -12173,6 +12173,35 @@ register("streaming_curation_capstone",
          _streaming_capstone_oracle_sql())(sq.streaming_curation_capstone)
 
 
+def _streaming_admit_oracle_sql() -> str:
+    """Batch twin of the streaming admit loop: arriving docs pass the
+    exact-key screen (vs the old-corpus key index), then the
+    containment screen (vs the base probe index); the result is the
+    per-doc digest of the admitted postings generations — per-doc
+    against static artifacts, so the stream's union equals this."""
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    nb_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+               "(SELECT doc_id, unnest({shg}) AS s FROM nb)").format(
+        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
+    return f"""
+WITH oldk AS (SELECT DISTINCT md5({norm}) AS k FROM documents
+              WHERE doc_id % 11 <> 0),
+nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+       AND md5({norm}) NOT IN (SELECT k FROM oldk)),
+{_contain_screen_chain_sql(nb_newh)},
+cleanh AS (SELECT doc_id, h FROM newh WHERE doc_id NOT IN
+           (SELECT DISTINCT new_id FROM screen)),
+np AS (SELECT doc_id, count(*) AS np
+       FROM {_cidx_probes_sql('cleanh')} GROUP BY doc_id)
+{_cidx_digest_sql('cleanh', 'np')}
+"""
+
+
+register("streaming_containment_admit_serve",
+         _streaming_admit_oracle_sql())(
+    sq.streaming_containment_admit_serve)
+
+
 #: The COMMITTED driver-window manifest for this round — the first 50
 #: ``catalog()`` entries, i.e. exactly what the driver's correctness
 #: gate covers.  Frozen per round (regenerate with
@@ -12530,8 +12559,10 @@ _DRIVER_WINDOW_R12 = [
     "containment_postings_append", "containment_postings_compact",
     "streaming_curation_capstone", "export_training_shards_balanced",
     "dedup_containment_lsh_capped", "export_training_shards",
-    # second-session sentinels: the LSH index lifecycle triple
+    # second-session sentinels: the LSH index lifecycle triple + the
+    # streaming admit loop
     "lsh_postings_build", "lsh_postings_append", "lsh_postings_compact",
+    "streaming_containment_admit_serve",
     # oldest-r8-stale rotation (registration order) to fill 50
     "monoid_sum_double", "monoid_min_double", "monoid_max_double",
     "monoid_product_double", "monoid_embedding_sum",
@@ -12541,7 +12572,6 @@ _DRIVER_WINDOW_R12 = [
     "multimodal_neardup_lsh", "hll_distinct_tokens",
     "decontam_prod_13gram", "vocab_topk_coverage", "per_group_sample",
     "hist_quantile_prices", "bpe_top_merges",
-    "funnel_view_click_purchase",
 ]
 
 

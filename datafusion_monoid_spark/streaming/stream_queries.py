@@ -1061,3 +1061,112 @@ def _capstone_gates(spark: SparkSession, sf_dir: str):
             df_.unpersist()
 
     return gates, release
+
+
+def streaming_containment_admit_serve(spark: SparkSession,
+                                      sf_dir: str) -> DataFrame:
+    """Streaming ADMIT loop — the ingest side of the containment-index
+    lifecycle run ONLINE: each arriving micro-batch is screened
+    against the persisted artifacts (exact-key index first — the
+    cheap map-side md5 gate — then the probe index), and the CLEAN
+    survivors' postings + probe argmins are WRITTEN AS INDEX
+    GENERATIONS from inside the stream (sink/batch=N/idx + /probes,
+    the `containment_postings_append` artifact shape).  A periodic
+    `containment_postings_compact` folds the accumulated generations
+    into the base — screen -> admit -> compact, always on.
+
+    Stream == batch holds because BOTH screens are per-doc against
+    static artifacts; what this loop deliberately does NOT own is
+    within-stream duplication (two novel near-identical docs in
+    different micro-batches are both admitted): that is bounded by
+    compaction cadence — the batch `containment_postings_append`
+    exact-dedups its whole batch, and a compact-time cascade collapses
+    the rest.  The per-doc batch twin is this entry's DuckDB oracle,
+    full hash check; sink writes are idempotent per epoch.
+
+    Scale: per-batch work is one tokenize + the screen's
+    candidate join + two narrow int writes; the base artifacts are
+    only ever READ (hoisted + persisted once, pre-stream)."""
+    from datafusion_monoid_spark import queries as _qcat
+    from datafusion_monoid_spark.operators import dedup as _dd
+
+    ipath, ppath = _qcat._build_containment_index(spark, sf_dir,
+                                                  overwrite=False)
+    old_keys = spark.read.parquet(
+        _qcat._build_exact_key_index(spark, sf_dir)).persist()
+    idx = spark.read.parquet(ipath).persist()
+    iprobes = spark.read.parquet(ppath).persist()
+    for df_ in (old_keys, idx, iprobes):
+        df_.count()  # materialize pre-stream, not inside batch 0
+
+    new = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+           .where(F.col("doc_id") % 11 == 0)
+           .select("doc_id", "text"))
+
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    stage = sink = None
+    try:
+        stage = _scratch_dir("cadmit_docs_")
+        sink = _scratch_dir("cadmit_gen_")
+        new.repartition(4).write.mode("overwrite").parquet(stage)
+        dstream = (spark.readStream.schema(new.schema)
+                   .option("maxFilesPerTrigger", "1").parquet(stage))
+
+        def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
+            b = batch_df.repartition(STREAM_SHUFFLE)
+            keep = (_dd.exact_dedup_keys(b, "text")
+                    .join(old_keys, "dup_key", "left_anti")
+                    .select("doc_id", "text"))
+            nh = _qcat._track_ckpt(
+                _dd.shingle_hashes(keep, "doc_id",
+                                   _dd.word_shingles("text"))
+                .distinct().localCheckpoint(eager=True))
+            flagged = _qcat._containment_screen_from_hashes(
+                nh, idx, iprobes)
+            cleanh = _qcat._track_ckpt(
+                nh.join(flagged.select(F.col("new_id").alias("doc_id"))
+                        .distinct(), "doc_id", "left_anti")
+                .localCheckpoint(eager=True))
+            with _commit_timer("streaming_containment_admit_serve"):
+                cleanh.write.mode("overwrite").parquet(
+                    f"{sink}/batch={batch_id}/idx")
+                (_dd.probe_argmins_long(cleanh, "doc_id")
+                 .write.mode("overwrite").parquet(
+                     f"{sink}/batch={batch_id}/probes"))
+
+        _COMMITS.pop("streaming_containment_admit_serve", None)
+        ckpt = _ckpt_dir("streaming_containment_admit_serve")
+        q = (dstream.writeStream.foreachBatch(admit_batch)
+             .option("checkpointLocation", ckpt).start())
+        try:
+            q.processAllAvailable()
+            _record_metrics("streaming_containment_admit_serve",
+                            q.recentProgress)
+        finally:
+            q.stop()
+            shutil.rmtree(ckpt, ignore_errors=True)
+        # explicit schemas: a tier where every batch admits nothing
+        # leaves only _SUCCESS markers (the capstone's sf1 lesson)
+        gi = (spark.read.schema("doc_id bigint, h bigint")
+              .option("recursiveFileLookup", "true")
+              .parquet(f"{sink}/batch=*/idx"))
+        gp = (spark.read.schema("doc_id bigint, h bigint")
+              .option("recursiveFileLookup", "true")
+              .parquet(f"{sink}/batch=*/probes")
+              .groupBy("doc_id")
+              .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
+        out = (gi.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+                    F.min("h").cast("bigint").alias("min_h"),
+                    F.max("h").cast("bigint").alias("max_h"),
+                    F.sum("h").cast("bigint").alias("sum_h"))
+               .join(gp, "doc_id"))
+        return _qcat._track_ckpt(out.localCheckpoint(eager=True))
+    finally:
+        for df_ in (old_keys, idx, iprobes):
+            df_.unpersist()
+        for d in (stage, sink):
+            if d:
+                shutil.rmtree(d, ignore_errors=True)
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)

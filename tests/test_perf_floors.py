@@ -256,6 +256,11 @@ SF01_CEILINGS = {
     "lsh_postings_build": 8.0,             # (3.7)
     "lsh_postings_append": 11.0,           # (5.3)
     "lsh_postings_compact": 10.0,          # (4.7)
+    # streaming admit loop: 4 micro-batches x (exact-key anti-join +
+    # screen kernel + two narrow writes) against hoisted artifacts —
+    # a blown ceiling means a per-batch artifact re-read or a
+    # corpus-sized stage inside the loop
+    "streaming_containment_admit_serve": 24.0,  # (12.2)
 }
 
 pytestmark = pytest.mark.skipif(

@@ -225,3 +225,39 @@ def test_lsh_append_admits_only_unflagged(spark, cat):
              sigs.where(F.col("doc_id") % 11 == 0)
              .select("doc_id").collect()}
     assert app == batch - flagged
+
+
+def test_streaming_admit_equals_batch(spark, cat):
+    """Stream == batch for the admit loop: the union of per-batch
+    admitted generations must equal the one-shot recompute of the same
+    per-doc chain (exact-key screen -> containment screen -> digest)
+    against the same persisted artifacts."""
+    got = sorted(tuple(r) for r in
+                 cat["streaming_containment_admit_serve"][0](
+                     spark, SF001).collect())
+    ipath, ppath = qcat._build_containment_index(spark, SF001,
+                                                 overwrite=False)
+    old_keys = spark.read.parquet(
+        qcat._build_exact_key_index(spark, SF001))
+    nb = (qcat._docs(spark, SF001).where(F.col("doc_id") % 11 == 0)
+          .select("doc_id", "text"))
+    keep = (dd.exact_dedup_keys(nb, "text")
+            .join(old_keys, "dup_key", "left_anti")
+            .select("doc_id", "text"))
+    nh = (dd.shingle_hashes(keep, "doc_id", dd.word_shingles("text"))
+          .distinct().localCheckpoint(eager=True))
+    flagged = qcat._containment_screen_from_hashes(
+        nh, spark.read.parquet(ipath), spark.read.parquet(ppath))
+    cleanh = nh.join(flagged.select(F.col("new_id").alias("doc_id"))
+                     .distinct(), "doc_id", "left_anti") \
+               .localCheckpoint(eager=True)
+    np_ = (dd.probe_argmins_long(cleanh, "doc_id").groupBy("doc_id")
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
+    want = sorted(tuple(r) for r in
+                  (cleanh.groupBy("doc_id")
+                   .agg(F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+                        F.min("h").cast("bigint").alias("min_h"),
+                        F.max("h").cast("bigint").alias("max_h"),
+                        F.sum("h").cast("bigint").alias("sum_h"))
+                   .join(np_, "doc_id")).collect())
+    assert got == want and got
