@@ -1439,6 +1439,139 @@ def containment_postings_compact(spark: SparkSession,
     return _cidx_digest(spark, icomp, pcomp)
 
 
+def _contain_admit_clean_ctes() -> str:
+    """CTE chain ``oldk -> nb -> screen -> cleanh``: the STREAMING
+    admit loop's per-doc generation relation (exact-key screen, then
+    containment screen vs the base index) — shared by the streaming
+    admit oracle and the compact-cascade oracle."""
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    nb_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+               "(SELECT doc_id, unnest({shg}) AS s FROM nb)").format(
+        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
+    return f"""oldk AS (SELECT DISTINCT md5({norm}) AS k FROM documents
+              WHERE doc_id % 11 <> 0),
+nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
+       AND md5({norm}) NOT IN (SELECT k FROM oldk)),
+{_contain_screen_chain_sql(nb_newh)},
+cleanh AS (SELECT doc_id, h FROM newh WHERE doc_id NOT IN
+           (SELECT DISTINCT new_id FROM screen))"""
+
+
+def _compact_cascade_oracle_sql() -> str:
+    return f"""
+WITH {_contain_admit_clean_ctes()},
+scand AS (
+  SELECT id_a, id_b FROM (
+    SELECT least(q.doc_id, t.doc_id) AS id_a,
+           greatest(q.doc_id, t.doc_id) AS id_b
+    FROM {_cidx_probes_sql('cleanh')} q JOIN cleanh t USING (h)
+    WHERE q.doc_id != t.doc_id)
+  GROUP BY id_a, id_b HAVING count(*) >= {dd.CONTAIN_MIN_HITS}),
+ssz AS (SELECT doc_id, count(*) AS n FROM cleanh GROUP BY doc_id),
+sinter AS (SELECT c.id_a, c.id_b, count(*) AS n_common
+           FROM scand c JOIN cleanh a ON a.doc_id = c.id_a
+                        JOIN cleanh b ON b.doc_id = c.id_b
+                                     AND a.h = b.h
+           GROUP BY c.id_a, c.id_b),
+sdrop AS (SELECT DISTINCT id_b AS doc_id
+          FROM sinter JOIN ssz sa ON sinter.id_a = sa.doc_id
+                      JOIN ssz sb ON sinter.id_b = sb.doc_id
+          WHERE greatest((n_common * 1000000) // sa.n,
+                         (n_common * 1000000) // sb.n) >= 600000),
+keep AS (SELECT doc_id, h FROM cleanh WHERE doc_id NOT IN
+         (SELECT doc_id FROM sdrop)),
+allh AS (SELECT doc_id, h FROM idx UNION ALL
+         SELECT doc_id, h FROM keep),
+np AS (SELECT doc_id, count(*) AS np
+       FROM {_cidx_probes_sql('allh')} GROUP BY doc_id)
+{_cidx_digest_sql('allh', 'np')}
+"""
+
+
+def _containment_self_screen_drop(hashed: DataFrame) -> DataFrame:
+    """(doc_id) — the GREATER id of every >= 0.6-containment pair
+    among the given distinct (doc_id, h) relation (keep-min).  Probe
+    candidates from the one-sided-MinHash construction; exact
+    micro-integer verify is the intersection count via an equi-join on
+    h between the two docs' hash sets — candidates only, index-native
+    (no shingle arrays rebuilt).  ``hashed`` must be materialized."""
+    cand = dd.containment_probe_candidates(hashed, "doc_id")
+    sz = hashed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    inter = (cand.join(hashed.select(F.col("doc_id").alias("id_a"), "h"),
+                       "id_a")
+             .join(hashed.select(F.col("doc_id").alias("id_b"),
+                                 F.col("h").alias("__hb")),
+                   "id_b")
+             .where(F.col("h") == F.col("__hb"))
+             .groupBy("id_a", "id_b")
+             .agg(F.count(F.lit(1)).cast("bigint").alias("n_common")))
+    j = (inter.join(sz.withColumnRenamed("doc_id", "id_a")
+                    .withColumnRenamed("n", "n_a"), "id_a")
+         .join(sz.withColumnRenamed("doc_id", "id_b")
+               .withColumnRenamed("n", "n_b"), "id_b"))
+    return (j.where(F.greatest(
+        _idiv(F.col("n_common") * 1_000_000, F.col("n_a")),
+        _idiv(F.col("n_common") * 1_000_000, F.col("n_b")))
+        >= 600_000)
+        .select(F.col("id_b").alias("doc_id")).distinct())
+
+
+@register("containment_compact_cascade", _compact_cascade_oracle_sql())
+def containment_compact_cascade(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """COMPACT-TIME CASCADE — the within-stream dup gap the streaming
+    admit loop documents, closed as an operator: the admitted
+    generation (the admit loop's per-doc screens are against STATIC
+    artifacts, so two novel near-identical docs arriving in different
+    micro-batches are BOTH admitted) is self-screened at compaction —
+    probe candidates among the admitted docs only, exact micro-integer
+    containment verify, drop the greater id of every >= 0.6 pair
+    (keep-min, the family convention) — and only then folded into the
+    base layout.  The always-on loop is thereby eventually-consistent:
+    duplicate admissions survive at most one compaction cadence.
+
+    Scale: the self-screen is O(generation), never O(index) — probes,
+    candidate join, and verify all run over the admitted relation
+    (micro-batch-bounded x cadence); the fold is the standard compact
+    (union + one h exchange).  Returns the per-doc digest of the
+    cascaded compacted artifact pair; the oracle replays admit ->
+    self-screen -> fold in one chain."""
+    ipath, ppath = _build_containment_index(spark, sf_dir,
+                                            overwrite=False)
+    # the admitted generation, recomputed per call (idempotent —
+    # the streaming admit loop's batch-union equals this by per-doc
+    # independence)
+    old_keys = spark.read.parquet(_build_exact_key_index(spark, sf_dir))
+    nb = (_docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+          .select("doc_id", "text"))
+    keep_docs = (dd.exact_dedup_keys(nb, "text")
+                 .join(old_keys, "dup_key", "left_anti")
+                 .select("doc_id", "text"))
+    nh = _track_ckpt(
+        dd.shingle_hashes(keep_docs, "doc_id", dd.word_shingles("text"))
+        .distinct().localCheckpoint(eager=True))
+    flagged = _containment_screen_from_hashes(
+        nh, spark.read.parquet(ipath), spark.read.parquet(ppath))
+    cleanh = _track_ckpt(
+        nh.join(flagged.select(F.col("new_id").alias("doc_id"))
+                .distinct(), "doc_id", "left_anti")
+        .localCheckpoint(eager=True))
+    drop = _containment_self_screen_drop(cleanh)
+    kept = _track_ckpt(cleanh.join(drop, "doc_id", "left_anti")
+                       .localCheckpoint(eager=True))
+    icomp = _artifact_path(sf_dir, "contain_index_cascaded")
+    pcomp = _artifact_path(sf_dir, "contain_probes_cascaded")
+    (spark.read.parquet(ipath).unionByName(kept)
+     .repartition("h").sortWithinPartitions("h")
+     .write.mode("overwrite").parquet(icomp))
+    (spark.read.parquet(ppath)
+     .unionByName(dd.probe_argmins_long(kept, "doc_id"))
+     .repartition("h").sortWithinPartitions("h")
+     .write.mode("overwrite").parquet(pcomp))
+    return _cidx_digest(spark, icomp, pcomp)
+
+
 # -- banded-LSH (Jaccard) index lifecycle: the third index family to
 # get the build / append / compact discipline (after IVF postings and
 # the containment probe index) — the persisted signature + band-bucket
@@ -12179,18 +12312,8 @@ def _streaming_admit_oracle_sql() -> str:
     containment screen (vs the base probe index); the result is the
     per-doc digest of the admitted postings generations — per-doc
     against static artifacts, so the stream's union equals this."""
-    norm = dd.NORMALIZE_SQL.format(expr="text")
-    nb_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
-               "(SELECT doc_id, unnest({shg}) AS s FROM nb)").format(
-        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
     return f"""
-WITH oldk AS (SELECT DISTINCT md5({norm}) AS k FROM documents
-              WHERE doc_id % 11 <> 0),
-nb AS (SELECT doc_id, text FROM documents WHERE doc_id % 11 = 0
-       AND md5({norm}) NOT IN (SELECT k FROM oldk)),
-{_contain_screen_chain_sql(nb_newh)},
-cleanh AS (SELECT doc_id, h FROM newh WHERE doc_id NOT IN
-           (SELECT DISTINCT new_id FROM screen)),
+WITH {_contain_admit_clean_ctes()},
 np AS (SELECT doc_id, count(*) AS np
        FROM {_cidx_probes_sql('cleanh')} GROUP BY doc_id)
 {_cidx_digest_sql('cleanh', 'np')}
@@ -12562,7 +12685,7 @@ _DRIVER_WINDOW_R12 = [
     # second-session sentinels: the LSH index lifecycle triple + the
     # streaming admit loop
     "lsh_postings_build", "lsh_postings_append", "lsh_postings_compact",
-    "streaming_containment_admit_serve",
+    "streaming_containment_admit_serve", "containment_compact_cascade",
     # oldest-r8-stale rotation (registration order) to fill 50
     "monoid_sum_double", "monoid_min_double", "monoid_max_double",
     "monoid_product_double", "monoid_embedding_sum",
@@ -12571,7 +12694,7 @@ _DRIVER_WINDOW_R12 = [
     "rollup_revenue", "dedup_minhash_lsh_pairs",
     "multimodal_neardup_lsh", "hll_distinct_tokens",
     "decontam_prod_13gram", "vocab_topk_coverage", "per_group_sample",
-    "hist_quantile_prices", "bpe_top_merges",
+    "hist_quantile_prices",
 ]
 
 

@@ -261,6 +261,11 @@ SF01_CEILINGS = {
     # a blown ceiling means a per-batch artifact re-read or a
     # corpus-sized stage inside the loop
     "streaming_containment_admit_serve": 24.0,  # (12.2)
+    # compact-time cascade: generation-local self-screen + the
+    # standard fold — a blown ceiling means the self-screen's verify
+    # joined the base index (O(index) crept into the O(generation)
+    # stage)
+    "containment_compact_cascade": 15.0,        # (7.1)
 }
 
 pytestmark = pytest.mark.skipif(

@@ -261,3 +261,40 @@ def test_streaming_admit_equals_batch(spark, cat):
                         F.sum("h").cast("bigint").alias("sum_h"))
                    .join(np_, "doc_id")).collect())
     assert got == want and got
+
+
+def test_compact_cascade_self_screen_keep_min(spark):
+    """The compact-time cascade's self-screen: among an admitted
+    generation containing a quote pair (containment >= 0.6) and an
+    unrelated doc, exactly the GREATER id of the pair drops — the
+    within-stream duplicate admissions the streaming admit loop
+    documents are collapsed at compaction."""
+    quote = " ".join(f"alpha{i} beta{i} gamma{i}" for i in range(6))
+    rows = [(100, quote),
+            (101, quote + " " + " ".join(f"pad{i} x{i}"
+                                         for i in range(4))),
+            (200, " ".join(f"other{i} stuff{i} here{i}"
+                           for i in range(8)))]
+    hashed = _hashed(spark, rows).localCheckpoint(eager=True)
+    drop = {r["doc_id"] for r in
+            qcat._containment_self_screen_drop(hashed).collect()}
+    assert drop == {101}
+
+
+def test_compact_cascade_superset_of_plain_compact_base(spark, cat):
+    """The cascaded artifact's base side must equal the plain build's
+    digest (folding never touches base rows), and its admitted side is
+    a subset of the admit loop's generation (the self-screen only ever
+    removes)."""
+    casc = cat["containment_compact_cascade"][0](spark, SF001).collect()
+    base = {r["doc_id"]: tuple(r) for r in
+            cat["containment_index_build"][0](spark, SF001).collect()}
+    adm = {r["doc_id"] for r in
+           cat["streaming_containment_admit_serve"][0](
+               spark, SF001).collect()}
+    casc_ids = {r["doc_id"] for r in casc}
+    assert set(base) <= casc_ids
+    for r in casc:
+        if r["doc_id"] in base:
+            assert tuple(r) == base[r["doc_id"]]
+    assert casc_ids - set(base) <= adm
