@@ -264,6 +264,61 @@ CONTAIN_PROBES = 16
 CONTAIN_MIN_HITS = 5
 
 
+#: Pre-agg candidate-row budget for the capped containment probe —
+#: the structural bound VERDICT r12 item 1 prescribes.  The probe
+#: join's pre-aggregation candidate mass is >= n_docs x CONTAIN_PROBES
+#: x (per-probe fan-out), and the corpus's exact-duplication factor is
+#: a LOWER BOUND on every probe's fan-out (each of a doc's c exact
+#: clones holds the identical shingle set, so any shingle's posting
+#: list repeats c times).  At the measured sf10 x100-clone failure the
+#: estimate is 5M x 16 x 100 = 8e9 rows — the candidate exchange
+#: spilled past the host's free disk ("No space left on device",
+#: BASELINE.md round 12); the plain sf10 corpus (dup factor ~1) sits
+#: at 8e7 and completes.  1e9 splits those regimes with an order of
+#: magnitude on each side; it corresponds to ~16 GB of pre-agg
+#: (id_a, id_b) exchange — what one ingest host can actually shuffle.
+CONTAIN_CAND_BUDGET = 1_000_000_000
+
+
+def containment_candidate_guard(n_docs: int, dup_factor: float,
+                                budget: int | None = None,
+                                n_probes: int = CONTAIN_PROBES) -> int:
+    """Duplication pre-probe for the capped containment entry: bound
+    the probe join's candidate mass BEFORE paying for it.  Returns the
+    estimated pre-agg candidate rows ``n_docs * n_probes * dup_factor``
+    (the clone-rate lower bound on fan-out) and raises an actionable
+    error naming the in-catalog cure when the estimate exceeds the
+    budget — a clone-heavy corpus must be EXACT-DEDUPED before the
+    probe join (the ``pipeline_containment_screen`` cascade, measured
+    57.2 s at the same sf10 tier where the unrouted probe exhausted
+    disk), because no df cap can help when every shingle's document
+    frequency is inflated by the clone factor itself.
+
+    The dup factor is one cheap agg (count / approx distinct content
+    keys); at 100 TB it is free — the ingest-time exact-key index
+    (``exactkey_postings_*``) already materializes the distinct-key
+    count next to the corpus count."""
+    if budget is None:
+        budget = CONTAIN_CAND_BUDGET
+    est = int(n_docs * n_probes * max(dup_factor, 1.0))
+    if est > budget:
+        raise RuntimeError(
+            f"dedup_containment_lsh_capped: refusing the probe join — "
+            f"estimated pre-agg candidate mass {est:,} rows "
+            f"(n_docs={n_docs:,} x {n_probes} probes x exact-dup "
+            f"factor {dup_factor:.1f}) exceeds the "
+            f"{budget:,}-row budget.  A corpus this clone-heavy "
+            f"inflates every shingle's document frequency by the clone "
+            f"factor, so the df cap cannot bound the fan-out (measured: "
+            f"disk exhaustion at sf10 x100-clone, BASELINE.md r12).  "
+            f"Run the exact-dedup-first cascade instead: "
+            f"pipeline_containment_screen (collapses exact clones to "
+            f"representatives before probing; 57.2 s at the same sf10 "
+            f"tier) or pipeline_dedup_cascade."
+        )
+    return est
+
+
 def shingle_hashes(df: DataFrame, id_col: str,
                    shingle_arr: Column) -> DataFrame:
     """(id, h): base 32-bit shingle hashes — the containment index's

@@ -895,12 +895,31 @@ def dedup_containment_lsh_capped(spark: SparkSession,
     through the same exact micro-integer kernel.
 
     Scale: identical posture to ``dedup_containment_lsh`` plus one
-    partial agg on the join key; the corpus count is the entry's one
-    driver-side scalar (the model-constant discipline); at 100 TB the
-    df relation is precomputed at ingest next to the postings and the
-    cap is what bounds the hottest posting list."""
+    partial agg on the join key; at 100 TB the df relation is
+    precomputed at ingest next to the postings and the cap is what
+    bounds the hottest posting list.
+
+    DUPLICATION PRE-PROBE (VERDICT r12 item 1): before paying for the
+    probe join, one agg estimates the corpus's exact-duplication
+    factor (count / approx-distinct content keys) — a LOWER BOUND on
+    every probe's fan-out, since a doc's c exact clones repeat every
+    posting c times.  When the implied candidate mass exceeds
+    ``dd.CONTAIN_CAND_BUDGET`` the entry REFUSES with an error naming
+    the exact-dedup-first cascade (``pipeline_containment_screen``) —
+    the measured cure for the sf10 x100-clone tier where the unrouted
+    join exhausted disk ("No space left on device", BASELINE.md r12);
+    no df cap helps when clone mass inflates every shingle's df.  On
+    clone-light corpora (every driver tier) the guard passes and the
+    plan is byte-identical; the driver-side scalars stay model-sized
+    (two counts)."""
     docs = _docs(spark, sf_dir)
-    cap = max(_CONTAIN_MAX_DF, docs.count() // 100)
+    row = (dd.exact_dedup_keys(docs, "text")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.approx_count_distinct("dup_key").alias("k"))
+           .collect()[0])
+    n_docs = row["n"]
+    dd.containment_candidate_guard(n_docs, n_docs / max(row["k"], 1))
+    cap = max(_CONTAIN_MAX_DF, n_docs // 100)
     hashed = _probe_hashes_shared(spark, sf_dir)
     cand = dd.containment_probe_candidates(hashed, "doc_id",
                                            max_df=cap)
@@ -1570,6 +1589,134 @@ def containment_compact_cascade(spark: SparkSession,
      .repartition("h").sortWithinPartitions("h")
      .write.mode("overwrite").parquet(pcomp))
     return _cidx_digest(spark, icomp, pcomp)
+
+
+# -- exact-key index lifecycle (VERDICT r12 item 2): the FOURTH index
+# family to get the build / append / compact discipline — the
+# exact-dup key index both capstones' cheap first gate consumes
+# (``_build_exact_key_index``) was build-only, so a doc admitted in
+# batch N was invisible to batch N+1's exact-key gate until the
+# compact-time cascade caught its clones one cadence later.  Keys are
+# per-doc deterministic (md5 of normalized text), so the family's
+# identity is the strongest of the four: compact(base ∪ generations)
+# == DISTINCT keys over the union corpus, row-for-row.
+
+
+_EXACTKEY_K64_SQL = "CAST(concat('0x', substr(k, 1, 8)) AS BIGINT)"
+
+
+def _exactkey_digest(spark: SparkSession, path: str,
+                     layer: str) -> DataFrame:
+    """One-row digest of an on-disk key layer: count + lexicographic
+    min/max + 32-bit numeric sum (first 8 hex chars of each key —
+    32 bits keeps sum(k32) under INT64 even summed in DuckDB's INT128
+    up to ~2^31 keys; a 60-bit carrier overflowed the oracle's final
+    BIGINT cast at sf0.001 already) — enough to pin the layer's exact
+    content against the oracle without shipping the keys themselves."""
+    k64 = F.conv(F.substring(F.col("dup_key"), 1, 8), 16, 10) \
+        .cast("bigint")
+    return (spark.read.parquet(path)
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+                 F.min("dup_key").alias("min_key"),
+                 F.max("dup_key").alias("max_key"),
+                 F.sum(k64).cast("bigint").alias("sum_k64"))
+            .select(F.lit(layer).alias("layer"), "n_keys",
+                    "min_key", "max_key", "sum_k64"))
+
+
+def _exactkey_digest_sql(cte: str, layer: str) -> str:
+    return (f"SELECT '{layer}' AS layer, "
+            f"CAST(count(*) AS BIGINT) AS n_keys, "
+            f"min(k) AS min_key, max(k) AS max_key, "
+            f"CAST(sum({_EXACTKEY_K64_SQL}) AS BIGINT) AS sum_k64 "
+            f"FROM {cte}")
+
+
+def _append_exactkey_postings(spark: SparkSession, sf_dir: str) -> str:
+    """ADMIT the arriving batch's NOVEL exact-dup keys as an O(batch)
+    artifact generation: distinct batch keys anti-joined against the
+    base index, written idempotently (re-running an ingest replaces,
+    never duplicates).  Shared by the append and compact entries."""
+    base = _build_exact_key_index(spark, sf_dir, overwrite=False)
+    gen = _artifact_path(sf_dir, "exact_keys_new")
+    nb = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    (dd.exact_dedup_keys(nb, "text").select("dup_key").distinct()
+     .join(spark.read.parquet(base), "dup_key", "left_anti")
+     .write.mode("overwrite").parquet(gen))
+    return gen
+
+
+def _exactkey_append_oracle_sql() -> str:
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    return f"""
+WITH oldk AS (SELECT DISTINCT md5({norm}) AS k FROM documents
+              WHERE doc_id % 11 <> 0),
+gen AS (SELECT DISTINCT md5({norm}) AS k FROM documents
+        WHERE doc_id % 11 = 0
+        AND md5({norm}) NOT IN (SELECT k FROM oldk))
+{_exactkey_digest_sql('oldk', 'base')}
+UNION ALL
+{_exactkey_digest_sql('gen', 'appended')}
+"""
+
+
+@register("exactkey_postings_append", _exactkey_append_oracle_sql())
+def exactkey_postings_append(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """APPEND to the exact-key index without a rebuild — the cheapest
+    index-maintenance operation in the catalog, and the one every
+    always-on ingest runs most often: the arriving batch's NOVEL keys
+    (distinct md5-of-normalized-text not already in the base index)
+    land as their own one-column artifact generation, so tomorrow's
+    exact-key gates see today's admissions without re-hashing the
+    corpus.  Returns the per-layer digest of the combined on-disk
+    index — the occupancy report that tells an operator when
+    accumulated generations warrant a compaction.
+
+    Scale: per-ingest work is O(|batch|) — one md5 projection over
+    the batch, one distinct, one anti-join against the base keys
+    (broadcast-able: the BATCH side is small; in production the base
+    is bucketed by key so the anti-join is co-located) and one narrow
+    write.  The base index is only ever READ."""
+    base = _build_exact_key_index(spark, sf_dir, overwrite=False)
+    gen = _append_exactkey_postings(spark, sf_dir)
+    return (_exactkey_digest(spark, base, "base")
+            .unionByName(_exactkey_digest(spark, gen, "appended")))
+
+
+def _exactkey_compact_oracle_sql() -> str:
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    return f"""
+WITH allk AS (SELECT DISTINCT md5({norm}) AS k FROM documents)
+{_exactkey_digest_sql('allk', 'compacted')}
+"""
+
+
+@register("exactkey_postings_compact", _exactkey_compact_oracle_sql())
+def exactkey_postings_compact(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    """COMPACT the exact-key index: fold the appended generation back
+    into ONE artifact, rewritten hash-clustered by key (repartition +
+    within-file sort — parquet min/max on the key prunes row groups,
+    and a bucketed production layout makes the screen's anti-join
+    co-located).  Keys are per-doc deterministic and the append admits
+    exactly the batch's novel keys, so compact(base ∪ generation) is
+    ROW-IDENTICAL to DISTINCT keys over the WHOLE corpus — this
+    entry's oracle IS that from-scratch digest, and the Spark-side
+    identity is pinned row-for-row in tests/test_pipeline_r13.py
+    (the ivf/containment/lsh compact pattern).
+
+    Scale: O(index) — inputs are one-column key relations; one hash
+    exchange, then cell-local writes.  Corpus text is touched only if
+    a missing generation must first be built (the append's job)."""
+    base = _build_exact_key_index(spark, sf_dir, overwrite=False)
+    gen = _append_exactkey_postings(spark, sf_dir)
+    comp = _artifact_path(sf_dir, "exact_keys_compacted")
+    (spark.read.parquet(base)
+     .unionByName(spark.read.parquet(gen))
+     .repartition("dup_key").sortWithinPartitions("dup_key")
+     .write.mode("overwrite").parquet(comp))
+    return _exactkey_digest(spark, comp, "compacted")
 
 
 # -- banded-LSH (Jaccard) index lifecycle: the third index family to
@@ -12308,12 +12455,31 @@ register("streaming_curation_capstone",
 
 def _streaming_admit_oracle_sql() -> str:
     """Batch twin of the streaming admit loop: arriving docs pass the
-    exact-key screen (vs the old-corpus key index), then the
-    containment screen (vs the base probe index); the result is the
-    per-doc digest of the admitted postings generations — per-doc
-    against static artifacts, so the stream's union equals this."""
+    exact-key screen — vs the old-corpus key index AND the keys
+    appended by strictly earlier micro-batches (batching is the
+    deterministic ntile-by-doc_id order ``_stage_ordered_batches``
+    replays, so "earlier" is SQL: each novel key admits only its
+    min-arrival-batch holders) — then the containment screen (vs the
+    base probe index); the result is the per-doc digest of the
+    admitted postings generations.  Exact clones share the per-doc
+    containment outcome, so gating at the md5 stage composes exactly."""
+    norm = dd.NORMALIZE_SQL.format(expr="text")
+    nb_newh = ("SELECT DISTINCT doc_id, {mdl} % 4294967296 AS h FROM "
+               "(SELECT doc_id, unnest({shg}) AS s FROM nb)").format(
+        mdl=dd.md5_long_sql("s"), shg=dd.shingles_sql("text"))
     return f"""
-WITH {_contain_admit_clean_ctes()},
+WITH oldk AS (SELECT DISTINCT md5({norm}) AS k FROM documents
+              WHERE doc_id % 11 <> 0),
+nbk AS (SELECT doc_id, text, md5({norm}) AS k,
+               ntile(4) OVER (ORDER BY doc_id) AS g
+        FROM documents WHERE doc_id % 11 = 0),
+novel AS (SELECT * FROM nbk WHERE k NOT IN (SELECT k FROM oldk)),
+firstg AS (SELECT k, min(g) AS mg FROM novel GROUP BY k),
+nb AS (SELECT novel.doc_id, novel.text FROM novel
+       JOIN firstg ON novel.k = firstg.k AND novel.g = firstg.mg),
+{_contain_screen_chain_sql(nb_newh)},
+cleanh AS (SELECT doc_id, h FROM newh WHERE doc_id NOT IN
+           (SELECT DISTINCT new_id FROM screen)),
 np AS (SELECT doc_id, count(*) AS np
        FROM {_cidx_probes_sql('cleanh')} GROUP BY doc_id)
 {_cidx_digest_sql('cleanh', 'np')}

@@ -230,8 +230,11 @@ def test_lsh_append_admits_only_unflagged(spark, cat):
 def test_streaming_admit_equals_batch(spark, cat):
     """Stream == batch for the admit loop: the union of per-batch
     admitted generations must equal the one-shot recompute of the same
-    per-doc chain (exact-key screen -> containment screen -> digest)
-    against the same persisted artifacts."""
+    chain (exact-key screen incl. the within-stream min-arrival-batch
+    gate -> containment screen -> digest) against the same persisted
+    artifacts."""
+    from pyspark.sql import Window
+
     got = sorted(tuple(r) for r in
                  cat["streaming_containment_admit_serve"][0](
                      spark, SF001).collect())
@@ -240,9 +243,13 @@ def test_streaming_admit_equals_batch(spark, cat):
     old_keys = spark.read.parquet(
         qcat._build_exact_key_index(spark, SF001))
     nb = (qcat._docs(spark, SF001).where(F.col("doc_id") % 11 == 0)
-          .select("doc_id", "text"))
-    keep = (dd.exact_dedup_keys(nb, "text")
-            .join(old_keys, "dup_key", "left_anti")
+          .select("doc_id", "text")
+          .withColumn("g", F.ntile(4).over(Window.orderBy("doc_id"))))
+    novel = (dd.exact_dedup_keys(nb, "text")
+             .join(old_keys, "dup_key", "left_anti"))
+    firstg = novel.groupBy("dup_key").agg(F.min("g").alias("mg"))
+    keep = (novel.join(firstg, "dup_key")
+            .where(F.col("g") == F.col("mg"))
             .select("doc_id", "text"))
     nh = (dd.shingle_hashes(keep, "doc_id", dd.word_shingles("text"))
           .distinct().localCheckpoint(eager=True))

@@ -1,0 +1,135 @@
+"""Round-13 operators: the duplication pre-probe on the capped
+containment entry (VERDICT r12 item 1) and the exact-key index
+lifecycle (item 2).  Operator-level behavior on constructed corpora;
+full value equality vs DuckDB is the driver's gate /
+tools/check_oracles.py.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from datafusion_monoid_spark import queries as qcat
+from datafusion_monoid_spark.operators import dedup as dd
+
+SF001 = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def cat():
+    return qcat.catalog()
+
+
+# ---------------------------------------------------------------------------
+# duplication pre-probe (VERDICT r12 item 1)
+# ---------------------------------------------------------------------------
+
+def test_candidate_guard_math():
+    # under budget: returns the estimate, no raise
+    assert dd.containment_candidate_guard(1000, 1.0, budget=10**6) == 16_000
+    # dup factor floors at 1.0 (approx-distinct can overcount slightly)
+    assert dd.containment_candidate_guard(1000, 0.7, budget=10**6) == 16_000
+    # over budget: actionable error naming the in-catalog cascade cure
+    with pytest.raises(RuntimeError, match="pipeline_containment_screen"):
+        dd.containment_candidate_guard(5_000_000, 100.0)
+    # the measured failure regime (sf10 x100-clone: 8e9) trips the
+    # default budget; the plain sf10 corpus (8e7) does not
+    assert dd.containment_candidate_guard(5_000_000, 1.0) == 80_000_000
+
+
+def test_capped_entry_refuses_clone_heavy_corpus(spark, tmp_path,
+                                                 monkeypatch, cat):
+    """The standalone capped entry must FAIL FAST on a clone-heavy
+    corpus — one cheap agg, an error naming the cascade — instead of
+    exhausting disk in the candidate exchange (the sf10 x100-clone
+    DNF, BASELINE.md r12)."""
+    uniq = [" ".join(f"grp{g}tok{i} word{i} unit{i}" for i in range(8))
+            for g in range(30)]
+    rows = [(g * 100 + c, uniq[g]) for g in range(30) for c in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    # 1200 docs x 16 probes x dup factor 40 = 768k estimated rows;
+    # shrink the budget below it so the constructed corpus plays the
+    # role of the sf10 x100-clone tier
+    monkeypatch.setattr(dd, "CONTAIN_CAND_BUDGET", 500_000)
+    fn = cat["dedup_containment_lsh_capped"][0]
+    with pytest.raises(RuntimeError,
+                       match="pipeline_containment_screen"):
+        fn(spark, sf_dir)
+
+
+def test_exactkey_append_generations_disjoint(spark, cat):
+    """The appended generation must hold exactly the batch's NOVEL
+    distinct keys — disjoint from base, and equal to batch-keys minus
+    base-keys recomputed from the corpus."""
+    cat["exactkey_postings_append"][0](spark, SF001).collect()
+    base = {r["dup_key"] for r in spark.read.parquet(
+        qcat._artifact_path(SF001, "exact_key_index")).collect()}
+    app = {r["dup_key"] for r in spark.read.parquet(
+        qcat._artifact_path(SF001, "exact_keys_new")).collect()}
+    assert base and app and not base & app
+    docs = qcat._docs(spark, SF001)
+    batch_keys = {r["dup_key"] for r in
+                  dd.exact_dedup_keys(
+                      docs.where(F.col("doc_id") % 11 == 0), "text")
+                  .select("dup_key").distinct().collect()}
+    assert app == batch_keys - base
+
+
+def test_exactkey_compact_equals_from_scratch(spark, cat):
+    """compact(base ∪ appended generation) must be ROW-IDENTICAL to
+    DISTINCT keys over the WHOLE corpus — the strongest identity of
+    the four index families (keys are per-doc deterministic), pinned
+    key-for-key, not just digest-for-digest."""
+    cat["exactkey_postings_compact"][0](spark, SF001).collect()
+    comp = sorted(r["dup_key"] for r in spark.read.parquet(
+        qcat._artifact_path(SF001, "exact_keys_compacted")).collect())
+    scratch = sorted(
+        r["dup_key"] for r in
+        dd.exact_dedup_keys(qcat._docs(spark, SF001), "text")
+        .select("dup_key").distinct().collect())
+    assert comp == scratch and comp
+
+
+# ---------------------------------------------------------------------------
+# within-stream exact-clone admit gate (VERDICT r12 item 2)
+# ---------------------------------------------------------------------------
+
+def test_within_stream_exact_clone_admitted_once(spark, tmp_path, cat):
+    """A doc admitted in micro-batch N must be VISIBLE to batch N+1's
+    exact-key gate: an exact clone arriving in a later batch is
+    dropped at the md5 stage (previously both were admitted and only
+    the compact-time cascade collapsed them).  Constructed stream:
+    batch docs 11..88 land in ntile quartiles {11,22}{33,44}{55,66}
+    {77,88}; text(77) == text(22), so 22 (earlier batch) is admitted
+    and 77 is not; all other docs are mutually unrelated and admitted."""
+    vocab = lambda g, n: " ".join(  # noqa: E731
+        f"w{g}x{i} q{g}y{i} z{g}v{i}" for i in range(n))
+    rows = [(1, vocab("a", 4)), (2, vocab("b", 4)), (3, vocab("c", 4))]
+    batch_ids = [11, 22, 33, 44, 55, 66, 77, 88]
+    for d in batch_ids:
+        rows.append((d, vocab(f"d{d}", 4)))
+    rows = [(i, t if i != 77 else vocab("d22", 4)) for i, t in rows]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    sf_dir = str(tmp_path)
+    docs.write.parquet(f"{sf_dir}/documents.parquet")
+    out = cat["streaming_containment_admit_serve"][0](spark, sf_dir)
+    admitted = {r["doc_id"] for r in out.select("doc_id").collect()}
+    assert 22 in admitted
+    assert 77 not in admitted
+    assert admitted == {11, 22, 33, 44, 55, 66, 88}
+
+
+def test_capped_entry_unchanged_on_clone_light_corpus(spark, cat):
+    """On a clone-light corpus (every driver tier: dup factor ~1) the
+    guard passes and the result is EXACTLY the pre-guard plan —
+    kernel-vs-entry row equality, same cap derivation."""
+    fn = cat["dedup_containment_lsh_capped"][0]
+    got = {tuple(r) for r in fn(spark, SF001).collect()}
+    docs = qcat._docs(spark, SF001)
+    cap = max(qcat._CONTAIN_MAX_DF, docs.count() // 100)
+    hashed = dd.shingle_hashes(docs, "doc_id", dd.word_shingles("text"))
+    cand = dd.containment_probe_candidates(hashed, "doc_id", max_df=cap)
+    want = {tuple(r) for r in
+            qcat._containment_exact_verify(docs, cand).collect()}
+    assert got == want
