@@ -12864,12 +12864,53 @@ _DRIVER_WINDOW_R12 = [
 ]
 
 
+# VERDICT r12 item 4: the r13 window leads with the 30 entries whose
+# latest driver check is r08 (the oldest cohort in the rotation, as of
+# the r01-r12 artifact set), in registration order.
+_R13_STALE_HEAD = [
+    "bpe_top_merges", "funnel_view_click_purchase", "retention_cohorts",
+    "pipeline_curation_full", "unpivot_lineitem_measures",
+    "q7_volume_shipping", "q8_market_share", "boilerplate_spans",
+    "group_quantile_tokens", "kmeans_quantized_centroids",
+    "q12_late_shipments", "q2_min_cost_supplier", "q9_product_profit",
+    "q11_important_stock", "q13_customer_distribution",
+    "q15_top_supplier", "q16_supplier_part_counts", "q20_excess_supply",
+    "q21_waiting_suppliers", "q22_global_sales_opportunity",
+    "streaming_cms_cells", "streaming_dedup_redelivery",
+    "streaming_purchase_click_join", "streaming_decontam_alerts",
+    "pq_ivfadc_residual_topk", "pq_opq_ivfadc_topk",
+    "pq_ivfadc_residual_pretrained", "dq_column_profile",
+    "unigram_train_pieces", "unigram_encode_stats",
+]
+
+
+_DRIVER_WINDOW_R13 = [
+    # oldest-stale cohort first (the committed rotation debt: after
+    # this window runs, no entry's latest check is older than r9)
+    *_R13_STALE_HEAD,
+    # r13 sentinels: new entries (the exact-key index lifecycle pair —
+    # VERDICT r12 item 2) plus entries whose code/oracle changed this
+    # round (the capped probe gained the duplication pre-probe guard,
+    # item 1; the admit loop gained the within-stream exact-key gate
+    # with the min-arrival-batch oracle, item 2)
+    "exactkey_postings_append", "exactkey_postings_compact",
+    "dedup_containment_lsh_capped", "streaming_containment_admit_serve",
+    # oldest-r9-stale rotation (registration order) to fill 50
+    "distinct_types_per_brand", "sort_limit_top_orders",
+    "setop_fulfilled_customers", "events_hourly", "events_moving_avg",
+    "events_sessionize", "dedup_exact_stats",
+    "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
+    "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
+    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id", "text_quality",
+]
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R12 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R13 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}

@@ -119,13 +119,33 @@ def test_r12_window_leads_with_r7_stale():
     landing on disk cannot flip this assertion."""
     from datafusion_monoid_spark import queries as qcat
 
-    window = list(qcat.catalog())[:50]
+    window = qcat._DRIVER_WINDOW_R12
     head = qcat._R12_STALE_HEAD
     assert window[: len(head)] == head
     seen = _latest_check_by_entry(max_round=11)
     r7 = sorted(n for n, p in seen.items()
                 if p == "CORRECTNESS_r07.json")
     assert sorted(head) == r7
-    # After this window runs, no entry's latest check is older than r8.
+    # After this window ran, no entry's latest check is older than r8.
     assert all(seen[n] >= "CORRECTNESS_r08.json"
+               for n in qcat._CATALOG if n not in window and n in seen)
+
+
+def test_r13_window_leads_with_r8_stale():
+    """VERDICT r12 item 4: the r13 window must lead with the 30
+    entries whose latest driver check (as of the r01-r12 artifact set,
+    i.e. when this window was cut) is r08 — the oldest cohort in the
+    rotation.  Pinned against rounds <= 12 so CORRECTNESS_r13.json
+    landing on disk cannot flip this assertion."""
+    from datafusion_monoid_spark import queries as qcat
+
+    window = list(qcat.catalog())[:50]
+    head = qcat._R13_STALE_HEAD
+    assert window[: len(head)] == head
+    seen = _latest_check_by_entry(max_round=12)
+    r8 = sorted(n for n, p in seen.items()
+                if p == "CORRECTNESS_r08.json")
+    assert sorted(head) == r8
+    # After this window runs, no entry's latest check is older than r9.
+    assert all(seen[n] >= "CORRECTNESS_r09.json"
                for n in qcat._CATALOG if n not in window and n in seen)
