@@ -1080,15 +1080,23 @@ def _stage_ordered_batches(df: DataFrame, stage: str,
     earliest batch.  The ntile window is over the BATCH relation only
     (model-sized, not the corpus); production ingests are naturally
     arrival-ordered and need no such staging."""
-    tiled = df.withColumn(
+    from datafusion_monoid_spark.plans.inspect import (
+        release_local_checkpoint,
+    )
+
+    tiled = (df.withColumn(
         "_g", F.ntile(n).over(Window.orderBy("doc_id")))
+        .localCheckpoint(eager=True))  # one scan+sort, n cheap slices
     tmp = f"{stage}/_tmp"
-    for g in range(1, n + 1):
-        (tiled.where(F.col("_g") == g).drop("_g").coalesce(1)
-         .write.mode("overwrite").parquet(tmp))
-        part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-        shutil.move(part, f"{stage}/g{g}.parquet")
-    shutil.rmtree(tmp, ignore_errors=True)
+    try:
+        for g in range(1, n + 1):
+            (tiled.where(F.col("_g") == g).drop("_g").coalesce(1)
+             .write.mode("overwrite").parquet(tmp))
+            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
+            shutil.move(part, f"{stage}/g{g}.parquet")
+        shutil.rmtree(tmp, ignore_errors=True)
+    finally:
+        release_local_checkpoint(tiled)
 
 
 def streaming_containment_admit_serve(spark: SparkSession,
