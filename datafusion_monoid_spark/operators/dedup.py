@@ -270,14 +270,17 @@ CONTAIN_MIN_HITS = 5
 #: x (per-probe fan-out), and the corpus's exact-duplication factor is
 #: a LOWER BOUND on every probe's fan-out (each of a doc's c exact
 #: clones holds the identical shingle set, so any shingle's posting
-#: list repeats c times).  At the measured sf10 x100-clone failure the
-#: estimate is 5M x 16 x 100 = 8e9 rows — the candidate exchange
-#: spilled past the host's free disk ("No space left on device",
-#: BASELINE.md round 12); the plain sf10 corpus (dup factor ~1) sits
-#: at 8e7 and completes.  1e9 splits those regimes with an order of
-#: magnitude on each side; it corresponds to ~16 GB of pre-agg
-#: (id_a, id_b) exchange — what one ingest host can actually shuffle.
-CONTAIN_CAND_BUDGET = 1_000_000_000
+#: list repeats c times).  At the measured sf10 x100-clone failure
+#: (500k docs, measured dup factor 98) the estimate is 500k x 16 x 98
+#: = 7.9e8 rows — and the estimate is a LOWER bound: the true
+#: exchange spilled past the host's free disk ("No space left on
+#: device", BASELINE.md round 12).  The sf1 x10-clone tier (50k docs,
+#: dup factor 10 -> est 8e6) completes in 8.4 s.  1e8 splits the
+#: measured regimes with ~an order of magnitude on each side; at 16
+#: bytes/row it corresponds to ~1.6 GB of pre-agg (id_a, id_b)
+#: exchange lower bound — what a probe join should be allowed to cost
+#: before the exact-dedup-first cascade is strictly better.
+CONTAIN_CAND_BUDGET = 100_000_000
 
 
 def containment_candidate_guard(n_docs: int, dup_factor: float,

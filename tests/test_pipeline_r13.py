@@ -31,8 +31,13 @@ def test_candidate_guard_math():
     # over budget: actionable error naming the in-catalog cascade cure
     with pytest.raises(RuntimeError, match="pipeline_containment_screen"):
         dd.containment_candidate_guard(5_000_000, 100.0)
-    # the measured failure regime (sf10 x100-clone: 8e9) trips the
-    # default budget; the plain sf10 corpus (8e7) does not
+    # the MEASURED regimes: the sf10 x100-clone DNF (500k docs, dup
+    # factor 98 -> est 7.8e8) trips the default budget; the sf1
+    # x10-clone tier (50k docs, dup 10 -> 8e6, completes in 8.4 s)
+    # and a clone-light 5M-doc corpus (8e7) do not
+    with pytest.raises(RuntimeError, match="pipeline_containment_screen"):
+        dd.containment_candidate_guard(500_000, 98.0)
+    assert dd.containment_candidate_guard(50_000, 10.0) == 8_000_000
     assert dd.containment_candidate_guard(5_000_000, 1.0) == 80_000_000
 
 
