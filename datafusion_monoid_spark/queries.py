@@ -7528,6 +7528,12 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     count IS the label's vector count).  At 100 TB the halves are
     separate partitions/snapshots and the centroid relations are
     broadcast-sized by construction."""
+    return _drift_by_label(spark, sf_dir)
+
+
+def _drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_old, n_new, drift_sq) — the drift-monitoring kernel,
+    shared by the standalone report and the refit-trigger entry."""
     e = _emb(spark, sf_dir)
     is_old = F.col("vec_id") % 2 == 0
     q = e.select(
@@ -7560,6 +7566,102 @@ def embedding_drift_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                        * (F.col("vo") - F.col("vn")))
                  .cast("bigint").alias("drift_sq"))
             .select("label", "n_old", "n_new", "drift_sq"))
+
+
+#: Per-label drift_sq (micro-units squared, summed over dims) above
+#: which the monitoring loop orders an index refit.  1e10 over 64 dims
+#: is an RMS per-dimension centroid shift of ~1.25e4 micro = 0.0125 in
+#: raw embedding units — measured driver tiers sit at 1.4e10-1.2e11
+#: (every label drifts: vec_id parity halves the SAME distribution, so
+#: the half-vs-half sampling noise alone crosses this at these corpus
+#: sizes — the driver tiers therefore exercise the REFIT branch, and
+#: the constructed zero-drift corpus in tests/test_pipeline_r13.py
+#: exercises the HOLD branch).
+DRIFT_REFIT_THRESHOLD = 10_000_000_000
+
+
+def _refit_oracle_sql() -> str:
+    th = DRIFT_REFIT_THRESHOLD
+    return f"""
+WITH sig AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_labels,
+         CAST(sum(CASE WHEN drift_sq >= {th} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_drifted,
+         CAST(max(drift_sq) AS BIGINT) AS max_drift_sq
+  FROM ({_DRIFT_ORACLE})),
+ex AS (SELECT query_id, cand_id FROM ({_BRUTE_TOPK_ORACLE})),
+ap AS (SELECT query_id, cand_id FROM ({_ivf_kmeans_oracle_sql()})),
+eval AS (SELECT CAST(count(*) AS BIGINT) AS hits
+         FROM ex JOIN ap USING (query_id, cand_id))
+SELECT n_labels, n_drifted, max_drift_sq,
+       CASE WHEN n_drifted >= 1 THEN 'refit' ELSE 'hold' END AS decision,
+       CASE WHEN n_drifted >= 1 THEN (SELECT hits FROM eval)
+            ELSE NULL END AS recall_hits
+FROM sig
+"""
+
+
+@register("ivf_refit_on_drift", _refit_oracle_sql())
+def ivf_refit_on_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MONITORING -> MAINTENANCE loop composed (VERDICT r12 item
+    6): the drift signal (``embedding_drift_by_label``'s kernel) and
+    the index refit (``sim_ivf_fit_centroids``'s fit) were standing
+    entries with nothing consuming one to trigger the other.  This
+    entry closes the loop: when any label's old-vs-new centroid
+    drift_sq crosses ``DRIFT_REFIT_THRESHOLD``, the quantized k-means
+    REFITS into its own artifact generation (``ivf_centroids_refit``,
+    always overwritten — a real refit, not fit-if-absent) and the
+    refit index is verified against brute-force ground truth (recall@5
+    hits over the standard 20-query set, the ``ann_eval_recall_mrr``
+    acceptance gate); otherwise the loop holds and touches nothing.
+    Output is the one-row decision record an operator's audit log
+    keeps: (n_labels, n_drifted, max_drift_sq, decision, recall_hits —
+    NULL on hold).
+
+    The oracle replays signal, decision, and the refit verification
+    (the deterministic fit makes refit == replayed-fit bit-for-bit).
+    The decision itself is the entry's one driver-side scalar (a
+    3-column row — the model-constant discipline): maintenance loops
+    branch on driver logic by nature.
+
+    Scale: the signal is one posexplode partial-agg pass (labels x
+    dims shuffle rows); the refit is the bounded Lloyd fit (k x dim
+    driver literals, one job per round); verification touches
+    2 x |queries| x k rows.  At 100 TB the signal pass rides the
+    ingest's existing statistics job and the refit runs as the
+    scheduled maintenance task this entry's decision record gates."""
+    sig = (_drift_by_label(spark, sf_dir)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_labels"),
+                F.sum((F.col("drift_sq") >= DRIFT_REFIT_THRESHOLD)
+                      .cast("int")).cast("bigint").alias("n_drifted"),
+                F.max("drift_sq").cast("bigint").alias("max_drift_sq"))
+           .collect()[0])
+    lits = [F.lit(sig["n_labels"]).cast("bigint").alias("n_labels"),
+            F.lit(sig["n_drifted"]).cast("bigint").alias("n_drifted"),
+            F.lit(sig["max_drift_sq"]).cast("bigint")
+            .alias("max_drift_sq")]
+    # a corpus whose labels all live in ONE half has no drift signal
+    # at all (the kernel's inner-join semantics): sum/max aggregate to
+    # NULL — which the oracle's CASE also routes to 'hold'
+    if (sig["n_drifted"] or 0) >= 1:
+        path = _artifact_path(sf_dir, "ivf_centroids_refit")
+        e = _emb(spark, sf_dir)
+        cents = sim.kmeans_lloyd_quantized(e, k=8, iters=3, ckpt=_ckpt)
+        cents.coalesce(1).write.mode("overwrite").parquet(path)
+        cent_list = _load_centroids_cached(spark, path)
+        q = e.where(F.col("vec_id") < 20)
+        ex = (sim.brute_force_topk(e, q, k=5)
+              .select("query_id", "cand_id"))
+        ap = (sim.ivf_topk_pretrained(e, q, cent_list, k=5, nprobe=7)
+              .select("query_id", "cand_id"))
+        return (ex.join(ap, ["query_id", "cand_id"])
+                .agg(F.count(F.lit(1)).cast("bigint")
+                     .alias("recall_hits"))
+                .select(*lits, F.lit("refit").alias("decision"),
+                        "recall_hits"))
+    return (spark.range(1)
+            .select(*lits, F.lit("hold").alias("decision"),
+                    F.lit(None).cast("bigint").alias("recall_hits")))
 
 
 _DPP_ORACLE = """
@@ -12895,13 +12997,14 @@ _DRIVER_WINDOW_R13 = [
     # with the min-arrival-batch oracle, item 2)
     "exactkey_postings_append", "exactkey_postings_compact",
     "dedup_containment_lsh_capped", "streaming_containment_admit_serve",
+    "ivf_refit_on_drift",
     # oldest-r9-stale rotation (registration order) to fill 50
     "distinct_types_per_brand", "sort_limit_top_orders",
     "setop_fulfilled_customers", "events_hourly", "events_moving_avg",
     "events_sessionize", "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
     "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
-    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id", "text_quality",
+    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id",
 ]
 
 

@@ -125,6 +125,52 @@ def test_within_stream_exact_clone_admitted_once(spark, tmp_path, cat):
     assert admitted == {11, 22, 33, 44, 55, 66, 88}
 
 
+# ---------------------------------------------------------------------------
+# drift-triggered refit (VERDICT r12 item 6)
+# ---------------------------------------------------------------------------
+
+def _write_emb(spark, tmp_path, shift: float) -> str:
+    """Embeddings corpus where odd vec_ids (the 'new' half) are offset
+    from even ones by ``shift`` per dimension — shift 0.0 is the
+    zero-drift corpus (both halves identical per label)."""
+    rows = []
+    for vid in range(40):
+        lab = (vid // 2) % 4  # NOT vid % 4: label must straddle halves
+        base = [0.1 * lab + 0.01 * (vid // 8) + d * 0.02
+                for d in range(8)]
+        if vid % 2 == 1:
+            base = [x + shift for x in base]
+        rows.append((vid, base, lab))
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int") \
+        .write.mode("overwrite").parquet(f"{sf_dir}/embeddings.parquet")
+    return sf_dir
+
+
+def test_refit_decision_flips_with_constructed_drift(spark, tmp_path,
+                                                     cat):
+    """The refit trigger must HOLD on a drift-free corpus (identical
+    old/new halves; recall_hits NULL — the maintenance loop touches
+    nothing) and order a REFIT, with the recall verification run, once
+    the new half shifts past the threshold."""
+    fn = cat["ivf_refit_on_drift"][0]
+    hold = fn(spark, _write_emb(spark, tmp_path / "flat", 0.0)).collect()
+    assert len(hold) == 1
+    assert hold[0]["decision"] == "hold"
+    assert hold[0]["n_drifted"] == 0
+    assert hold[0]["recall_hits"] is None
+
+    # threshold is 1e10 micro^2 over all dims; a 0.05 shift on 8 dims
+    # is 8 x (5e4)^2 = 2e10 — past it
+    refit = fn(spark, _write_emb(spark, tmp_path / "drift", 0.05)) \
+        .collect()
+    assert refit[0]["decision"] == "refit"
+    assert refit[0]["n_drifted"] == 4  # every label drifted
+    assert refit[0]["max_drift_sq"] >= qcat.DRIFT_REFIT_THRESHOLD
+    assert refit[0]["recall_hits"] is not None
+
+
 def test_capped_entry_unchanged_on_clone_light_corpus(spark, cat):
     """On a clone-light corpus (every driver tier: dup factor ~1) the
     guard passes and the result is EXACTLY the pre-guard plan —
