@@ -188,9 +188,28 @@ def minhash_band_buckets(sigs: DataFrame, id_col: str,
     )
 
 
+#: Floor and p99-multiplier for the occupancy-derived hot-bucket cap
+#: of the banded-LSH candidate join (``dedup_lsh_occupancy_capped``).
+#: Within-bucket pair work is quadratic in occupancy, so the cap is
+#: set FROM the join's own telemetry — max over bands of the exact
+#: p99 occupancy (``bucket_occupancy_stats``), times 8, floored at 16.
+#: Driver tiers measure p99 = 2 / max_occ <= 5 at every sf, so the
+#: derived cap (16) never bites there and capped == uncapped holds
+#: hash-for-hash; a boilerplate corpus — ONE hot near-identical family
+#: while the occupancy body stays thin — is exactly the regime where
+#: max_occ detaches from p99 and the cap bounds the blow-up.  Uniform
+#: cloning (every doc x c copies) lifts p99 WITH max, so the cap
+#: deliberately does not fire there: that regime's cure is the
+#: exact-dedup-first cascade (``pipeline_dedup_cascade``), not a
+#: recall-trading bucket drop.
+LSH_CAP_FLOOR = 16
+LSH_CAP_MULT = 8
+
+
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
                         bands: int = MINHASH_BANDS,
-                        rows: int = MINHASH_ROWS) -> DataFrame:
+                        rows: int = MINHASH_ROWS,
+                        max_bucket: int | None = None) -> DataFrame:
     """Banded LSH: equal band-hash => candidate pair (id_a < id_b).
 
     Bucket join on (band_idx, band_hash) — candidates only, never the
@@ -204,8 +223,26 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     threshold or rounding of n_agree/MINHASH_NUM, so the 64-long arrays
     never persist or shuffle past this projection — persisting them
     with 25M sf10 candidate pairs measured ~25 GB columnar (heap OOM at
-    32 g); the narrow form is ~600 MB."""
+    32 g); the narrow form is ~600 MB.
+
+    ``max_bucket`` (optional): drop (band_idx, band_hash) buckets
+    larger than this from BOTH sides of the self-join — the hot-bucket
+    guard ``simhash_hamming_pairs`` already carries, wired here for the
+    banded join (VERDICT r12 item 7).  A pair found ONLY through
+    dropped buckets is lost (documented recall trade, accounted by
+    ``dedup_lsh_occupancy_capped``).  The broadcast side is the DROP
+    list, anti-joined — hot buckets are few by definition (rows/cap at
+    most), whereas the keep list is the whole bucket population; the
+    occupancy agg itself shuffles on the same keys the candidate join
+    was about to, so the guard adds one partial agg, not a new
+    exchange pattern."""
     banded = minhash_band_buckets(sigs, id_col, bands, rows)
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_idx", "band_hash").count()
+        drop = sizes.where(F.col("count") > max_bucket) \
+                    .select("band_idx", "band_hash")
+        banded = banded.join(F.broadcast(drop),
+                             ["band_idx", "band_hash"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")
     pairs = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -2098,6 +2098,96 @@ def dedup_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "n_buckets", "max_occ", "p99_occ", "n_rows"))
 
 
+@register("dedup_lsh_occupancy_capped", f"""
+{_minhash_candidates_cte()},
+sizes AS (SELECT band_idx, band_hash, count(*) AS occ
+          FROM banded GROUP BY band_idx, band_hash),
+ranked AS (
+  SELECT band_idx, band_hash, occ,
+         row_number() OVER (PARTITION BY band_idx
+                            ORDER BY occ, band_hash) AS rn,
+         count(*) OVER (PARTITION BY band_idx) AS nb
+  FROM sizes),
+p99 AS (SELECT band_idx,
+               max(CASE WHEN rn = CAST(ceil(0.99 * nb) AS BIGINT)
+                        THEN occ END) AS p99_occ
+        FROM ranked GROUP BY band_idx),
+capv AS (SELECT greatest({dd.LSH_CAP_FLOOR},
+                         {dd.LSH_CAP_MULT} * max(p99_occ)) AS cap
+         FROM p99),
+kept AS (SELECT banded.doc_id, banded.band_idx, banded.band_hash
+         FROM banded JOIN sizes USING (band_idx, band_hash)
+              CROSS JOIN capv
+         WHERE occ <= cap),
+pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+          FROM kept a JOIN kept b
+            ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+               AND a.doc_id < b.doc_id),
+np AS (SELECT CAST(count(*) AS BIGINT) AS n_pairs FROM pairs)
+SELECT CAST(s.band_idx AS INT) AS band_idx,
+       CAST(count(*) AS BIGINT) AS n_buckets,
+       CAST(sum(CASE WHEN occ > cap THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dropped_buckets,
+       CAST(sum(CASE WHEN occ > cap THEN occ ELSE 0 END) AS BIGINT)
+         AS n_dropped_rows,
+       CAST(any_value(cap) AS BIGINT) AS cap,
+       any_value(np.n_pairs) AS n_pairs
+FROM sizes s CROSS JOIN capv CROSS JOIN np
+GROUP BY s.band_idx
+""")
+def dedup_lsh_occupancy_capped(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """TELEMETRY -> ACTION for the banded-LSH candidate join (VERDICT
+    r12 item 7): ``dedup_lsh_bucket_stats`` measured hot buckets and
+    nothing consumed the measurement.  This entry derives the
+    hot-bucket cap FROM the join's own occupancy telemetry — cap =
+    max(floor 16, 8 x the exact p99 occupancy, max over bands) — and
+    runs the candidate join with buckets above the cap dropped from
+    both sides (``lsh_candidate_pairs(max_bucket=...)``, broadcast
+    anti-join on the small DROP list).  Output is the per-band
+    accounting an operator audits the recall trade with: bucket count,
+    dropped buckets/rows, the derived cap, and the surviving candidate
+    pair count.
+
+    On every driver tier p99 = 2 and max_occ <= 5, so the derived cap
+    (16) drops NOTHING and capped == uncapped holds pair-for-pair
+    (pinned in tests/test_pipeline_r13.py).  The cap exists for the
+    BOILERPLATE regime — one near-identical family heats a few buckets
+    quadratically while the occupancy body stays thin, so p99 stays
+    small and the cap bites exactly the hot family.  Uniform cloning
+    lifts p99 with max and deliberately does NOT trip the cap: that
+    regime's cure is the exact-dedup-first cascade
+    (``pipeline_dedup_cascade``), the same adjudication as the
+    containment probe's duplication pre-probe.
+
+    Scale: the occupancy agg shuffles on exactly the keys the
+    candidate join shuffles on (one added partial agg, no new exchange
+    pattern); the drop list is bounded above by rows/cap; the p99
+    derivation windows over the bounded bucket-size relation.  The
+    derived cap is the entry's one driver-side scalar (the
+    model-constant discipline)."""
+    sigs, _ = _minhash_shared(spark, sf_dir)
+    banded = dd.minhash_band_buckets(sigs, "doc_id")
+    p99max = (dd.bucket_occupancy_stats(banded, "band_idx", "band_hash")
+              .agg(F.max("p99_occ").alias("p")).collect()[0]["p"])
+    cap = max(dd.LSH_CAP_FLOOR, dd.LSH_CAP_MULT * int(p99max or 0))
+    sizes = banded.groupBy("band_idx", "band_hash").agg(
+        F.count(F.lit(1)).alias("occ"))
+    acct = (sizes.groupBy("band_idx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum((F.col("occ") > cap).cast("int")).cast("bigint")
+        .alias("n_dropped_buckets"),
+        F.sum(F.when(F.col("occ") > cap, F.col("occ")).otherwise(0))
+        .cast("bigint").alias("n_dropped_rows")))
+    np_ = (dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket=cap)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
+    return (acct.select(F.col("band_idx").cast("int").alias("band_idx"),
+                        "n_buckets", "n_dropped_buckets",
+                        "n_dropped_rows",
+                        F.lit(cap).cast("bigint").alias("cap"))
+            .crossJoin(F.broadcast(np_)))
+
+
 _CASCADE_EST = f"""len(list_filter(range(1, {dd.MINHASH_NUM + 1}),
                    i -> sig_a[i] = sig_b[i]))::DOUBLE / {dd.MINHASH_NUM}"""
 
@@ -12997,14 +13087,14 @@ _DRIVER_WINDOW_R13 = [
     # with the min-arrival-batch oracle, item 2)
     "exactkey_postings_append", "exactkey_postings_compact",
     "dedup_containment_lsh_capped", "streaming_containment_admit_serve",
-    "ivf_refit_on_drift",
+    "ivf_refit_on_drift", "dedup_lsh_occupancy_capped",
     # oldest-r9-stale rotation (registration order) to fill 50
     "distinct_types_per_brand", "sort_limit_top_orders",
     "setop_fulfilled_customers", "events_hourly", "events_moving_avg",
     "events_sessionize", "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
     "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
-    "sim_topk_lsh", "sim_topk_ivf", "text_lang_id",
+    "sim_topk_lsh", "sim_topk_ivf",
 ]
 
 

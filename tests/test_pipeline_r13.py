@@ -126,6 +126,67 @@ def test_within_stream_exact_clone_admitted_once(spark, tmp_path, cat):
 
 
 # ---------------------------------------------------------------------------
+# occupancy-derived hot-bucket cap on the banded-LSH join (r12 item 7)
+# ---------------------------------------------------------------------------
+
+def test_lsh_cap_noop_on_driver_corpus(spark, cat):
+    """On the driver corpus (p99 = 2, max_occ <= 5, derived cap 16)
+    the cap must drop NOTHING: capped == uncapped pair-for-pair, and
+    the accounting reports zero dropped buckets/rows."""
+    rep = cat["dedup_lsh_occupancy_capped"][0](spark, SF001).collect()
+    assert rep and all(r["n_dropped_buckets"] == 0
+                       and r["n_dropped_rows"] == 0 for r in rep)
+    assert all(r["cap"] == dd.LSH_CAP_FLOOR for r in rep)
+    sigs, _ = qcat._minhash_shared(spark, SF001)
+    capped = {(r["id_a"], r["id_b"]) for r in
+              dd.lsh_candidate_pairs(sigs, "doc_id",
+                                     max_bucket=rep[0]["cap"]).collect()}
+    uncapped = {(r["id_a"], r["id_b"]) for r in
+                dd.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert capped == uncapped
+    assert rep[0]["n_pairs"] == len(uncapped)
+
+
+def test_lsh_cap_bounds_boilerplate_family(spark, tmp_path, cat):
+    """The boilerplate regime the cap exists for: ONE hot
+    near-identical family (60 exact-text docs -> 16 buckets of occ 60)
+    while the occupancy body stays thin (p99 = 1, cap = 16).  The cap
+    must drop exactly the family's buckets, remove its quadratic
+    60*59/2 pair mass, and account for the drop per band."""
+    boiler = " ".join(f"tos{i} clause{i} legal{i}" for i in range(6))
+    rows = [(i, boiler) for i in range(60)]
+    rows += [(100 + i, " ".join(f"u{100+i}w{j} v{100+i}x{j} y{100+i}z{j}"
+                                for j in range(6)))
+             for i in range(120)]
+    sf_dir = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(f"{sf_dir}/documents.parquet")
+    rep = cat["dedup_lsh_occupancy_capped"][0](spark, sf_dir).collect()
+    assert sum(r["n_dropped_buckets"] for r in rep) == dd.MINHASH_BANDS
+    assert sum(r["n_dropped_rows"] for r in rep) == 60 * dd.MINHASH_BANDS
+    # the 60*59/2 = 1770 boilerplate pairs are gone from the capped set
+    assert rep[0]["n_pairs"] < 1770
+    sigs = dd.minhash_signatures(
+        spark.read.parquet(f"{sf_dir}/documents.parquet"),
+        "doc_id", "text")
+    uncapped = dd.lsh_candidate_pairs(sigs, "doc_id").count()
+    assert uncapped >= 1770 + rep[0]["n_pairs"]
+
+
+def test_lsh_cap_plan_broadcasts_drop_list(spark):
+    """The guard's exchange posture: the drop-list filter must be a
+    BROADCAST anti-join (the hot-bucket list is small by definition) —
+    a sort-merge anti-join here means the corpus-sized banded relation
+    shuffled against its own bucket census."""
+    from datafusion_monoid_spark.plans.inspect import explain_str
+
+    sigs, _ = qcat._minhash_shared(spark, SF001)
+    plan = explain_str(
+        dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket=16))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+# ---------------------------------------------------------------------------
 # drift-triggered refit (VERDICT r12 item 6)
 # ---------------------------------------------------------------------------
 
