@@ -295,6 +295,22 @@ SF01_CEILINGS = {
     "streaming_containment_screen_serve": 20.0,  # (10.7)
     "streaming_kmv_distinct": 14.0,              # (7.1)
     "streaming_ann_serve": 10.0,                 # (4.3)
+    # r13 new entries (quiet local[8] sf0.1 best-of-2 in parens).
+    # refit trigger: one drift partial-agg pass + the bounded Lloyd
+    # refit + the 2 x 20 x 5-row eval join — a blown ceiling means the
+    # drift pass re-scanned per half, the fit multiplied its one-job-
+    # per-round shape, or the eval lost its broadcast query batch
+    "ivf_refit_on_drift": 14.0,                  # (6.8)
+    # occupancy-capped LSH join: one added partial agg on the join's
+    # own keys + the broadcast drop-list anti-join — a blown ceiling
+    # means the drop list stopped broadcasting (corpus-sized anti-join
+    # shuffle) or the occupancy agg lost map-side combine
+    "dedup_lsh_occupancy_capped": 9.0,           # (4.2)
+    # exact-key lifecycle: one-column key relations only — a blown
+    # ceiling means a corpus re-hash crept into the O(batch)/O(index)
+    # append/compact paths
+    "exactkey_postings_append": 4.0,             # (1.2)
+    "exactkey_postings_compact": 4.0,            # (1.5)
 }
 
 pytestmark = pytest.mark.skipif(
