@@ -322,7 +322,9 @@ CONTAIN_CAND_BUDGET = 100_000_000
 
 def containment_candidate_guard(n_docs: int, dup_factor: float,
                                 budget: int | None = None,
-                                n_probes: int = CONTAIN_PROBES) -> int:
+                                n_probes: int = CONTAIN_PROBES,
+                                entry: str =
+                                "dedup_containment_lsh_capped") -> int:
     """Duplication pre-probe for the capped containment entry: bound
     the probe join's candidate mass BEFORE paying for it.  Returns the
     estimated pre-agg candidate rows ``n_docs * n_probes * dup_factor``
@@ -343,7 +345,7 @@ def containment_candidate_guard(n_docs: int, dup_factor: float,
     est = int(n_docs * n_probes * max(dup_factor, 1.0))
     if est > budget:
         raise RuntimeError(
-            f"dedup_containment_lsh_capped: refusing the probe join — "
+            f"{entry}: refusing the probe join — "
             f"estimated pre-agg candidate mass {est:,} rows "
             f"(n_docs={n_docs:,} x {n_probes} probes x exact-dup "
             f"factor {dup_factor:.1f}) exceeds the "

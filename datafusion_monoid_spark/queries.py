@@ -2165,7 +2165,23 @@ def dedup_lsh_occupancy_capped(spark: SparkSession,
     pattern); the drop list is bounded above by rows/cap; the p99
     derivation windows over the bounded bucket-size relation.  The
     derived cap is the entry's one driver-side scalar (the
-    model-constant discipline)."""
+    model-constant discipline).
+
+    DUPLICATION PRE-PROBE: because uniform cloning lifts p99 with max,
+    the cap deliberately cannot bound a clone-heavy corpus — so this
+    entry carries the same fail-fast guard as the capped containment
+    probe (one cheap agg, `containment_candidate_guard` with the 16
+    bands as the probe count): a corpus whose exact-dup factor implies
+    a candidate mass past the budget refuses with the error naming the
+    exact-dedup-first cascade instead of dying in the bucket
+    self-join."""
+    docs_row = (dd.exact_dedup_keys(_docs(spark, sf_dir), "text")
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.approx_count_distinct("dup_key").alias("k"))
+                .collect()[0])
+    dd.containment_candidate_guard(
+        docs_row["n"], docs_row["n"] / max(docs_row["k"], 1),
+        n_probes=dd.MINHASH_BANDS, entry="dedup_lsh_occupancy_capped")
     sigs, _ = _minhash_shared(spark, sf_dir)
     banded = dd.minhash_band_buckets(sigs, "doc_id")
     p99max = (dd.bucket_occupancy_stats(banded, "band_idx", "band_hash")

@@ -173,6 +173,25 @@ def test_lsh_cap_bounds_boilerplate_family(spark, tmp_path, cat):
     assert uncapped >= 1770 + rep[0]["n_pairs"]
 
 
+def test_lsh_occupancy_entry_refuses_clone_heavy_corpus(spark, tmp_path,
+                                                        monkeypatch,
+                                                        cat):
+    """Uniform cloning is the regime the occupancy cap deliberately
+    cannot bound (p99 lifts with max), so the entry must FAIL FAST via
+    the duplication pre-probe — same contract as the capped
+    containment entry — rather than die in the bucket self-join."""
+    uniq = [" ".join(f"c{g}a{i} c{g}b{i} c{g}d{i}" for i in range(6))
+            for g in range(30)]
+    rows = [(g * 100 + c, uniq[g]) for g in range(30) for c in range(40)]
+    spark.createDataFrame(rows, "doc_id bigint, text string") \
+        .write.parquet(f"{tmp_path}/documents.parquet")
+    monkeypatch.setattr(dd, "CONTAIN_CAND_BUDGET", 500_000)
+    with pytest.raises(RuntimeError,
+                       match="dedup_lsh_occupancy_capped.*"
+                             "pipeline_containment_screen"):
+        cat["dedup_lsh_occupancy_capped"][0](spark, str(tmp_path))
+
+
 def test_lsh_cap_plan_broadcasts_drop_list(spark):
     """The guard's exchange posture: the drop-list filter must be a
     BROADCAST anti-join (the hot-bucket list is small by definition) —
