@@ -12598,11 +12598,17 @@ FROM d CROSS JOIN cuts
 
 
 def _streaming_capstone_oracle_sql() -> str:
-    """The streaming curation capstone's batch twin: every stage is
-    per-doc against static artifacts, so the per-doc replay IS the
-    stream's union of micro-batch outputs.  Expensive shared CTEs are
-    MATERIALIZED (the capstone-oracle lesson: DuckDB otherwise inlines
-    the tokenize-heavy chain once per reference)."""
+    """The streaming curation capstone's batch twin: per-doc stages
+    replay against static artifacts, and the within-stream exact-key
+    gate replays as min-arrival-batch-per-novel-key (ntile-by-doc_id
+    batching, the admit-loop oracle's form).  The min-g here is over
+    ALL base-novel holders of a key, not only quality-passing ones —
+    equivalent to the stream (which appends only post-gate survivors'
+    keys) because exact clones share every per-doc gate outcome: a
+    uniformly-failing family admits nobody under either form, and a
+    uniformly-passing family's min-g sets coincide.  Expensive shared
+    CTEs are MATERIALIZED (the capstone-oracle lesson: DuckDB
+    otherwise inlines the tokenize-heavy chain once per reference)."""
     norm = dd.NORMALIZE_SQL.format(expr="text")
     side = ("CASE WHEN (" + dd.md5_long_sql("CAST(s3.doc_id AS VARCHAR)")
             + f" % {smp.SPLIT_MOD}) < 100 THEN 'test' ELSE 'train' END")
@@ -12648,8 +12654,15 @@ s2 AS MATERIALIZED (
   FROM documents d JOIN qpass USING (doc_id) JOIN ppass USING (doc_id)),
 oldk AS MATERIALIZED (SELECT DISTINCT md5({norm}) AS k FROM documents
                       WHERE doc_id % 11 <> 0),
-s3 AS MATERIALIZED (SELECT * FROM s2
-                    WHERE md5({norm}) NOT IN (SELECT k FROM oldk)),
+nbg AS (SELECT doc_id, md5({norm}) AS kk,
+               ntile(4) OVER (ORDER BY doc_id) AS g
+        FROM documents WHERE doc_id % 11 = 0),
+novelg AS (SELECT * FROM nbg WHERE kk NOT IN (SELECT k FROM oldk)),
+firstg AS (SELECT kk, min(g) AS mg FROM novelg GROUP BY kk),
+keepg AS (SELECT novelg.doc_id FROM novelg
+          JOIN firstg ON novelg.kk = firstg.kk
+                     AND novelg.g = firstg.mg),
+s3 AS MATERIALIZED (SELECT s2.* FROM s2 JOIN keepg USING (doc_id)),
 {chain}
 SELECT s3.doc_id, n_toks, q_micro, lm_micro, {side} AS side
 FROM s3
@@ -13104,13 +13117,14 @@ _DRIVER_WINDOW_R13 = [
     "exactkey_postings_append", "exactkey_postings_compact",
     "dedup_containment_lsh_capped", "streaming_containment_admit_serve",
     "ivf_refit_on_drift", "dedup_lsh_occupancy_capped",
+    "streaming_curation_capstone",
     # oldest-r9-stale rotation (registration order) to fill 50
     "distinct_types_per_brand", "sort_limit_top_orders",
     "setop_fulfilled_customers", "events_hourly", "events_moving_avg",
     "events_sessionize", "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
     "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
-    "sim_topk_lsh", "sim_topk_ivf",
+    "sim_topk_lsh",
 ]
 
 

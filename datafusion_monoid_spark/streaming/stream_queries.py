@@ -920,19 +920,21 @@ def streaming_curation_capstone(spark: SparkSession,
     carry all the state, so the loop scales by adding executors, not
     state stores.
 
-    Stream == batch holds EXACTLY because every stage is per-doc
-    against static state: a document's scores, its exact key, its
-    screen verdict, and its side depend only on (its own text, the
-    artifacts), never on which micro-batch it landed in — so the union
-    of per-batch outputs equals the batch computation, and the per-doc
-    batch twin is this entry's DuckDB oracle, full hash check.  The
-    one cross-doc semantic this loop deliberately does NOT own is
-    WITHIN-STREAM dedup (two novel near-identical docs in the same
-    stream both pass): that is the index-maintenance loop's job —
-    ``containment_postings_append`` admits each batch's survivors and
-    ``containment_postings_compact`` folds them in, so later batches
-    screen against earlier admissions.  Sink writes are idempotent per
-    epoch (batch_id-keyed overwrite)."""
+    Per-doc stages (scores, screen verdict, side) depend only on (the
+    doc's text, the artifacts) — and the exact-key gate additionally
+    reads the NOVEL KEYS APPENDED BY STRICTLY EARLIER MICRO-BATCHES
+    (the ``streaming_containment_admit_serve`` discipline, VERDICT r12
+    item 2 applied to both capstones): an exact clone of an
+    already-served doc arriving one batch later is dropped at the md5
+    stage.  Batching is deterministic (ntile by doc_id,
+    ``_stage_ordered_batches``), and exact clones share every per-doc
+    outcome, so the oracle stays a full-hash batch twin: admit =
+    quality+LM passers whose key is base-novel AND whose arrival batch
+    is the key's earliest.  What the loop still does NOT own is
+    within-stream NEAR-duplication — that remains the
+    index-maintenance loop's job (``containment_postings_append`` /
+    ``compact`` fold admissions in on the compaction cadence).  Sink
+    writes are idempotent per epoch (batch_id-keyed overwrite)."""
     gates, release = _capstone_gates(spark, sf_dir)
     from datafusion_monoid_spark import queries as _qcat
 
@@ -942,23 +944,33 @@ def streaming_curation_capstone(spark: SparkSession,
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
-    stage = sink = None
+    stage = sink = keys_dir = None
     try:
         stage = _scratch_dir("capstone_docs_")
         sink = _scratch_dir("capstone_out_")
-        new.repartition(4).write.mode("overwrite").parquet(stage)
+        keys_dir = _scratch_dir("capstone_keys_")
+        _stage_ordered_batches(new, stage)
         dstream = (spark.readStream.schema(new.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
+        gen_key_paths: list[str] = []
 
         def curate_batch(batch_df: DataFrame, batch_id: int) -> None:
             # a file-source micro-batch is ONE split: spread before
             # the tokenize-heavy stages
-            adm = gates(batch_df.repartition(STREAM_SHUFFLE))
+            extra = None
+            if gen_key_paths:
+                extra = (spark.read.schema("dup_key string")
+                         .parquet(*gen_key_paths))
+            adm, keys = gates(batch_df.repartition(STREAM_SHUFFLE),
+                              extra, return_keys=True)
+            kp = f"{keys_dir}/batch={batch_id}"
             # one writer per side (the measured sink-study layout)
             with _commit_timer("streaming_curation_capstone"):
                 (adm.repartitionByRange(2, "side")
                  .write.mode("overwrite").partitionBy("side")
                  .parquet(f"{sink}/batch={batch_id}"))
+                keys.write.mode("overwrite").parquet(kp)
+            gen_key_paths.append(kp)
 
         _COMMITS.pop("streaming_curation_capstone", None)
         ckpt = _ckpt_dir("streaming_curation_capstone")
@@ -988,7 +1000,7 @@ def streaming_curation_capstone(spark: SparkSession,
             .localCheckpoint(eager=True))
     finally:
         release()
-        for d in (stage, sink):
+        for d in (stage, sink, keys_dir):
             if d:
                 shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1035,7 +1047,13 @@ def _capstone_gates(spark: SparkSession, sf_dir: str):
     for df_ in hoisted:
         df_.count()  # materialize now, not inside batch 0
 
-    def gates(b: DataFrame) -> DataFrame:
+    def gates(b: DataFrame, extra_keys: DataFrame | None = None,
+              return_keys: bool = False):
+        """Apply the five gates to ``b``.  ``extra_keys`` widens the
+        exact-key screen beyond the base index (the within-stream
+        generations of earlier micro-batches); with ``return_keys``
+        also return the batch's post-exact-gate novel distinct keys —
+        the generation the caller appends for the NEXT batch."""
         qs = (_qcat._qc_score_docs(b, model)
               .where(F.col("score_micro") >= k_micro)
               .select("doc_id", F.col("n_tokens").alias("n_toks"),
@@ -1047,16 +1065,22 @@ def _capstone_gates(spark: SparkSession, sf_dir: str):
                    .alias("lm_micro"))
               .where(F.col("lm_micro") >= cut2))
         s2 = b.join(qs, "doc_id").join(ls, "doc_id")
+        gate_rel = old_keys.select("dup_key")
+        if extra_keys is not None:
+            gate_rel = gate_rel.unionByName(extra_keys)
         s3 = (_dd.exact_dedup_keys(s2, "text")
-              .join(old_keys, "dup_key", "left_anti"))
+              .join(gate_rel, "dup_key", "left_anti"))
         flagged = _qcat._containment_screen_kernel(
             s3.select("doc_id", "text"), idx, iprobes)
-        return (s3.join(flagged.select(F.col("new_id").alias("doc_id"))
-                        .distinct(), "doc_id", "left_anti")
-                .select("doc_id", "n_toks", "q_micro", "lm_micro",
-                        F.when(_smp.hash_bucket("doc_id") < 100,
-                               F.lit("test")).otherwise(F.lit("train"))
-                        .alias("side")))
+        adm = (s3.join(flagged.select(F.col("new_id").alias("doc_id"))
+                       .distinct(), "doc_id", "left_anti")
+               .select("doc_id", "n_toks", "q_micro", "lm_micro",
+                       F.when(_smp.hash_bucket("doc_id") < 100,
+                              F.lit("test")).otherwise(F.lit("train"))
+                       .alias("side")))
+        if return_keys:
+            return adm, s3.select("dup_key").distinct()
+        return adm
 
     def release() -> None:
         for df_ in hoisted:

@@ -121,10 +121,12 @@ def test_append_generations_partition_the_index(spark, cat):
 def test_streaming_capstone_equals_batch(spark, cat):
     """Stream == batch for the curation capstone serve: the SAME gate
     chain (shared _capstone_gates closure) applied per micro-batch
-    through the streaming loop must union to exactly its one-shot
-    application over the whole arriving set — the per-doc-independence
-    contract that makes the DuckDB per-doc twin a valid oracle."""
+    through the streaming loop must union to its one-shot application
+    over the min-arrival-batch-filtered arriving set (the r13
+    within-stream exact-key gate: a key's later-batch clones never
+    reach the gates)."""
     from datafusion_monoid_spark.streaming import stream_queries as sq
+    from pyspark.sql import Window
     from pyspark.sql import functions as F  # noqa: F811
 
     got = {tuple(r) for r in
@@ -134,7 +136,18 @@ def test_streaming_capstone_equals_batch(spark, cat):
         whole = (spark.read.parquet(f"{SF001}/documents.parquet")
                  .where(F.col("doc_id") % 11 == 0)
                  .select("doc_id", "source", "text"))
-        want = {tuple(r) for r in gates(whole).collect()}
+        old_keys = spark.read.parquet(
+            qcat._build_exact_key_index(spark, SF001))
+        tiled = whole.withColumn(
+            "g", F.ntile(4).over(Window.orderBy("doc_id")))
+        novel = (dd.exact_dedup_keys(tiled, "text")
+                 .join(old_keys, "dup_key", "left_anti"))
+        firstg = novel.groupBy("dup_key").agg(F.min("g").alias("mg"))
+        keep = (novel.join(firstg, "dup_key")
+                .where(F.col("g") == F.col("mg")).select("doc_id"))
+        want = {tuple(r) for r in
+                gates(whole.join(keep, "doc_id", "left_semi"))
+                .collect()}
     finally:
         release()
     assert got == want and got
