@@ -6233,6 +6233,34 @@ SELECT CAST(rk AS INTEGER) AS rank, doc_id, score_micro FROM r WHERE rk <= {topn
 """
 
 
+def _bm25_score_from_tf(tf: DataFrame, tot: DataFrame) -> DataFrame:
+    """(doc_id, score_micro) from a (doc_id, dl, token, tf) relation +
+    a broadcast 1-row (total_dl, n) corpus-stat relation — the
+    exact-integer BM25 formula shared by the from-scratch scorer and
+    the postings-index serve path (identical arithmetic is what lets
+    both share ``_bm25_oracle_sql``)."""
+    dfq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"))
+    sc = (tf.join(F.broadcast(dfq), "token").crossJoin(F.broadcast(tot))
+          .select("doc_id",
+                  (_idiv((2*F.col("n") - 2*F.col("df") + 1) * 1000000,
+                         2*F.col("df") + 1)
+                   * _idiv(F.col("tf") * 22 * F.col("total_dl") * 10000,
+                           10*F.col("tf")*F.col("total_dl")
+                           + 3*F.col("total_dl")
+                           + 9*F.col("dl")*F.col("n"))).alias("num")))
+    return (sc.groupBy("doc_id")
+            .agg(F.sum(_idiv(F.col("num"), F.lit(10000)))
+                 .cast("bigint").alias("score_micro")))
+
+
+def _bm25_topk(agg: DataFrame, topn: int = 10) -> DataFrame:
+    top = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(topn)
+    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
+    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
+            .select("rank", "doc_id", "score_micro"))
+
+
 def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, score_micro): the exact-integer BM25 scoring relation —
     the shared core of ``bm25_rank_topk`` and the lexical leg of
@@ -6253,18 +6281,7 @@ def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = (base.select("doc_id", "dl", F.explode("qt").alias("token"))
           .groupBy("doc_id", "dl", "token")
           .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
-    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).cast("bigint").alias("df"))
-    sc = (tf.join(F.broadcast(dfq), "token").crossJoin(F.broadcast(tot))
-          .select("doc_id",
-                  (_idiv((2*F.col("n") - 2*F.col("df") + 1) * 1000000,
-                         2*F.col("df") + 1)
-                   * _idiv(F.col("tf") * 22 * F.col("total_dl") * 10000,
-                           10*F.col("tf")*F.col("total_dl")
-                           + 3*F.col("total_dl")
-                           + 9*F.col("dl")*F.col("n"))).alias("num")))
-    return (sc.groupBy("doc_id")
-            .agg(F.sum(_idiv(F.col("num"), F.lit(10000)))
-                 .cast("bigint").alias("score_micro")))
+    return _bm25_score_from_tf(tf, tot)
 
 
 @register("bm25_rank_topk", _bm25_oracle_sql())
@@ -6281,11 +6298,232 @@ def bm25_rank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate joined back by broadcast; the corpus-wide (N, total_dl)
     is a 1-row cross join; the final top-10 is TakeOrderedAndProject
     (per-partition heads), never a global sort."""
-    agg = _bm25_scores(spark, sf_dir)
-    top = agg.orderBy(F.desc("score_micro"), F.asc("doc_id")).limit(10)
-    w = Window.orderBy(F.desc("score_micro"), F.asc("doc_id"))
-    return (top.withColumn("rank", F.row_number().over(w).cast("int"))
-            .select("rank", "doc_id", "score_micro"))
+    return _bm25_topk(_bm25_scores(spark, sf_dir))
+
+
+# -- BM25 term-postings lifecycle (the FIFTH index family to get the
+# build / append / compact discipline, after IVF, containment, LSH and
+# exact-key): the retrieval tier scored from a from-scratch tokenize
+# every call, which a deployed search path never does — it maintains a
+# token-clustered inverted index ((token, doc_id, tf) postings + a
+# (doc_id, dl) length relation) and serves from it.  Postings are
+# per-doc deterministic, so the family carries the strong identity:
+# compact(base ∪ generation) == from-scratch postings over the union
+# corpus, row-for-row — and the serve entry proves the artifact by
+# reproducing ``bm25_rank_topk``'s oracle bit-for-bit from the index.
+
+
+_BM25_POSTHASH = (f"({dd.md5_long_sql('token')} % 4294967296 "
+                  "+ doc_id * 31 + tf)")
+
+
+def _bm25_layer(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """((token, doc_id, tf) postings, (doc_id, dl) doclens) for a doc
+    relation.  Two tokenize passes rather than one checkpointed one:
+    the full-vocabulary token array is corpus-sized (nothing like the
+    query-term slice ``_bm25_scores`` checkpoints), so materializing
+    it would cost more memory than the second scan costs time — and
+    index builds are the scheduled-job path, not the serve path."""
+    postings = (docs.select("doc_id",
+                            F.explode(dd.tokens("text")).alias("token"))
+                .groupBy("token", "doc_id")
+                .agg(F.count(F.lit(1)).cast("bigint").alias("tf")))
+    doclens = docs.select(
+        "doc_id", F.size(dd.tokens("text")).cast("bigint").alias("dl"))
+    return postings, doclens
+
+
+def _build_bm25_index(spark: SparkSession, sf_dir: str,
+                      overwrite: bool = False) -> tuple[str, str]:
+    """Persist the OLD corpus's (doc_id % 11 != 0) inverted index:
+    postings token-clustered (repartition + within-file sort — a serve
+    query's term filter prunes row groups on parquet token min/max)
+    plus the narrow doclens relation."""
+    ppath = _artifact_path(sf_dir, "bm25_postings")
+    lpath = _artifact_path(sf_dir, "bm25_doclens")
+    src = f"{sf_dir}/documents.parquet"
+    if not overwrite and _artifact_fresh(ppath, src) \
+            and _artifact_fresh(lpath, src):
+        return ppath, lpath
+    old = _docs(spark, sf_dir).where(F.col("doc_id") % 11 != 0)
+    postings, doclens = _bm25_layer(old)
+    (postings.repartition("token").sortWithinPartitions("token", "doc_id")
+     .write.mode("overwrite").parquet(ppath))
+    doclens.write.mode("overwrite").parquet(lpath)
+    return ppath, lpath
+
+
+def _append_bm25_postings(spark: SparkSession, sf_dir: str,
+                          overwrite: bool = False) -> tuple[str, str]:
+    """The arriving batch's (doc_id % 11 == 0) postings + doclens as
+    their own O(batch) artifact generation — written idempotently; the
+    base index is only ever READ.  Freshness-gated when not
+    overwriting (the generation is deterministic), so a downstream
+    compaction/serve does not re-ingest — and, crucially, does not
+    bump the generation mtime and force its own refold every call."""
+    _build_bm25_index(spark, sf_dir, overwrite=False)
+    pnew = _artifact_path(sf_dir, "bm25_postings_new")
+    lnew = _artifact_path(sf_dir, "bm25_doclens_new")
+    src = f"{sf_dir}/documents.parquet"
+    if not overwrite and _artifact_fresh(pnew, src) \
+            and _artifact_fresh(lnew, src):
+        return pnew, lnew
+    nb = _docs(spark, sf_dir).where(F.col("doc_id") % 11 == 0)
+    postings, doclens = _bm25_layer(nb)
+    postings.write.mode("overwrite").parquet(pnew)
+    doclens.write.mode("overwrite").parquet(lnew)
+    return pnew, lnew
+
+
+def _compact_bm25_index(spark: SparkSession,
+                        sf_dir: str) -> tuple[str, str]:
+    """Fold the appended generation into ONE token-clustered artifact
+    pair; freshness-gated on both upstream layers so the serve entry
+    pays the fold once, not per query batch."""
+    ppath, lpath = _build_bm25_index(spark, sf_dir, overwrite=False)
+    pnew, lnew = _append_bm25_postings(spark, sf_dir)
+    pc = _artifact_path(sf_dir, "bm25_postings_compacted")
+    lc = _artifact_path(sf_dir, "bm25_doclens_compacted")
+    src = f"{sf_dir}/documents.parquet"
+    if not (_artifact_fresh(pc, src, ppath, pnew)
+            and _artifact_fresh(lc, src, lpath, lnew)):
+        (spark.read.parquet(ppath)
+         .unionByName(spark.read.parquet(pnew))
+         .repartition("token").sortWithinPartitions("token", "doc_id")
+         .write.mode("overwrite").parquet(pc))
+        (spark.read.parquet(lpath)
+         .unionByName(spark.read.parquet(lnew))
+         .write.mode("overwrite").parquet(lc))
+    return pc, lc
+
+
+def _bm25_digest(spark: SparkSession, ppath: str, lpath: str,
+                 layer: str) -> DataFrame:
+    """One-row digest of an on-disk index layer: postings count,
+    distinct terms, doc count, tf mass, token mass, and an
+    order-insensitive content hash — enough to pin the layer's exact
+    rows against the oracle without shipping the vocabulary."""
+    h = (dd.md5_long("token") % F.lit(4294967296)
+         + F.col("doc_id") * 31 + F.col("tf"))
+    p = spark.read.parquet(ppath).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_postings"),
+        F.countDistinct("token").cast("bigint").alias("n_terms"),
+        F.sum("tf").cast("bigint").alias("sum_tf"),
+        F.sum(h).cast("bigint").alias("sum_hash"))
+    l = spark.read.parquet(lpath).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("dl").cast("bigint").alias("total_dl"))
+    return (p.crossJoin(F.broadcast(l))
+            .select(F.lit(layer).alias("layer"), "n_postings",
+                    "n_terms", "n_docs", "sum_tf", "total_dl",
+                    "sum_hash"))
+
+
+def _bm25_digest_sql(p_cte: str, t_cte: str, layer: str) -> str:
+    return (f"SELECT '{layer}' AS layer, "
+            f"CAST(count(*) AS BIGINT) AS n_postings, "
+            f"CAST(count(DISTINCT token) AS BIGINT) AS n_terms, "
+            f"(SELECT CAST(count(*) AS BIGINT) FROM {t_cte}) AS n_docs, "
+            f"CAST(sum(tf) AS BIGINT) AS sum_tf, "
+            f"(SELECT CAST(sum(len(toks)) AS BIGINT) FROM {t_cte}) "
+            f"AS total_dl, "
+            f"CAST(sum({_BM25_POSTHASH}) AS BIGINT) AS sum_hash "
+            f"FROM {p_cte}")
+
+
+def _bm25_postings_cte(t_cte: str, p_cte: str) -> str:
+    return (f"{p_cte} AS (SELECT token, doc_id, "
+            f"CAST(count(*) AS BIGINT) AS tf FROM "
+            f"(SELECT doc_id, unnest(toks) AS token FROM {t_cte}) "
+            f"GROUP BY token, doc_id)")
+
+
+def _bm25_append_oracle_sql() -> str:
+    return f"""
+WITH tb AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+            WHERE doc_id % 11 <> 0),
+tn AS (SELECT doc_id, {_TOKS} AS toks FROM documents
+       WHERE doc_id % 11 = 0),
+{_bm25_postings_cte('tb', 'pb')},
+{_bm25_postings_cte('tn', 'pn')}
+{_bm25_digest_sql('pb', 'tb', 'base')}
+UNION ALL
+{_bm25_digest_sql('pn', 'tn', 'appended')}
+"""
+
+
+@register("bm25_postings_append", _bm25_append_oracle_sql())
+def bm25_postings_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPEND to the BM25 inverted index without a rebuild: the
+    arriving batch's (token, doc_id, tf) postings + (doc_id, dl)
+    lengths land as their own artifact generation, so the next serve's
+    compaction (or a generation-aware reader) sees today's documents
+    without re-tokenizing the corpus.  Returns both layers' digests —
+    the occupancy report for compaction scheduling.
+
+    Scale: per-ingest work is O(|batch| tokens) — the batch tokenizes
+    and shuffles on (token, doc_id); the base index is only ever READ.
+    Corpus-stat terms a scorer needs (N, total_dl, df) are all
+    layer-additive monoids, which is exactly why generations can serve
+    before compaction."""
+    ppath, lpath = _build_bm25_index(spark, sf_dir, overwrite=False)
+    pnew, lnew = _append_bm25_postings(spark, sf_dir, overwrite=True)
+    return (_bm25_digest(spark, ppath, lpath, "base")
+            .unionByName(_bm25_digest(spark, pnew, lnew, "appended")))
+
+
+def _bm25_compact_oracle_sql() -> str:
+    return f"""
+WITH ta AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+{_bm25_postings_cte('ta', 'pa')}
+{_bm25_digest_sql('pa', 'ta', 'compacted')}
+"""
+
+
+@register("bm25_postings_compact", _bm25_compact_oracle_sql())
+def bm25_postings_compact(spark: SparkSession,
+                          sf_dir: str) -> DataFrame:
+    """COMPACT the BM25 index: fold the appended generation into ONE
+    token-clustered artifact pair (repartition + within-file sort on
+    token — the layout that makes a serve query's term filter prune
+    parquet row groups).  Postings are per-doc deterministic, so
+    compact(base ∪ generation) is ROW-IDENTICAL to from-scratch
+    postings over the WHOLE corpus — this entry's oracle IS that
+    from-scratch digest, and the row-level identity is pinned in
+    tests/test_pipeline_r13.py.
+
+    Scale: O(index) — narrow postings relations through one hash
+    exchange on token; corpus text is touched only if a missing
+    generation must first be built (the build/append entries' job)."""
+    pc, lc = _compact_bm25_index(spark, sf_dir)
+    return _bm25_digest(spark, pc, lc, "compacted")
+
+
+@register("bm25_serve_from_postings", _bm25_oracle_sql())
+def bm25_serve_from_postings(spark: SparkSession,
+                             sf_dir: str) -> DataFrame:
+    """SERVE BM25 from the MAINTAINED index — the deployment shape:
+    rank the fixed query terms by reading the compacted postings
+    (term filter pushed to the token-clustered parquet scan: row
+    groups outside the terms' token range never decompress) + the
+    doclens relation, with zero corpus tokenization on the query path.
+    Shares ``bm25_rank_topk``'s oracle verbatim: serving from the
+    lifecycle artifact reproduces the from-scratch ranking
+    BIT-FOR-BIT, which is the proof the index is complete and the
+    maintenance loop is safe to trust.
+
+    Scale: the serve reads |terms| posting lists (pruned scan) + the
+    narrow doclens; df/N/total_dl are term-count/1-row broadcast
+    aggregates; top-10 is TakeOrderedAndProject.  A query batch never
+    touches document text."""
+    pc, lc = _compact_bm25_index(spark, sf_dir)
+    post = (spark.read.parquet(pc)
+            .where(F.col("token").isin(*_BM25_TERMS)))
+    dl = spark.read.parquet(lc)
+    tot = dl.agg(F.sum("dl").cast("bigint").alias("total_dl"),
+                 F.count(F.lit(1)).cast("bigint").alias("n"))
+    tf = post.join(dl, "doc_id").select("doc_id", "dl", "token", "tf")
+    return _bm25_topk(_bm25_score_from_tf(tf, tot))
 
 
 # -- hybrid retrieval fusion (VERDICT r10 item 3): the serving
@@ -13118,13 +13356,14 @@ _DRIVER_WINDOW_R13 = [
     "dedup_containment_lsh_capped", "streaming_containment_admit_serve",
     "ivf_refit_on_drift", "dedup_lsh_occupancy_capped",
     "streaming_curation_capstone",
+    "bm25_postings_append", "bm25_postings_compact",
+    "bm25_serve_from_postings",
     # oldest-r9-stale rotation (registration order) to fill 50
     "distinct_types_per_brand", "sort_limit_top_orders",
     "setop_fulfilled_customers", "events_hourly", "events_moving_avg",
     "events_sessionize", "dedup_exact_stats",
     "dedup_ngram_jaccard_pairs", "dedup_simhash_hamming",
-    "dedup_embedding_neardup", "sim_topk_bruteforce", "sim_topk_numpy",
-    "sim_topk_lsh",
+    "dedup_embedding_neardup",
 ]
 
 

@@ -311,6 +311,17 @@ SF01_CEILINGS = {
     # append/compact paths
     "exactkey_postings_append": 4.0,             # (1.2)
     "exactkey_postings_compact": 4.0,            # (1.5)
+    # BM25 postings lifecycle: append is one batch tokenize + (token,
+    # doc_id) shuffle; compact folds narrow postings through one token
+    # exchange; serve reads |terms| posting lists off the
+    # token-clustered artifact (filter pushed to the scan) + the
+    # doclens relation — a blown serve ceiling means the term filter
+    # stopped pruning or a corpus tokenize crept onto the query path
+    # (serve measures ~2 s FLAT at sf1 and sf10: index-read-bound by
+    # design)
+    "bm25_postings_append": 5.0,                 # (1.6)
+    "bm25_postings_compact": 3.0,                # (0.6)
+    "bm25_serve_from_postings": 3.5,             # (1.0)
 }
 
 pytestmark = pytest.mark.skipif(
