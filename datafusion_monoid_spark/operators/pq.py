@@ -444,7 +444,9 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
                    m: int = PQ_M, subdim: int = PQ_SUBDIM,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    codes: DataFrame | None = None,
-                   broadcast_candidates: bool = True) -> DataFrame:
+                   broadcast_candidates: bool = True,
+                   coarse_list: list[tuple[int, list[int]]] | None = None,
+                   ) -> DataFrame:
     """IVFADC (Jegou et al. 2011, §IV): the coarse quantizer prunes
     WHICH vectors are scored, the product quantizer compresses HOW
     they are scored — composed, this is the production billion-scale
@@ -470,11 +472,21 @@ def pq_ivfadc_topk(corpus: DataFrame, sub: DataFrame, cents: DataFrame,
     artifact here."""
     from pyspark.sql import Window
 
-    whole = corpus.select(F.col(id_col).alias("vec_id"),
-                          F.lit(0).alias("s"),
-                          quantize_micro(vec_col).alias("sv"))
-    assigned = (_assign(whole, coarse_cents)
-                .select("vec_id", F.col("cid").alias("ccid")))
+    if coarse_list is not None:
+        # the fused entries hold the coarse centroids as driver
+        # literals already — assign the corpus with the Arrow->NumPy
+        # kernel (guide §4.2) instead of the interpreted-HOF broadcast
+        # join; bit-identical argmin (exact int64, (d, cid) tie-break)
+        from datafusion_monoid_spark.operators import npkernels as npk
+        whole_q = corpus.select(F.col(id_col).alias("vec_id"),
+                                quantize_micro(vec_col).alias("__xv"))
+        assigned = npk.coarse_assign_np(whole_q, coarse_list)
+    else:
+        whole = corpus.select(F.col(id_col).alias("vec_id"),
+                              F.lit(0).alias("s"),
+                              quantize_micro(vec_col).alias("sv"))
+        assigned = (_assign(whole, coarse_cents)
+                    .select("vec_id", F.col("cid").alias("ccid")))
     # query vectors come straight from the (bounded) queries relation
     # — re-deriving them via a corpus join would pay a second full
     # scan for rows the caller already has
@@ -758,6 +770,8 @@ def kmeans_fit_literal(df: DataFrame, k: int = 8, iters: int = 3,
     ``quantize_micro``) so the round-half-up semantics are exactly
     Spark's.  Each round's job: scan -> literal argmin -> posexplode ->
     map-side partial agg into k x dim groups -> collect k x dim rows."""
+    from datafusion_monoid_spark.operators import npkernels as npk
+
     micro = micro or quantize_micro
     seeds = (df.select(F.col(id_col).alias("__vid"),
                        micro(vec_col).alias("__v"))
@@ -767,12 +781,16 @@ def kmeans_fit_literal(df: DataFrame, k: int = 8, iters: int = 3,
         return cents
     base = df.select(micro(vec_col).alias("__xv"))
     for _ in range(iters):
-        amin = F.expr(_argmin_hof_sql(cents, "__xv") + ".cid")
-        sums_df = (base.select(amin.alias("cid"),
-                               F.posexplode("__xv").alias("pos", "x"))
+        # per-round partials via the Arrow->NumPy kernel (optimization
+        # guide §4.2): the interpreted HOF argmin + posexplode plan was
+        # ~10 s single-core CPU per round at sf0.1 — the kernel emits
+        # the SAME (cid, pos, sm, n) partial relation (exact int64,
+        # identical (d, cid) tie-break) at one vectorized evaluation
+        # per Arrow batch; shuffle and driver update are unchanged
+        sums_df = (npk.lloyd_partials(base, cents)
                    .groupBy("cid", "pos")
-                   .agg(F.sum("x").alias("sm"),
-                        F.count(F.lit(1)).alias("n")))
+                   .agg(F.sum("sm").alias("sm"),
+                        F.sum("n").alias("n")))
         rows = {(int(r["cid"]), int(r["pos"])): r
                 for r in sums_df.collect()}
         cents = [(cid,
@@ -790,24 +808,18 @@ def residual_vectors_literal(corpus: DataFrame,
                              vec_col: str = "embedding",
                              micro=None) -> DataFrame:
     """(vec_id, ccid, rv): :func:`residual_vectors` against LITERAL
-    coarse centroids — a pure map-side projection (literal argmin +
-    zip_with against the matched centroid), no assignment join, no
-    shuffle."""
+    coarse centroids — a pure map-side projection (no assignment join,
+    no shuffle), with the per-row interpreted argmin + zip_with
+    replaced by the Arrow->NumPy kernel (guide §4.2; exact int64,
+    identical (d, cid) tie-break)."""
+    from datafusion_monoid_spark.operators import npkernels as npk
+
     micro = micro or quantize_micro
     assert [c for c, _ in cent_list] == sorted(c for c, _ in cent_list), \
         "cent_list must be sorted by cid"
-    cc2d = F.expr("array(" + ", ".join(
-        "array(" + ", ".join(f"{int(x)}L" for x in cv) + ")"
-        for _, cv in cent_list) + ")")
-    step = (corpus.select(F.col(id_col).alias("vec_id"),
-                          micro(vec_col).alias("__xv"))
-            .select("vec_id", "__xv",
-                    F.expr(_argmin_hof_sql(cent_list, "__xv",
-                                           idx_field=True)).alias("__a")))
-    return step.select(
-        "vec_id", F.col("__a.cid").alias("ccid"),
-        F.zip_with("__xv", F.element_at(cc2d, F.col("__a.i").cast("int") + 1),
-                   lambda a, b: a - b).alias("rv"))
+    q = corpus.select(F.col(id_col).alias("vec_id"),
+                      micro(vec_col).alias("__xv"))
+    return npk.residuals_np(q, cent_list)
 
 
 def _books_lit_sql(codebooks: dict[int, list[tuple[int, list[int]]]]) -> str:
@@ -841,19 +853,21 @@ def pq_fit_literal(resid: DataFrame, k: int = PQ_K, iters: int = PQ_ITERS,
     all m subspaces share each round's single scan -> literal argmin ->
     (s, cid, pos) partial-agg pass, and the collected state is
     m x k x subdim integers."""
+    from datafusion_monoid_spark.operators import npkernels as npk
+
     seeds = resid.select("vec_id", "rv").orderBy("vec_id").limit(k).collect()
     books = {s: [(int(r["vec_id"]),
                   [int(x) for x in r["rv"][s * subdim:(s + 1) * subdim]])
                  for r in seeds]
              for s in range(m)}
-    rsub = resid.select("vec_id", F.posexplode(
-        _sub_slices(F.col("rv"), m, subdim)).alias("s", "sv"))
     for _ in range(iters):
-        sums_df = (rsub.select("s", _codes_case_expr(books).alias("cid"),
-                               F.posexplode("sv").alias("pos", "x"))
+        # Arrow->NumPy round kernel (guide §4.2) — same (s, cid, pos,
+        # sm, n) partial relation as the exploded interpreted-argmin
+        # plan, exact int64, all m subspaces sharing one batch pass
+        sums_df = (npk.pq_lloyd_partials(resid, books, m, subdim)
                    .groupBy("s", "cid", "pos")
-                   .agg(F.sum("x").alias("sm"),
-                        F.count(F.lit(1)).alias("n")))
+                   .agg(F.sum("sm").alias("sm"),
+                        F.sum("n").alias("n")))
         rows = {(int(r["s"]), int(r["cid"]), int(r["pos"])): r
                 for r in sums_df.collect()}
         books = {s: [(cid,
@@ -870,9 +884,11 @@ def pq_codes_literal(resid: DataFrame,
                      codebooks: dict[int, list[tuple[int, list[int]]]],
                      m: int = PQ_M, subdim: int = PQ_SUBDIM) -> DataFrame:
     """(vec_id, s, cid): encode a (vec_id, rv) relation (residuals or
-    quantized raw vectors) against LITERAL codebooks — a pure projection (explode + literal argmin), no join,
-    no shuffle; the :func:`pq_codes` twin for driver-literal
-    codebooks."""
-    return (resid.select("vec_id", F.posexplode(
-                _sub_slices(F.col("rv"), m, subdim)).alias("s", "sv"))
-            .select("vec_id", "s", _codes_case_expr(codebooks).alias("cid")))
+    quantized raw vectors) against LITERAL codebooks — a pure
+    map-side projection, no join, no shuffle; the :func:`pq_codes`
+    twin for driver-literal codebooks.  The per-(row, subspace)
+    interpreted argmin runs as the Arrow->NumPy kernel (guide §4.2;
+    exact int64, identical (d, cid) tie-break)."""
+    from datafusion_monoid_spark.operators import npkernels as npk
+
+    return npk.pq_codes_np(resid, codebooks, m, subdim)

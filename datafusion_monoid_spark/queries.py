@@ -9255,13 +9255,22 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pq_ivfadc_residual_topk) — bit-identical to the chained form;
     # the raw tier fits pq_fit_literal on the QUANTIZED vectors
     # themselves instead of residuals.  Codes materialize once (the
-    # published index artifact of the serve deployment).
-    cl = pqm.kmeans_fit_literal(e, k=8, iters=3)
+    # published index artifact of the serve deployment).  The two fits
+    # are INDEPENDENT in the raw tier (the PQ trains on the quantized
+    # vectors, not on residuals), so they run as two concurrent driver
+    # threads — each round's tail tasks back-fill with the other fit's
+    # work (guide §2.6) — and the coarse assignment runs as the
+    # Arrow->NumPy kernel against the literal centroids.
+    from concurrent.futures import ThreadPoolExecutor
+
+    raw = e.select("vec_id", sim.quantize_micro("embedding").alias("rv"))
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cl = pool.submit(pqm.kmeans_fit_literal, e, 8, 3)
+        f_books = pool.submit(pqm.pq_fit_literal, raw)
+        cl, books = f_cl.result(), f_books.result()
     ccr = spark.createDataFrame(
         [(0, cid, cv) for cid, cv in cl],
         "s int, cid bigint, cv array<bigint>")
-    raw = e.select("vec_id", sim.quantize_micro("embedding").alias("rv"))
-    books = pqm.pq_fit_literal(raw)
     cents = spark.createDataFrame(
         [(s, cid, cv) for s, entries in sorted(books.items())
          for cid, cv in entries],
@@ -9269,7 +9278,7 @@ def pq_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes = _ckpt(pqm.pq_codes_literal(raw, books))
     queries = e.where(F.col("vec_id") < 20)
     return pqm.pq_ivfadc_topk(e, None, cents, ccr, queries, k=5,
-                              nprobe=7, codes=codes)
+                              nprobe=7, codes=codes, coarse_list=cl)
 
 
 def _pq_ivfadc_residual_oracle_sql(k: int = 5, nprobe: int = 6,
