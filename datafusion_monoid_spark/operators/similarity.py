@@ -629,69 +629,27 @@ def kmeans_lloyd_quantized(df: DataFrame, k: int = 8, iters: int = 3,
     (not convergence-tested): deterministic work, and each round is a
     full lineage checkpointable stage at scale.
 
-    ``ckpt`` (optional, DataFrame -> DataFrame): materializes the
-    FINAL centroid relation (callers pass a tracked
-    ``localCheckpoint``); intermediate rounds are then checkpointed
-    too and each superseded round's blocks are released the moment
-    its successor materializes (the pq_fit discipline).  Without it,
-    round r references round r-1 TWICE (the assignment crossJoin and
-    the empty-cluster coalesce), so even a single consumer evaluates
-    the corpus scan O(2^iters) times inside one job — ~4 s of the
-    fused 3-round fit at sf0.1 vs ~1.5 s materialized.  (An earlier
-    note here measured per-round DRIVER round-trips slower than the
-    fused chain — collect + re-createDataFrame each round, the MLlib
-    pattern; executor-side localCheckpoint avoids that driver hop,
-    which is why it wins where the round-trip lost.)"""
-    from datafusion_monoid_spark.plans.inspect import (
-        is_checkpoint_scan,
-        release_local_checkpoint,
-    )
+    Execution (optimization round r13): the rounds run through
+    :func:`pq.kmeans_fit_literal` — the MLlib shape whose
+    bit-identity to the previous DataFrame-chained rounds is pinned in
+    tests — whose per-round assignment/partial-sum pass is the
+    Arrow->NumPy kernel (``operators/npkernels.py``, guide §4.2).
+    The previous chained form evaluated the argmin as interpreted HOF
+    lambdas (~10 s single-core CPU per round at sf0.1) and paid one
+    localCheckpoint job per round; the literal path is one map-side
+    kernel job per round and k x dim integers on the driver.  The
+    final (cid, pos, val) relation is a driver-local table (k x dim
+    rows — bytes at any corpus scale).
 
-    v = df.select(F.col(id_col).alias("__vid"),
-                  quantize_micro(vec_col).alias("__v"))
-    # seed from the k LOWEST ids (cid = the seed's id) — identical to
-    # ``__vid < k`` on a dense 0..n-1 id space but correct when ids
-    # are sparse or offset, where that predicate silently under-seeds
-    # (ADVICE r6, flagged on the pq_fit twin)
-    seed_ids = v.select("__vid").orderBy("__vid").limit(k)
-    cents = (v.join(F.broadcast(seed_ids), "__vid")
-             .select(F.col("__vid").alias("cid"), F.col("__v").alias("cv")))
-    if ckpt is not None:
-        cents = cents.localCheckpoint(eager=True)
-    for _ in range(iters):
-        d = (v.crossJoin(F.broadcast(cents))
-             .select("__vid", "__v", "cid",
-                     _sqdist_micro(F.col("__v"), F.col("cv")).alias("__d")))
-        assigned = (d.groupBy("__vid")
-                    .agg(F.min(F.struct("__d", "cid", "__v")).alias("__m"))
-                    .select(F.col("__m.cid").alias("cid"),
-                            F.col("__m.__v").alias("__v")))
-        sums = (assigned.select("cid", F.posexplode("__v").alias("pos", "x"))
-                .groupBy("cid", "pos")
-                .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n")))
-        means = sums.select(
-            "cid", "pos",
-            ((F.col("s") - F.col("s") % F.col("n")) / F.col("n"))
-            .cast("bigint").alias("val"))
-        new_cents = (means.groupBy("cid")
-                     .agg(F.transform(
-                         F.array_sort(F.collect_list(F.struct("pos", "val"))),
-                         lambda t: t["val"]).alias("cv")))
-        nxt = (cents.select("cid", F.col("cv").alias("__old"))
-               .join(new_cents, "cid", "left")
-               .select("cid", F.coalesce("cv", "__old").alias("cv")))
-        if ckpt is not None:
-            nxt = nxt.localCheckpoint(eager=True)
-            release_local_checkpoint(cents)
-        cents = nxt
-    if ckpt is not None:
-        # hand the final round through the caller's (tracked) hook and
-        # release the loop's own checkpoint of it — but only once the
-        # hook's result is MATERIALIZED: a lazy hook would hand back a
-        # plan still referencing these blocks (ADVICE r7)
-        final = ckpt(cents.select(
-            "cid", F.posexplode("cv").alias("pos", "val")))
-        if is_checkpoint_scan(final):
-            release_local_checkpoint(cents)
-        return final
-    return cents.select("cid", F.posexplode("cv").alias("pos", "val"))
+    ``ckpt`` (optional, DataFrame -> DataFrame): materializes the
+    FINAL centroid relation through the caller's (tracked) hook, kept
+    for contract compatibility."""
+    from datafusion_monoid_spark.operators.pq import kmeans_fit_literal
+
+    spark = df.sparkSession
+    cents = kmeans_fit_literal(df, k=k, iters=iters,
+                               id_col=id_col, vec_col=vec_col)
+    rows = [(int(cid), int(pos), int(val))
+            for cid, cv in cents for pos, val in enumerate(cv)]
+    out = spark.createDataFrame(rows, "cid bigint, pos int, val bigint")
+    return ckpt(out) if ckpt is not None else out
