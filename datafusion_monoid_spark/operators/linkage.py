@@ -91,15 +91,25 @@ def variant_keys(df: DataFrame, id_col: str, text_col: str,
 
 
 def fuzzy_pairs(df: DataFrame, id_col: str, text_col: str,
-                max_dist: int = 1) -> DataFrame:
+                max_dist: int = 1, ckpt=None) -> DataFrame:
     """(id_a, id_b, dist) for distinct pairs within ``max_dist`` edits
     (id_a < id_b).  Candidates via the depth-``max_dist``
     deletion-neighborhood bucket join (complete by the SymSpell
     pigeonhole); exact ``levenshtein`` verification on candidates only.
     Both sides of the candidate join are the same slim (id, vkey)
     relation — one co-partitioned shuffle, group sizes bounded by
-    variant-key multiplicity, never all-pairs."""
+    variant-key multiplicity, never all-pairs.
+
+    ``ckpt`` (optional, DataFrame -> DataFrame, e.g. a tracked
+    ``localCheckpoint``): materializes the variant-key relation once.
+    Left lazy it is evaluated on BOTH sides of the self-join, and the
+    deletion-neighborhood generator is an interpreted HOF transform —
+    the one expensive expression of this operator runs twice over the
+    corpus for nothing (optimization round r13; same lesson as the
+    containment verify's shingle relation)."""
     vk = variant_keys(df, id_col, text_col, depth=max_dist)
+    if ckpt is not None:
+        vk = ckpt(vk)
     a = vk.alias("a")
     b = vk.alias("b")
     cand = (a.join(b, (F.col("a.vkey") == F.col("b.vkey"))

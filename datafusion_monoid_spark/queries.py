@@ -740,9 +740,19 @@ def _containment_exact_verify(docs: DataFrame, cand: DataFrame) -> DataFrame:
     cand_ids = (cand.select(F.col("id_a").alias("doc_id"))
                 .unionByName(cand.select(F.col("id_b").alias("doc_id")))
                 .distinct())
-    sh = (docs.join(cand_ids, "doc_id", "left_semi")
-          .select("doc_id",
-                  F.array_distinct(dd.word_shingles("text")).alias("shg")))
+    # MATERIALIZE the pruned shingle relation (candidate-bounded by
+    # construction — docs appearing in some pair — so checkpointing it
+    # is cheap at any scale).  Left lazy, the relation is referenced
+    # from BOTH join sides and Catalyst's projection collapse inlines
+    # the interpreted shingle transform into every downstream column
+    # reference (84 transform() nodes in the executed plan; measured
+    # 5.5 s for a 284-pair verify at sf0.1 vs 0.7 s materialized —
+    # optimization round r13).
+    sh = _track_ckpt(
+        docs.join(cand_ids, "doc_id", "left_semi")
+        .select("doc_id",
+                F.array_distinct(dd.word_shingles("text")).alias("shg"))
+        .localCheckpoint(eager=True))
     inter = F.size(F.array_intersect(F.col("a.shg"), F.col("b.shg"))) \
         .cast("bigint")
     n_a = F.size(F.col("a.shg")).cast("bigint")
@@ -4611,7 +4621,8 @@ def fuzzy_customer_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
     verifies candidates only.  The naive version of this query is an
     all-pairs O(n^2) cross join."""
     c = _t(spark, sf_dir, "customer")
-    pairs = lk.fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1)
+    pairs = lk.fuzzy_pairs(c, "c_custkey", "c_name", max_dist=1,
+                           ckpt=_ckpt)
     both = (pairs.select(F.col("id_a").alias("c_custkey"))
             .unionAll(pairs.select(F.col("id_b").alias("c_custkey"))))
     return both.groupBy("c_custkey").agg(
@@ -10574,6 +10585,14 @@ def embedding_abtt_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = (v.crossJoin(F.broadcast(mu_arr))
          .select("vec_id", "label",
                  F.zip_with("v", "mu", lambda x, m: x - m).alias("c")))
+    # materialize the centered corpus ONCE: it feeds the Gram pass AND
+    # the removal pass, and both the quantize transform and the
+    # centering zip_with are interpreted HOFs — left lazy they replay
+    # per reference (optimization round r13; the containment-verify
+    # lesson).  At scale this is the persist-vs-recompute call of
+    # guide §5: two downstream passes over an expression-heavy
+    # projection earn the materialization.
+    c = _track_ckpt(c.localCheckpoint(eager=True))
     cel = c.select("vec_id", F.posexplode("c").alias("i", "cx"))
     g = (cel.alias("a").join(cel.alias("b"), "vec_id")
          .groupBy(F.col("a.i").alias("i"), F.col("b.i").alias("j"))
