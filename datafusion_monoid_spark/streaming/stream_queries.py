@@ -1016,36 +1016,59 @@ def _capstone_gates(spark: SparkSession, sf_dir: str):
     stream==batch pytest twin (whole batch at once): per-doc
     independence means the two must agree row-for-row.  ``release``
     unpersists the hoisted relations."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from datafusion_monoid_spark import queries as _qcat
     from datafusion_monoid_spark.operators import curation as _cu
     from datafusion_monoid_spark.operators import dedup as _dd
     from datafusion_monoid_spark.operators import sampling as _smp
 
-    model = spark.read.parquet(
-        _qcat._fit_qc_persisted(spark, sf_dir, overwrite=False)).persist()
-    k_micro = int(model.agg(
-        _qcat._idiv((F.sum("c_pos") + F.count(F.lit(1))) * 1_000_000,
-                    F.sum("c_neg") + F.count(F.lit(1))).alias("k"))
-        .collect()[0]["k"])
-    bg_path, ctx_path = _qcat._fit_lm_persisted(spark, sf_dir,
-                                                overwrite=False)
+    # the four artifact FAMILIES are independent (the LM thresholds
+    # depend on the LM fit and run inside its thread): build them as
+    # concurrent driver threads so each build's task tail back-fills
+    # with the next build's work (guide §2.6) — on a warm .artifacts
+    # dir these are path checks, on a cold one this overlaps four
+    # real build pipelines
+    def _lm_chain() -> tuple[str, str, str]:
+        bg, ctx = _qcat._fit_lm_persisted(spark, sf_dir, overwrite=False)
+        t = _qcat._fit_lm_thresholds_persisted(spark, sf_dir,
+                                               overwrite=False)
+        return bg, ctx, t
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_qc = pool.submit(_qcat._fit_qc_persisted, spark, sf_dir,
+                           overwrite=False)
+        f_lm = pool.submit(_lm_chain)
+        f_keys = pool.submit(_qcat._build_exact_key_index, spark, sf_dir)
+        f_cidx = pool.submit(_qcat._build_containment_index, spark,
+                             sf_dir, overwrite=False)
+        qc_path = f_qc.result()
+        bg_path, ctx_path, tpath = f_lm.result()
+        keys_path = f_keys.result()
+        ipath, ppath = f_cidx.result()
+
+    model = spark.read.parquet(qc_path).persist()
     scores = (spark.read.parquet(bg_path)
               .withColumn("w1", F.substring_index("bg", " ", 1))
               .join(spark.read.parquet(ctx_path), "w1")
               .select("bg", _cu.micro_ratio(F.col("c_bg"), F.col("c_ctx"))
                       .alias("p_micro"))).persist()
-    tpath = _qcat._fit_lm_thresholds_persisted(spark, sf_dir,
-                                               overwrite=False)
-    cut2 = int(spark.read.parquet(tpath).collect()[0]["cut2_micro"])
-    old_keys = spark.read.parquet(
-        _qcat._build_exact_key_index(spark, sf_dir)).persist()
-    ipath, ppath = _qcat._build_containment_index(spark, sf_dir,
-                                                  overwrite=False)
+    old_keys = spark.read.parquet(keys_path).persist()
     idx = spark.read.parquet(ipath).persist()
     iprobes = spark.read.parquet(ppath).persist()
     hoisted = (model, scores, old_keys, idx, iprobes)
-    for df_ in hoisted:
-        df_.count()  # materialize now, not inside batch 0
+    # materialize all five + the two 1-row reads concurrently, not as
+    # seven sequential tiny jobs (guide §2.6)
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        f_k = pool.submit(lambda: int(model.agg(
+            _qcat._idiv((F.sum("c_pos") + F.count(F.lit(1))) * 1_000_000,
+                        F.sum("c_neg") + F.count(F.lit(1))).alias("k"))
+            .collect()[0]["k"]))
+        f_cut = pool.submit(lambda: int(
+            spark.read.parquet(tpath).collect()[0]["cut2_micro"]))
+        counts = pool.map(lambda d: d.count(), hoisted)
+        k_micro, cut2 = f_k.result(), f_cut.result()
+        list(counts)
 
     def gates(b: DataFrame, extra_keys: DataFrame | None = None,
               return_keys: bool = False):
@@ -1068,8 +1091,16 @@ def _capstone_gates(spark: SparkSession, sf_dir: str):
         gate_rel = old_keys.select("dup_key")
         if extra_keys is not None:
             gate_rel = gate_rel.unionByName(extra_keys)
-        s3 = (_dd.exact_dedup_keys(s2, "text")
-              .join(gate_rel, "dup_key", "left_anti"))
+        # materialize the post-exact-gate survivors ONCE: s3 feeds the
+        # containment screen, the admitted anti-join, and (in the
+        # stream) the novel-keys generation — left lazy, the whole
+        # QC + LM + exact-gate chain re-evaluates per reference, which
+        # doubled every micro-batch's commit cost (optimization round
+        # r13).  Batch-bounded relation; cheap at any scale.
+        s3 = _qcat._track_ckpt(
+            (_dd.exact_dedup_keys(s2, "text")
+             .join(gate_rel, "dup_key", "left_anti"))
+            .localCheckpoint(eager=True))
         flagged = _qcat._containment_screen_kernel(
             s3.select("doc_id", "text"), idx, iprobes)
         adm = (s3.join(flagged.select(F.col("new_id").alias("doc_id"))
@@ -1113,11 +1144,32 @@ def _stage_ordered_batches(df: DataFrame, stage: str,
         .localCheckpoint(eager=True))  # one scan+sort, n cheap slices
     tmp = f"{stage}/_tmp"
     try:
+        # ONE partitioned write (hash-repartition by _g puts each
+        # quartile in exactly one task, partitionBy gives one file per
+        # value) instead of n sequential coalesce(1) writes — the
+        # ascending-mtime property FileStreamSource orders replay by is
+        # set explicitly per file, which is what the sequential writes
+        # only established implicitly (optimization round r13)
+        (tiled.repartition(n, "_g").write.mode("overwrite")
+         .partitionBy("_g").parquet(tmp))
+        now = time.time()
+        empty_src: str | None = None
         for g in range(1, n + 1):
-            (tiled.where(F.col("_g") == g).drop("_g").coalesce(1)
-             .write.mode("overwrite").parquet(tmp))
-            part = _glob.glob(f"{tmp}/part-*.parquet")[0]
-            shutil.move(part, f"{stage}/g{g}.parquet")
+            hits = _glob.glob(f"{tmp}/_g={g}/part-*.parquet")
+            dst = f"{stage}/g{g}.parquet"
+            if hits:
+                shutil.move(hits[0], dst)
+            else:
+                # ntile yields < n tiles when the relation has < n
+                # rows — stage an empty (schema-only) arrival so the
+                # batch count stays n
+                if empty_src is None:
+                    (tiled.limit(0).drop("_g").coalesce(1)
+                     .write.mode("overwrite").parquet(f"{tmp}/_empty"))
+                    empty_src = _glob.glob(
+                        f"{tmp}/_empty/part-*.parquet")[0]
+                shutil.copy(empty_src, dst)
+            os.utime(dst, (now + g, now + g))
         shutil.rmtree(tmp, ignore_errors=True)
     finally:
         release_local_checkpoint(tiled)
@@ -1163,14 +1215,21 @@ def streaming_containment_admit_serve(spark: SparkSession,
     from datafusion_monoid_spark import queries as _qcat
     from datafusion_monoid_spark.operators import dedup as _dd
 
-    ipath, ppath = _qcat._build_containment_index(spark, sf_dir,
-                                                  overwrite=False)
-    old_keys = spark.read.parquet(
-        _qcat._build_exact_key_index(spark, sf_dir)).persist()
+    from concurrent.futures import ThreadPoolExecutor
+
+    # independent artifact builds + materializations as concurrent
+    # driver threads (guide §2.6; the capstone-gates pattern)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_cidx = pool.submit(_qcat._build_containment_index, spark,
+                             sf_dir, overwrite=False)
+        f_keys = pool.submit(_qcat._build_exact_key_index, spark, sf_dir)
+        ipath, ppath = f_cidx.result()
+        keys_path = f_keys.result()
+    old_keys = spark.read.parquet(keys_path).persist()
     idx = spark.read.parquet(ipath).persist()
     iprobes = spark.read.parquet(ppath).persist()
-    for df_ in (old_keys, idx, iprobes):
-        df_.count()  # materialize pre-stream, not inside batch 0
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(lambda d: d.count(), (old_keys, idx, iprobes)))
 
     new = (spark.read.parquet(f"{sf_dir}/documents.parquet")
            .where(F.col("doc_id") % 11 == 0)
@@ -1203,19 +1262,30 @@ def streaming_containment_admit_serve(spark: SparkSession,
                 .distinct().localCheckpoint(eager=True))
             flagged = _qcat._containment_screen_from_hashes(
                 nh, idx, iprobes)
-            cleanh = _qcat._track_ckpt(
-                nh.join(flagged.select(F.col("new_id").alias("doc_id"))
-                        .distinct(), "doc_id", "left_anti")
-                .localCheckpoint(eager=True))
+            cleanh_plan = nh.join(
+                flagged.select(F.col("new_id").alias("doc_id"))
+                .distinct(), "doc_id", "left_anti")
+            ip = f"{sink}/batch={batch_id}/idx"
             kp = f"{sink}/batch={batch_id}/keys"
             with _commit_timer("streaming_containment_admit_serve"):
-                cleanh.write.mode("overwrite").parquet(
-                    f"{sink}/batch={batch_id}/idx")
-                (_dd.probe_argmins_long(cleanh, "doc_id")
-                 .write.mode("overwrite").parquet(
-                     f"{sink}/batch={batch_id}/probes"))
-                (keyed.select("dup_key").distinct()
-                 .write.mode("overwrite").parquet(kp))
+                # the idx generation write IS the materialization of
+                # cleanh (previously a localCheckpoint job AND a write
+                # — one redundant pass per batch); probes derive from
+                # the just-written parquet, and the probes/keys writes
+                # are independent so they run as two concurrent driver
+                # threads (guide §2.6)
+                cleanh_plan.write.mode("overwrite").parquet(ip)
+                cleanh = spark.read.parquet(ip)
+                from concurrent.futures import ThreadPoolExecutor
+                with ThreadPoolExecutor(max_workers=2) as pool:
+                    fp = pool.submit(
+                        lambda: _dd.probe_argmins_long(cleanh, "doc_id")
+                        .write.mode("overwrite").parquet(
+                            f"{sink}/batch={batch_id}/probes"))
+                    fk = pool.submit(
+                        lambda: keyed.select("dup_key").distinct()
+                        .write.mode("overwrite").parquet(kp))
+                    fp.result(), fk.result()
             gen_key_paths.append(kp)
 
         _COMMITS.pop("streaming_containment_admit_serve", None)
