@@ -1400,11 +1400,14 @@ def _append_containment_postings(spark: SparkSession,
         .distinct().localCheckpoint(eager=True))
     flagged = _containment_screen_from_hashes(
         nh, spark.read.parquet(ipath), spark.read.parquet(ppath))
-    cleanh = _track_ckpt(
-        nh.join(flagged.select(F.col("new_id").alias("doc_id"))
-                .distinct(), "doc_id", "left_anti")
-        .localCheckpoint(eager=True))
-    cleanh.write.mode("overwrite").parquet(inew)
+    # the postings write IS the materialization of the clean relation
+    # (previously a localCheckpoint job AND a write); the probe agg
+    # derives from the just-written parquet (optimization round r13,
+    # the streaming admit loop's shape)
+    (nh.join(flagged.select(F.col("new_id").alias("doc_id"))
+             .distinct(), "doc_id", "left_anti")
+     .write.mode("overwrite").parquet(inew))
+    cleanh = spark.read.parquet(inew)
     (dd.probe_argmins_long(cleanh, "doc_id")
      .write.mode("overwrite").parquet(pnew))
     return inew, pnew
@@ -1459,12 +1462,19 @@ def containment_postings_compact(spark: SparkSession,
     inew, pnew = _append_containment_postings(spark, sf_dir)
     icomp = _artifact_path(sf_dir, "contain_index_compacted")
     pcomp = _artifact_path(sf_dir, "contain_probes_compacted")
-    (spark.read.parquet(ipath).unionByName(spark.read.parquet(inew))
-     .repartition("h").sortWithinPartitions("h")
-     .write.mode("overwrite").parquet(icomp))
-    (spark.read.parquet(ppath).unionByName(spark.read.parquet(pnew))
-     .repartition("h").sortWithinPartitions("h")
-     .write.mode("overwrite").parquet(pcomp))
+    # the two compacted-layout writes are independent — run them as
+    # concurrent driver threads (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fold(src: str, gen: str, dst: str) -> None:
+        (spark.read.parquet(src).unionByName(spark.read.parquet(gen))
+         .repartition("h").sortWithinPartitions("h")
+         .write.mode("overwrite").parquet(dst))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(_fold, ipath, inew, icomp)
+        fp = pool.submit(_fold, ppath, pnew, pcomp)
+        fi.result(), fp.result()
     return _cidx_digest(spark, icomp, pcomp)
 
 
@@ -1591,13 +1601,20 @@ def containment_compact_cascade(spark: SparkSession,
                        .localCheckpoint(eager=True))
     icomp = _artifact_path(sf_dir, "contain_index_cascaded")
     pcomp = _artifact_path(sf_dir, "contain_probes_cascaded")
-    (spark.read.parquet(ipath).unionByName(kept)
-     .repartition("h").sortWithinPartitions("h")
-     .write.mode("overwrite").parquet(icomp))
-    (spark.read.parquet(ppath)
-     .unionByName(dd.probe_argmins_long(kept, "doc_id"))
-     .repartition("h").sortWithinPartitions("h")
-     .write.mode("overwrite").parquet(pcomp))
+    # kept is checkpointed — the two cascaded-layout writes are
+    # independent and run as concurrent driver threads (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _wr(df, dst: str) -> None:
+        (df.repartition("h").sortWithinPartitions("h")
+         .write.mode("overwrite").parquet(dst))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fi = pool.submit(_wr, spark.read.parquet(ipath).unionByName(kept),
+                         icomp)
+        fp = pool.submit(_wr, spark.read.parquet(ppath).unionByName(
+            dd.probe_argmins_long(kept, "doc_id")), pcomp)
+        fi.result(), fp.result()
     return _cidx_digest(spark, icomp, pcomp)
 
 
