@@ -12772,22 +12772,31 @@ def pipeline_curation_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the only corpus-sized shuffles are the dedup hash and the
     per-doc score partial aggs the component entries already pay."""
     docs = _docs(spark, sf_dir)
-    # stage 1: quality gate — 1-row decision constant collected
-    qc_path = _fit_qc_persisted(spark, sf_dir, overwrite=False)
+    # stage 1+2 artifacts: the QC model and the LM threshold chain are
+    # independent — build them as two concurrent driver threads
+    # (guide §2.6; the streaming capstone-gates pattern)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_qc = pool.submit(_fit_qc_persisted, spark, sf_dir,
+                           overwrite=False)
+        f_t = pool.submit(_fit_lm_thresholds_persisted, spark, sf_dir,
+                          overwrite=False)
+        qc_path, tpath = f_qc.result(), f_t.result()
     model = spark.read.parquet(qc_path)
-    k_micro = int(model.agg(
-        _idiv((F.sum("c_pos") + F.count(F.lit(1))) * 1_000_000,
-              F.sum("c_neg") + F.count(F.lit(1))).alias("k"))
-        .collect()[0]["k"])
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_k = pool.submit(lambda: int(model.agg(
+            _idiv((F.sum("c_pos") + F.count(F.lit(1))) * 1_000_000,
+                  F.sum("c_neg") + F.count(F.lit(1))).alias("k"))
+            .collect()[0]["k"]))
+        f_cuts = pool.submit(
+            lambda: spark.read.parquet(tpath).collect()[0])
+        k_micro, cuts = f_k.result(), f_cuts.result()
     qd = _track_ckpt(
         _qc_score_docs(docs, model)
         .select("doc_id", F.col("n_tokens").alias("n_toks"),
                 "score_micro")
         .localCheckpoint(eager=True))  # reused by the packing stage
     qpass = qd.where(F.col("score_micro") >= k_micro).select("doc_id")
-    # stage 2: perplexity filter — persisted cuts, 1-row collect
-    tpath = _fit_lm_thresholds_persisted(spark, sf_dir, overwrite=False)
-    cuts = spark.read.parquet(tpath).collect()[0]
     ppass = (_lm_doc_scores_served(spark, sf_dir)
              .where(F.col("score_micro") >= int(cuts["cut2_micro"]))
              .select("doc_id"))

@@ -698,7 +698,11 @@ def streaming_containment_screen_serve(spark: SparkSession,
                                                   overwrite=False)
     idx = spark.read.parquet(ipath).persist()
     iprobes = spark.read.parquet(ppath).persist()
-    idx.count(), iprobes.count()  # materialize pre-stream, not per batch
+    # materialize pre-stream, not per batch — two independent counts
+    # overlap as driver threads (guide §2.6)
+    from concurrent.futures import ThreadPoolExecutor
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(lambda d: d.count(), (idx, iprobes)))
     new = (spark.read.parquet(f"{sf_dir}/documents.parquet")
            .where(F.col("doc_id") % 11 == 0)
            .select("doc_id", "text"))
