@@ -141,13 +141,16 @@ def repetition_features(df: DataFrame, id_col: str, text_col: str,
         F.array(F.struct(F.lit("d").alias("kind"), F.lit("").alias("term"))),
         F.transform(toks, lambda t: F.struct(F.lit("u").alias("kind"),
                                              t.alias("term"))),
+        # zip_with over shifted slices, not transform(sequence, slice):
+        # the latter re-tokenizes per bigram position (interpreted HOF
+        # lambdas don't CSE the toks subtree — optimization round r13)
         F.when(
             F.size(toks) >= 2,
-            F.transform(F.sequence(F.lit(0), F.size(toks) - 2),
-                        lambda i: F.struct(
-                            F.lit("b").alias("kind"),
-                            F.concat_ws(" ", F.slice(toks, i + 1, 2))
-                             .alias("term"))),
+            F.zip_with(F.slice(toks, 1, F.size(toks) - 1),
+                       F.slice(toks, 2, F.size(toks) - 1),
+                       lambda a, b: F.struct(
+                           F.lit("b").alias("kind"),
+                           F.concat_ws(" ", a, b).alias("term"))),
         ).otherwise(F.array().cast("array<struct<kind:string,term:string>>")),
     )
     terms = (df.select(F.col(id_col), *keep_cols,

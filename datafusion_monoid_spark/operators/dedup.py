@@ -79,15 +79,26 @@ def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
     lets several n values share ONE tokenization (the 4-gram + 13-gram
     decontamination pass tokenizes the corpus once).
 
-    Guarded for texts shorter than n tokens: Spark's ``sequence(0, k)``
-    DESCENDS for k < 0 (DuckDB's ``range`` yields empty) — unguarded this
-    crashes ``slice`` with start 0."""
+    Shape: ``arrays_zip`` of the n shifted slices, gram = concat of the
+    zipped struct's fields.  The earlier ``transform(sequence(...),
+    i -> concat_ws(slice(toks, i+1, n)))`` form re-evaluated the WHOLE
+    ``toks`` expression per sequence element (higher-order-function
+    lambdas are interpreted and their non-lambda-variable subtrees are
+    not CSE'd), which for ``toks`` = the tokenize chain is O(len) regex
+    passes per row — O(len^2) total; the zip form evaluates ``toks``
+    once per slice (n+1 times per row, constant in document length).
+
+    Guarded for texts shorter than n tokens (empty result, matching
+    DuckDB's ``range``)."""
+    m = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m).alias(f"t{i}")
+                            for i in range(n)])
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(
-                F.sequence(F.lit(0), F.size(toks) - n),
-                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+                zipped,
+                lambda s: F.concat_ws(" ", *[s[f"t{i}"] for i in range(n)]),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))

@@ -8156,10 +8156,18 @@ def _dup_span_relation(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = _SPAN_N
     docs = _docs(spark, sf_dir)
     toks = dd.tokens("text")
+    # arrays_zip of the n shifted slices (order-preserving, NOT
+    # distinct — positions matter here): evaluates the tokenize chain
+    # n+1 times per row instead of once per gram position (the
+    # shingles_from_tokens lesson, optimization round r13)
+    m = F.size(toks) - (n - 1)
+    zipped = F.arrays_zip(*[F.slice(toks, i + 1, m).alias(f"t{i}")
+                            for i in range(n)])
     gram_arr = F.when(
         F.size(toks) >= n,
-        F.transform(F.sequence(F.lit(0), F.size(toks) - n),
-                    lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))),
+        F.transform(zipped,
+                    lambda s: F.concat_ws(" ", *[s[f"t{i}"]
+                                                 for i in range(n)])),
     ).otherwise(F.array().cast("array<string>"))
     grams = (docs.select("doc_id", "source",
                          F.posexplode(gram_arr).alias("pos", "gram"))
@@ -8338,16 +8346,23 @@ FROM d GROUP BY source
 
 
 def _lm_doc_bigrams(docs: DataFrame) -> DataFrame:
-    """(doc_id, source, w1, bg): one row per bigram occurrence."""
+    """(doc_id, source, w1, bg): one row per bigram occurrence.
+
+    ``zip_with`` over the two shifted token slices: the lambda touches
+    only its bound variables, so the tokenize chain evaluates 3x per
+    ROW.  The earlier ``transform(sequence, i -> element_at(toks, ...))``
+    form re-tokenized the document per bigram POSITION (interpreted HOF
+    lambdas don't CSE non-lambda subtrees) — O(len^2) regex work that
+    dominated every LM-scoring entry (optimization round r13)."""
     toks = dd.tokens("text")
+    n = F.size(toks)
     pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.concat_ws(" ", F.element_at(toks, i + 1),
-                            F.element_at(toks, i + 2)).alias("bg"))),
+        n >= 2,
+        F.zip_with(
+            F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1),
+            lambda a, b: F.struct(
+                a.alias("w1"),
+                F.concat_ws(" ", a, b).alias("bg"))),
     ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
     return (docs.select("doc_id", "source", F.explode(pairs).alias("p"))
             .select("doc_id", "source", F.col("p.w1").alias("w1"),
@@ -9770,15 +9785,18 @@ def curation_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     both models — the target model is a filtered partial-agg over the
     same pass, not a second tokenization."""
     docs = _docs(spark, sf_dir).select("doc_id", "source", "lang", "text")
+    # zip_with over shifted slices, not transform(sequence, element_at):
+    # the latter re-tokenizes per bigram position (the _lm_doc_bigrams
+    # lesson, optimization round r13)
     toks = dd.tokens("text")
+    nt = F.size(toks)
     pairs = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.struct(
-                F.element_at(toks, i + 1).alias("w1"),
-                F.concat_ws(" ", F.element_at(toks, i + 1),
-                            F.element_at(toks, i + 2)).alias("bg"))),
+        nt >= 2,
+        F.zip_with(
+            F.slice(toks, 1, nt - 1), F.slice(toks, 2, nt - 1),
+            lambda a, b: F.struct(
+                a.alias("w1"),
+                F.concat_ws(" ", a, b).alias("bg"))),
     ).otherwise(F.array().cast("array<struct<w1:string,bg:string>>"))
     b = (docs.select("doc_id", "source", "lang",
                      F.explode(pairs).alias("p"))
