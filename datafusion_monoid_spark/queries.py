@@ -1837,10 +1837,12 @@ def _build_lsh_index(spark: SparkSession, sf_dir: str,
             and _artifact_fresh(bpath, src)):
         return spath, bpath
     sigs, _ = _minhash_shared(spark, sf_dir)
-    old = _track_ckpt(sigs.where(F.col("doc_id") % 11 != 0)
-                      .localCheckpoint(eager=True))
-    old.write.mode("overwrite").parquet(spath)
-    (dd.minhash_band_buckets(old, "doc_id")
+    # the signature write IS the materialization; bands derive from
+    # the written parquet — one job fewer than ckpt+write+write (the
+    # containment-append lesson, optimization round r13)
+    (sigs.where(F.col("doc_id") % 11 != 0)
+     .write.mode("overwrite").parquet(spath))
+    (dd.minhash_band_buckets(spark.read.parquet(spath), "doc_id")
      .write.mode("overwrite").parquet(bpath))
     return spath, bpath
 
@@ -1873,10 +1875,12 @@ def _append_lsh_postings(spark: SparkSession,
                .where(dd.estimated_jaccard("sig_a", "sig_b")
                       >= _LSH_SCREEN_EST)
                .select(F.col("new_id").alias("doc_id")).distinct())
-    clean = _track_ckpt(sig_new.join(flagged, "doc_id", "left_anti")
-                        .localCheckpoint(eager=True))
-    clean.write.mode("overwrite").parquet(snew)
-    (dd.minhash_band_buckets(clean, "doc_id")
+    # the generation write IS the clean relation's materialization;
+    # bands derive from the written parquet (one job fewer — the
+    # containment-append lesson, optimization round r13)
+    (sig_new.join(flagged, "doc_id", "left_anti")
+     .write.mode("overwrite").parquet(snew))
+    (dd.minhash_band_buckets(spark.read.parquet(snew), "doc_id")
      .write.mode("overwrite").parquet(bnew))
     return snew, bnew
 
@@ -1973,12 +1977,20 @@ def lsh_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     snew, bnew = _append_lsh_postings(spark, sf_dir)
     scomp = _artifact_path(sf_dir, "lsh_sigs_compacted")
     bcomp = _artifact_path(sf_dir, "lsh_bands_compacted")
-    (spark.read.parquet(spath).unionByName(spark.read.parquet(snew))
-     .repartition("doc_id").sortWithinPartitions("doc_id")
-     .write.mode("overwrite").parquet(scomp))
-    (spark.read.parquet(bpath).unionByName(spark.read.parquet(bnew))
-     .repartition("band_hash").sortWithinPartitions("band_hash")
-     .write.mode("overwrite").parquet(bcomp))
+    # the two compacted-layout writes are independent — run them as
+    # concurrent driver threads (guide §2.6, the containment-compact
+    # pattern; optimization round r13)
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _fold(base: str, gen: str, key: str, dst: str) -> None:
+        (spark.read.parquet(base).unionByName(spark.read.parquet(gen))
+         .repartition(key).sortWithinPartitions(key)
+         .write.mode("overwrite").parquet(dst))
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fs = pool.submit(_fold, spath, snew, "doc_id", scomp)
+        fb = pool.submit(_fold, bpath, bnew, "band_hash", bcomp)
+        fs.result(), fb.result()
     return _lsh_digest(spark, scomp, bcomp)
 
 
