@@ -633,17 +633,22 @@ def streaming_bucket_route_serve(spark: SparkSession,
                    .select("doc_id", "source", "n_bigrams",
                            "score_micro", bucket))
             # one file PER TERTILE per commit (VERDICT r10 item 3):
-            # range-partition on bucket so each tertile gets its own
-            # writer task — 3 files instead of STREAM_SHUFFLE x 3,
-            # with the parquet encode still 3-way parallel.  A plain
-            # coalesce(1) was measured 222 s commit at sf10 vs 170 s
-            # for the 24-file form: the router's payload is the whole
-            # scored batch, so writer PARALLELISM matters more than
-            # the per-file constant once batches are large — per-
-            # tertile writers keep both.  The tokenize-heavy map side
-            # is untouched either way
+            # each tertile gets its own writer task — 3 files instead
+            # of STREAM_SHUFFLE x 3, with the parquet encode still
+            # 3-way parallel.  A plain coalesce(1) was measured 222 s
+            # commit at sf10 vs 170 s for the 24-file form: the
+            # router's payload is the whole scored batch, so writer
+            # PARALLELISM matters more than the per-file constant once
+            # batches are large.  HASH-partition, not range: a
+            # RangePartitioner SAMPLES its child, so the range form
+            # re-evaluated the entire tokenize+join+agg batch lineage
+            # a second time per commit (optimization round r13).
+            # hash(bucket + 9) spreads {1,2,3} across exactly 3
+            # partitions (pinned in tests/test_hof_rewrite_r13.py), so
+            # the one-writer-per-tertile layout is preserved.
             with _commit_timer("streaming_bucket_route_serve"):
-                (out.repartitionByRange(3, "bucket")
+                (out.repartition(3, (F.col("bucket") + F.lit(9))
+                                 .cast("bigint"))
                  .write.mode("overwrite")
                  .partitionBy("bucket").parquet(f"{sink}/batch={batch_id}"))
 
@@ -968,9 +973,14 @@ def streaming_curation_capstone(spark: SparkSession,
             adm, keys = gates(batch_df.repartition(STREAM_SHUFFLE),
                               extra, return_keys=True)
             kp = f"{keys_dir}/batch={batch_id}"
-            # one writer per side (the measured sink-study layout)
+            # one writer per side (the measured sink-study layout).
+            # HASH-partition, not range: the RangePartitioner samples
+            # its child, re-running the containment screen a second
+            # time per commit (optimization round r13); hash spreads
+            # 'test'/'train' across both partitions (pinned in
+            # tests/test_hof_rewrite_r13.py)
             with _commit_timer("streaming_curation_capstone"):
-                (adm.repartitionByRange(2, "side")
+                (adm.repartition(2, "side")
                  .write.mode("overwrite").partitionBy("side")
                  .parquet(f"{sink}/batch={batch_id}"))
                 keys.write.mode("overwrite").parquet(kp)

@@ -110,3 +110,22 @@ def test_repetition_features_bigram_rewrite(spark):
     assert rows[1].top_bigram_micro == 500_000
     assert rows[2].top_bigram_micro == 0
     assert rows[3].n_tokens == 0 and rows[3].top_bigram_micro == 0
+
+
+def test_sink_writer_key_spreads(spark):
+    """The streaming sinks replaced per-commit RangePartitioners
+    (whose sampling re-evaluates the batch lineage) with hash
+    repartitions on transformed keys; these pins guarantee the
+    one-writer-per-partition-value layout survives — a Spark hash
+    change would silently merge writers, not break results."""
+    buckets = spark.createDataFrame([(1,), (2,), (3,)], ["bucket"])
+    parts = {r.bucket: r.p for r in buckets
+             .repartition(3, (F.col("bucket") + F.lit(9)).cast("bigint"))
+             .select(F.spark_partition_id().alias("p"), "bucket")
+             .collect()}
+    assert len(set(parts.values())) == 3, parts
+    sides = spark.createDataFrame([("test",), ("train",)], ["side"])
+    parts = {r.side: r.p for r in sides.repartition(2, "side")
+             .select(F.spark_partition_id().alias("p"), "side")
+             .collect()}
+    assert len(set(parts.values())) == 2, parts
