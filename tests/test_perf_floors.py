@@ -329,12 +329,24 @@ pytestmark = pytest.mark.skipif(
     reason="perf floors disabled via SPARK_GRAFT_PERF=0")
 
 
-def _best_of(fn, spark, n=3) -> float:
+#: extra samples taken ONLY when the initial best exceeds its ceiling:
+#: on a host with bursty hypervisor steal (optimization round r13
+#: measured 4-29% st in vmstat, inflating identical runs up to 6x) a
+#: fixed sample count can contain zero quiet runs — a real plan
+#: regression still exceeds the ceiling on EVERY retry, so the pin's
+#: sensitivity is unchanged, only its ambient false-positive rate drops.
+_CEILING_RETRIES = 3
+
+
+def _best_of(fn, spark, sf, n, ceiling=None) -> float:
     best = float("inf")
-    for _ in range(n):
+    runs = 0
+    while runs < n or (ceiling is not None and best > ceiling
+                       and runs < n + _CEILING_RETRIES):
         t0 = time.perf_counter()
-        fn(spark, SF).write.format("noop").mode("overwrite").save()
+        fn(spark, sf).write.format("noop").mode("overwrite").save()
         best = min(best, time.perf_counter() - t0)
+        runs += 1
     return best
 
 
@@ -347,30 +359,23 @@ def _warm(spark):
 @pytest.mark.parametrize("name", sorted(CEILINGS))
 def test_sketch_tier_perf_ceiling(spark, name):
     fn = qcat.catalog()[name][0]
-    best = _best_of(fn, spark, n=3)
+    best = _best_of(fn, spark, SF, n=3, ceiling=CEILINGS[name])
     assert best <= CEILINGS[name], (
-        f"{name}: best-of-3 {best:.2f}s exceeds ceiling "
-        f"{CEILINGS[name]}s — a real plan regression, not noise")
-
-
-def _best_of_sf01(fn, spark, n=2) -> float:
-    # n=2 (not 3): these run the 10x corpus; two quiet runs bound the
-    # suite cost while still shedding one warm-up/ambient outlier
-    best = float("inf")
-    for _ in range(n):
-        t0 = time.perf_counter()
-        fn(spark, SF01).write.format("noop").mode("overwrite").save()
-        best = min(best, time.perf_counter() - t0)
-    return best
+        f"{name}: best-of-{3 + _CEILING_RETRIES} {best:.2f}s exceeds "
+        f"ceiling {CEILINGS[name]}s — a real plan regression, not noise")
 
 
 @pytest.mark.parametrize("name", sorted(SF01_CEILINGS))
 @pytest.mark.skipif(not os.path.isdir(SF01),
                     reason="sf0.1 testdata tier not generated")
 def test_sf01_perf_ceiling(spark, name):
+    # n=2 (not 3): these run the 10x corpus; two quiet runs bound the
+    # suite cost while still shedding one warm-up/ambient outlier —
+    # with the over-ceiling retry policy of _best_of on top
     fn = qcat.catalog()[name][0]
-    best = _best_of_sf01(fn, spark)
+    best = _best_of(fn, spark, SF01, n=2, ceiling=SF01_CEILINGS[name])
     qcat.release_pending_checkpoints()
     assert best <= SF01_CEILINGS[name], (
-        f"{name}: best-of-2 {best:.2f}s at sf0.1 exceeds ceiling "
-        f"{SF01_CEILINGS[name]}s — a real plan regression, not noise")
+        f"{name}: best-of-{2 + _CEILING_RETRIES} {best:.2f}s at sf0.1 "
+        f"exceeds ceiling {SF01_CEILINGS[name]}s — a real plan "
+        f"regression, not noise")
