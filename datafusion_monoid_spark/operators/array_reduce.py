@@ -327,18 +327,51 @@ def array_reduce_exploded(df: DataFrame, group_cols: Sequence[str],
 # ---------------------------------------------------------------------------
 
 def _np_fold(arrays: Iterable, m: Monoid):
-    """NumPy mirror of the accumulator fold (``src/monoid.rs:360-378``)."""
+    """NumPy mirror of the accumulator fold (``src/monoid.rs:360-378``).
+
+    Vectorized over the group (optimization round r14, guide §4.2):
+    the per-row ``isna``/``where`` masking is hoisted into ONE pass
+    over a (rows, n) matrix, and ops whose combine is exact and
+    associative (integer sum — exact object ints; min/max — exact in
+    every dtype) fold via a C-level ``ufunc.reduce`` instead of a
+    Python row loop.  Order-SENSITIVE combines keep the left fold with
+    ``np_combine`` unchanged: float sum/product round per step, and
+    the integer product saturates per pair — for those only the
+    masking moved, so every op stays bit-identical to the r13 form
+    (pinned by the 4-op x 10-type golden matrix)."""
     vals = [a for a in arrays if a is not None and len(a) > 0]
     if not vals:
         return None
     n = min(len(a) for a in vals)
-    acc = None
-    for a in vals:
-        v = np.asarray(a[:n], dtype=object)
-        v = np.where(pd.isna(v), m.identity, v)
-        if m.elem in ("float", "double"):
-            v = v.astype(np.float64)
-        acc = v if acc is None else m.np_combine(acc, v)
+    mat = np.empty((len(vals), n), dtype=object)
+    for i, a in enumerate(vals):
+        mat[i, :] = np.asarray(a[:n], dtype=object)
+    mask = pd.isna(mat)
+    if mask.any():
+        mat = np.where(mask, m.identity, mat)
+    if m.elem in ("float", "double"):
+        mat = mat.astype(np.float64)
+        if m.op in ("max", "min"):
+            # exact in floats too (no rounding), NaNs already masked
+            acc = (np.maximum if m.op == "max"
+                   else np.minimum).reduce(mat, axis=0)
+        else:
+            # per-step f64 rounding: keep the sequential left fold
+            acc = mat[0]
+            for i in range(1, mat.shape[0]):
+                acc = m.np_combine(acc, mat[i])
+    elif m.op in ("max", "min"):
+        acc = (np.maximum if m.op == "max"
+               else np.minimum).reduce(mat, axis=0)
+    elif m.op == "sum":
+        # exact object ints: associative, clamped once in np_finish
+        acc = np.add.reduce(mat, axis=0)
+    else:
+        # integer product saturates PER PAIR (np_combine clamps):
+        # order-sensitive, keep the left fold
+        acc = mat[0]
+        for i in range(1, mat.shape[0]):
+            acc = m.np_combine(acc, mat[i])
     if m.np_finish is not None:
         acc = m.np_finish(np.asarray(acc, dtype=object))
     if isinstance(m.spark_type, T.DecimalType):

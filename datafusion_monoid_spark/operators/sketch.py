@@ -414,27 +414,43 @@ def mg_partition_candidates(docs: DataFrame, arr_col: str,
     shuffles.  Python-side by necessity (a data-dependent counter
     eviction no Catalyst expression expresses), Arrow-batched via
     ``mapInPandas``.
+
+    BATCH FORM (optimization round r14, guide §4.2): instead of
+    streaming token-at-a-time through a Python dict, each Arrow batch
+    is counted EXACTLY with one vectorized ``value_counts`` (an MG
+    summary with zero error), then merged into the running summary by
+    the mergeable-summaries combine (Agarwal et al. 2012): add
+    weights, subtract the (k+1)-th largest, drop non-positives.  The
+    per-partition superset guarantee is the merge theorem's: total
+    undercount <= n_partition/(k+1), so any key whose share in the
+    partition exceeds 1/(k+1) ends with positive weight; at most k
+    keys can strictly exceed the (k+1)-th largest weight, so the
+    <= k-per-partition bound holds.  The candidate SET can differ
+    from the token-at-a-time form's (both are valid supersets;
+    candidates were always partitioning-dependent) — the exact verify
+    pass in :func:`mg_heavy_hitters` makes the final answer invariant
+    to that, pinned in tests/test_pipeline_r6.py.
     """
+    import numpy as np
     import pandas as pd
 
     def gen(batches):
-        counters: dict[str, int] = {}
+        summ: pd.Series | None = None
         for pdf in batches:
-            for arr in pdf[arr_col]:
-                for t in arr:
-                    if t in counters:
-                        counters[t] += 1
-                    elif len(counters) < k:
-                        counters[t] = 1
-                    else:
-                        dead = []
-                        for key in counters:
-                            counters[key] -= 1
-                            if counters[key] == 0:
-                                dead.append(key)
-                        for key in dead:
-                            del counters[key]
-        yield pd.DataFrame({"tok": list(counters)})
+            if not len(pdf):
+                continue
+            arrs = [np.asarray(a) for a in pdf[arr_col]
+                    if a is not None and len(a)]
+            if not arrs:
+                continue
+            vc = pd.Series(np.concatenate(arrs)).value_counts()
+            summ = vc if summ is None else summ.add(vc, fill_value=0)
+            if len(summ) > k:
+                thresh = summ.nlargest(k + 1).iloc[-1]
+                summ = summ - thresh
+                summ = summ[summ > 0]
+        yield pd.DataFrame(
+            {"tok": [] if summ is None else list(summ.index)})
 
     return docs.select(F.col(arr_col).alias(arr_col)) \
         .mapInPandas(gen, schema="tok string")

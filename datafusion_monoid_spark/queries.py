@@ -1979,7 +1979,12 @@ def lsh_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     bcomp = _artifact_path(sf_dir, "lsh_bands_compacted")
     # the two compacted-layout writes are independent — run them as
     # concurrent driver threads (guide §2.6, the containment-compact
-    # pattern; optimization round r13)
+    # pattern; optimization round r13).  NOT safe to run concurrently
+    # with a streaming entry: the folds read the session-global
+    # spark.sql.shuffle.partitions, which the streaming loops mutate
+    # to STREAM_SHUFFLE for their own duration (ADVICE r13) — the
+    # bench and the catalog run entries sequentially, which is the
+    # assumption documented here.
     from concurrent.futures import ThreadPoolExecutor
 
     def _fold(base: str, gen: str, key: str, dst: str) -> None:
@@ -1990,7 +1995,19 @@ def lsh_postings_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
     with ThreadPoolExecutor(max_workers=2) as pool:
         fs = pool.submit(_fold, spath, snew, "doc_id", scomp)
         fb = pool.submit(_fold, bpath, bnew, "band_hash", bcomp)
-        fs.result(), fb.result()
+        # surface BOTH folds' failures, not just the first future's
+        # (ADVICE r13): wait on each, then raise the first error with
+        # the other (if any) attached as context
+        errs = []
+        for f in (fs, fb):
+            try:
+                f.result()
+            except Exception as e:  # noqa: BLE001 — re-raised below
+                errs.append(e)
+        if errs:
+            if len(errs) == 2:
+                raise errs[0] from errs[1]
+            raise errs[0]
     return _lsh_digest(spark, scomp, bcomp)
 
 
@@ -9494,7 +9511,26 @@ def _opq_rotated(e: DataFrame) -> DataFrame:
     BIGINT), map-only with zero joins (the JL projection pattern).
     Distances transform exactly: ||Rx - Rc||^2 = 64 * ||x - c||^2, so
     every argmin/ranking in rotated space replays bit-for-bit in any
-    engine applying the same literals."""
+    engine applying the same literals.
+
+    The 64 signed folds run as ONE int64 NumPy matmul per Arrow batch
+    (``npkernels.rotate_signs_np``, guide §4.2) instead of 64
+    interpreted ``aggregate(zip_with(...))`` expressions per row —
+    the leg that kept this tier flat in r13 (VERDICT item 4).
+    Quantization stays the Spark expression (round-half-up exactly
+    Spark's); integer addition is associative, so the matmul is
+    bit-identical to the expression fold (pinned in
+    tests/test_similarity.py::test_opq_rotation_kernel_matches_expression)."""
+    from datafusion_monoid_spark.operators import npkernels as npk
+
+    base = e.select("vec_id", sim.quantize_micro("embedding").alias("__q"))
+    return npk.rotate_signs_np(base, _opq_rot_signs())
+
+
+def _opq_rotated_expr(e: DataFrame) -> DataFrame:
+    """The r13 expression form of :func:`_opq_rotated` — kept as the
+    parity reference for the kernel-equivalence pin (the kernel must
+    stay bit-identical to this fold)."""
     signs = _opq_rot_signs()
     base = e.select("vec_id", sim.quantize_micro("embedding").alias("__q"))
     ys = []

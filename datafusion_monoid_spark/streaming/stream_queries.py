@@ -645,7 +645,14 @@ def streaming_bucket_route_serve(spark: SparkSession,
             # a second time per commit (optimization round r13).
             # hash(bucket + 9) spreads {1,2,3} across exactly 3
             # partitions (pinned in tests/test_hof_rewrite_r13.py), so
-            # the one-writer-per-tertile layout is preserved.
+            # the one-writer-per-tertile layout is preserved.  HOW +9
+            # WAS CHOSEN (ADVICE r13): smallest non-negative offset c
+            # for which Spark's Murmur3 `pmod(hash(bucket + c), 3)`
+            # maps {1,2,3} to three DISTINCT partitions — found by
+            # scanning c = 0, 1, 2, ... with F.hash on this Spark
+            # version.  It is a hash-implementation coincidence: on a
+            # Spark upgrade the pin test fails loudly and the fix is
+            # to re-scan for the new smallest c.
             with _commit_timer("streaming_bucket_route_serve"):
                 (out.repartition(3, (F.col("bucket") + F.lit(9))
                                  .cast("bigint"))
@@ -953,11 +960,10 @@ def streaming_curation_capstone(spark: SparkSession,
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
-    stage = sink = keys_dir = None
+    stage = sink = None
     try:
         stage = _scratch_dir("capstone_docs_")
         sink = _scratch_dir("capstone_out_")
-        keys_dir = _scratch_dir("capstone_keys_")
         _stage_ordered_batches(new, stage)
         dstream = (spark.readStream.schema(new.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
@@ -969,22 +975,44 @@ def streaming_curation_capstone(spark: SparkSession,
             extra = None
             if gen_key_paths:
                 extra = (spark.read.schema("dup_key string")
+                         .option("recursiveFileLookup", "true")
                          .parquet(*gen_key_paths))
             adm, keys = gates(batch_df.repartition(STREAM_SHUFFLE),
                               extra, return_keys=True)
-            kp = f"{keys_dir}/batch={batch_id}"
-            # one writer per side (the measured sink-study layout).
-            # HASH-partition, not range: the RangePartitioner samples
-            # its child, re-running the containment screen a second
-            # time per commit (optimization round r13); hash spreads
+            # ONE job emitting both sinks (VERDICT r13 item 3): the
+            # admitted rows and the batch's novel-keys generation both
+            # derive from the materialized post-exact-gate survivor
+            # (s3), so they union into a single partitioned write —
+            # kind=adm/side=... plus kind=keys — instead of two
+            # sequential per-commit jobs.  One writer per side is
+            # preserved (the measured sink-study layout): HASH-
+            # partition, not range — a RangePartitioner samples its
+            # child, re-running the containment screen a second time
+            # per commit (optimization round r13); hash spreads
             # 'test'/'train' across both partitions (pinned in
-            # tests/test_hof_rewrite_r13.py)
+            # tests/test_hof_rewrite_r13.py), the null-side keys rows
+            # land on one of them.
+            frame = (adm.withColumn("dup_key",
+                                    F.lit(None).cast("string"))
+                     .withColumn("kind", F.lit("adm"))
+                     .unionByName(keys.select(
+                         F.lit(None).cast("bigint").alias("doc_id"),
+                         F.lit(None).cast("bigint").alias("n_toks"),
+                         F.lit(None).cast("bigint").alias("q_micro"),
+                         F.lit(None).cast("bigint").alias("lm_micro"),
+                         F.lit(None).cast("string").alias("side"),
+                         "dup_key",
+                         F.lit("keys").alias("kind"))))
             with _commit_timer("streaming_curation_capstone"):
-                (adm.repartition(2, "side")
-                 .write.mode("overwrite").partitionBy("side")
+                (frame.repartition(2, "side")
+                 .write.mode("overwrite").partitionBy("kind", "side")
                  .parquet(f"{sink}/batch={batch_id}"))
-                keys.write.mode("overwrite").parquet(kp)
-            gen_key_paths.append(kp)
+            kp = f"{sink}/batch={batch_id}/kind=keys"
+            # a batch with zero novel keys writes no kind=keys dir
+            # (the sf1 x10-clone regime) — only existing generations
+            # join the next batch's gate
+            if os.path.isdir(kp):
+                gen_key_paths.append(kp)
 
         _COMMITS.pop("streaming_curation_capstone", None)
         ckpt = _ckpt_dir("streaming_curation_capstone")
@@ -1006,15 +1034,17 @@ def streaming_curation_capstone(spark: SparkSession,
         # relation, not UNABLE_TO_INFER_SCHEMA (found by the sf1 tier
         # run, round 12)
         sink_schema = ("doc_id bigint, n_toks bigint, q_micro bigint, "
-                       "lm_micro bigint, batch int, side string")
+                       "lm_micro bigint, dup_key string, batch int, "
+                       "kind string, side string")
         return _qcat._track_ckpt(
             spark.read.option("basePath", sink).schema(sink_schema)
             .parquet(sink)
+            .where(F.col("kind") == "adm")
             .select("doc_id", "n_toks", "q_micro", "lm_micro", "side")
             .localCheckpoint(eager=True))
     finally:
         release()
-        for d in (stage, sink, keys_dir):
+        for d in (stage, sink):
             if d:
                 shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
@@ -1149,44 +1179,41 @@ def _stage_ordered_batches(df: DataFrame, stage: str,
     earliest batch.  The ntile window is over the BATCH relation only
     (model-sized, not the corpus); production ingests are naturally
     arrival-ordered and need no such staging."""
-    from datafusion_monoid_spark.plans.inspect import (
-        release_local_checkpoint,
-    )
-
-    tiled = (df.withColumn(
+    tiled = df.withColumn(
         "_g", F.ntile(n).over(Window.orderBy("doc_id")))
-        .localCheckpoint(eager=True))  # one scan+sort, n cheap slices
     tmp = f"{stage}/_tmp"
-    try:
-        # ONE partitioned write (hash-repartition by _g puts each
-        # quartile in exactly one task, partitionBy gives one file per
-        # value) instead of n sequential coalesce(1) writes — the
-        # ascending-mtime property FileStreamSource orders replay by is
-        # set explicitly per file, which is what the sequential writes
-        # only established implicitly (optimization round r13)
-        (tiled.repartition(n, "_g").write.mode("overwrite")
-         .partitionBy("_g").parquet(tmp))
-        now = time.time()
-        empty_src: str | None = None
-        for g in range(1, n + 1):
-            hits = _glob.glob(f"{tmp}/_g={g}/part-*.parquet")
-            dst = f"{stage}/g{g}.parquet"
-            if hits:
-                shutil.move(hits[0], dst)
-            else:
-                # ntile yields < n tiles when the relation has < n
-                # rows — stage an empty (schema-only) arrival so the
-                # batch count stays n
-                if empty_src is None:
-                    (tiled.limit(0).drop("_g").coalesce(1)
-                     .write.mode("overwrite").parquet(f"{tmp}/_empty"))
-                    empty_src = _glob.glob(
-                        f"{tmp}/_empty/part-*.parquet")[0]
-                shutil.copy(empty_src, dst)
-            os.utime(dst, (now + g, now + g))
-        shutil.rmtree(tmp, ignore_errors=True)
-    finally:
-        release_local_checkpoint(tiled)
+    # ONE partitioned write (hash-repartition by _g puts each
+    # quartile in exactly one task, partitionBy gives one file per
+    # value) instead of n sequential coalesce(1) writes — the
+    # ascending-mtime property FileStreamSource orders replay by is
+    # set explicitly per file, which is what the sequential writes
+    # only established implicitly (optimization round r13).  NO
+    # localCheckpoint: since the one-job rewrite this write is the
+    # tiled relation's only real consumer (the empty fallback below
+    # is collapsed to an empty LocalRelation by OptimizeLimitZero),
+    # so the checkpoint added a redundant full scan+sort pass per
+    # staged stream — one staging job instead of two (r14).
+    (tiled.repartition(n, "_g").write.mode("overwrite")
+     .partitionBy("_g").parquet(tmp))
+    now = time.time()
+    empty_src: str | None = None
+    for g in range(1, n + 1):
+        hits = _glob.glob(f"{tmp}/_g={g}/part-*.parquet")
+        dst = f"{stage}/g{g}.parquet"
+        if hits:
+            shutil.move(hits[0], dst)
+        else:
+            # ntile yields < n tiles when the relation has < n
+            # rows — stage an empty (schema-only) arrival so the
+            # batch count stays n
+            if empty_src is None:
+                (df.limit(0).coalesce(1)
+                 .write.mode("overwrite").parquet(f"{tmp}/_empty"))
+                empty_src = _glob.glob(
+                    f"{tmp}/_empty/part-*.parquet")[0]
+            shutil.copy(empty_src, dst)
+        os.utime(dst, (now + g, now + g))
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def streaming_containment_admit_serve(spark: SparkSession,
@@ -1196,14 +1223,17 @@ def streaming_containment_admit_serve(spark: SparkSession,
     against the persisted artifacts (exact-key index first — the
     cheap map-side md5 gate — then the probe index), and the CLEAN
     survivors' postings + probe argmins are WRITTEN AS INDEX
-    GENERATIONS from inside the stream (sink/batch=N/idx + /probes,
-    the `containment_postings_append` artifact shape).  A periodic
+    GENERATIONS from inside the stream (sink/batch=N/idx + /aux —
+    probes and novel keys share the aux generation, discriminated by
+    a ``kind`` column; the `containment_postings_append` artifact
+    shape).  A periodic
     `containment_postings_compact` folds the accumulated generations
     into the base — screen -> admit -> compact, always on.
 
     WITHIN-STREAM EXACT-KEY GATE (VERDICT r12 item 2): each batch's
     post-exact-gate NOVEL keys are appended as their own generation
-    (sink/batch=N/keys — the ``exactkey_postings_append`` artifact
+    (the ``kind='keys'`` rows of sink/batch=N/aux — the
+    ``exactkey_postings_append`` artifact
     shape), and every batch's exact-key gate reads base ∪ the
     generations written by STRICTLY EARLIER batches — so a doc
     admitted in batch N IS visible to batch N+1's gate, and an exact
@@ -1258,15 +1288,20 @@ def streaming_containment_admit_serve(spark: SparkSession,
         _stage_ordered_batches(new, stage)
         dstream = (spark.readStream.schema(new.schema)
                    .option("maxFilesPerTrigger", "1").parquet(stage))
-        gen_key_paths: list[str] = []
+        #: probes + novel keys share one generation file per batch —
+        #: discriminated by ``kind`` (flat write, no partitionBy, so
+        #: an all-dropped batch still leaves a readable empty dir)
+        aux_schema = "kind string, doc_id bigint, h bigint, dup_key string"
+        gen_aux_paths: list[str] = []
 
         def admit_batch(batch_df: DataFrame, batch_id: int) -> None:
             b = batch_df.repartition(STREAM_SHUFFLE)
             gate = old_keys.select("dup_key")
-            if gen_key_paths:
+            if gen_aux_paths:
                 gate = gate.unionByName(
-                    spark.read.schema("dup_key string")
-                    .parquet(*gen_key_paths))
+                    spark.read.schema(aux_schema)
+                    .parquet(*gen_aux_paths)
+                    .where(F.col("kind") == "keys").select("dup_key"))
             keyed = (_dd.exact_dedup_keys(b, "text")
                      .join(gate, "dup_key", "left_anti"))
             keep = keyed.select("doc_id", "text")
@@ -1280,27 +1315,34 @@ def streaming_containment_admit_serve(spark: SparkSession,
                 flagged.select(F.col("new_id").alias("doc_id"))
                 .distinct(), "doc_id", "left_anti")
             ip = f"{sink}/batch={batch_id}/idx"
-            kp = f"{sink}/batch={batch_id}/keys"
+            ap = f"{sink}/batch={batch_id}/aux"
             with _commit_timer("streaming_containment_admit_serve"):
                 # the idx generation write IS the materialization of
                 # cleanh (previously a localCheckpoint job AND a write
                 # — one redundant pass per batch); probes derive from
-                # the just-written parquet, and the probes/keys writes
-                # are independent so they run as two concurrent driver
-                # threads (guide §2.6)
+                # the just-written parquet, and probes + novel keys
+                # are ONE unioned write (VERDICT r13 item 1: the r13
+                # form ran them as two thread-overlapped jobs, which
+                # on this driver/commit-bound loop — scaling ratio
+                # 1.01 — only added job and thread constants; the
+                # union's two legs still evaluate as independent
+                # stages inside the single job)
                 cleanh_plan.write.mode("overwrite").parquet(ip)
                 cleanh = spark.read.parquet(ip)
-                from concurrent.futures import ThreadPoolExecutor
-                with ThreadPoolExecutor(max_workers=2) as pool:
-                    fp = pool.submit(
-                        lambda: _dd.probe_argmins_long(cleanh, "doc_id")
-                        .write.mode("overwrite").parquet(
-                            f"{sink}/batch={batch_id}/probes"))
-                    fk = pool.submit(
-                        lambda: keyed.select("dup_key").distinct()
-                        .write.mode("overwrite").parquet(kp))
-                    fp.result(), fk.result()
-            gen_key_paths.append(kp)
+                aux = (_dd.probe_argmins_long(cleanh, "doc_id")
+                       .select(F.lit("probes").alias("kind"),
+                               "doc_id", "h",
+                               F.lit(None).cast("string")
+                               .alias("dup_key"))
+                       .unionByName(
+                           keyed.select("dup_key").distinct()
+                           .select(F.lit("keys").alias("kind"),
+                                   F.lit(None).cast("bigint")
+                                   .alias("doc_id"),
+                                   F.lit(None).cast("bigint").alias("h"),
+                                   "dup_key")))
+                aux.write.mode("overwrite").parquet(ap)
+            gen_aux_paths.append(ap)
 
         _COMMITS.pop("streaming_containment_admit_serve", None)
         ckpt = _ckpt_dir("streaming_containment_admit_serve")
@@ -1318,9 +1360,10 @@ def streaming_containment_admit_serve(spark: SparkSession,
         gi = (spark.read.schema("doc_id bigint, h bigint")
               .option("recursiveFileLookup", "true")
               .parquet(f"{sink}/batch=*/idx"))
-        gp = (spark.read.schema("doc_id bigint, h bigint")
+        gp = (spark.read.schema(aux_schema)
               .option("recursiveFileLookup", "true")
-              .parquet(f"{sink}/batch=*/probes")
+              .parquet(f"{sink}/batch=*/aux")
+              .where(F.col("kind") == "probes")
               .groupBy("doc_id")
               .agg(F.count(F.lit(1)).cast("bigint").alias("n_probes")))
         out = (gi.groupBy("doc_id")

@@ -242,6 +242,21 @@ def test_pq_opq_ivfadc_recall_and_isometry(spark, emb, brute):
         f"OPQ IVFADC recall {recall:.2f} below floor 0.9"
 
 
+def test_opq_rotation_kernel_matches_expression(spark):
+    """The r14 NumPy-matmul rotation kernel must be BIT-IDENTICAL to
+    the r13 interpreted aggregate(zip_with) fold it replaced — integer
+    addition is associative, so any evaluation order agrees exactly;
+    this pin catches a quantization or sign-matrix drift."""
+    from datafusion_monoid_spark import queries as qcat
+
+    e = qcat._emb(spark, SF).where(F.col("vec_id") < 40)
+    got = {r["vec_id"]: list(r["embedding"])
+           for r in qcat._opq_rotated(e).collect()}
+    want = {r["vec_id"]: list(r["embedding"])
+            for r in qcat._opq_rotated_expr(e).collect()}
+    assert got and got == want
+
+
 def test_opq_rotation_is_exact_isometry(spark):
     """||Rx - Ry||^2 == 64 * ||x - y||^2 exactly, in integers — the
     property that lets the rotated chain share the residual oracle

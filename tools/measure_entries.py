@@ -27,8 +27,14 @@ REPEATS = int(os.environ.get("SPARK_GRAFT_MEASURE_REPEATS", "3"))
 
 def main() -> int:
     out_path, names = sys.argv[1], sys.argv[2:]
-    spark = get_spark("measure-entries")
     cat = qcat.catalog()
+    # validate up front: a typo on entry 12 of a long quiet-host run
+    # must not cost the 11 measurements already taken
+    unknown = [n for n in names if n not in cat]
+    if unknown:
+        print(f"unknown entries: {unknown}", file=sys.stderr)
+        return 2
+    spark = get_spark("measure-entries")
     spark.sparkContext.setJobDescription("warm-up")
     cat["tpch_q1"][0](spark, SF_DIR).write.format("noop") \
         .mode("overwrite").save()
@@ -45,8 +51,9 @@ def main() -> int:
         out[name] = {"runs": runs, "best": min(runs),
                      "median": statistics.median(runs)}
         print(name, out[name], flush=True)
-    with open(out_path, "w") as f:
-        json.dump({"sf_dir": SF_DIR, "entries": out}, f, indent=1)
+        # dump after every entry: a crash mid-run keeps what's done
+        with open(out_path, "w") as f:
+            json.dump({"sf_dir": SF_DIR, "entries": out}, f, indent=1)
     spark.stop()
     return 0
 
