@@ -220,7 +220,9 @@ LSH_CAP_MULT = 8
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
                         bands: int = MINHASH_BANDS,
                         rows: int = MINHASH_ROWS,
-                        max_bucket: int | None = None) -> DataFrame:
+                        max_bucket: int | None = None,
+                        max_bucket_rel: DataFrame | None = None
+                        ) -> DataFrame:
     """Banded LSH: equal band-hash => candidate pair (id_a < id_b).
 
     Bucket join on (band_idx, band_hash) — candidates only, never the
@@ -246,12 +248,23 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str,
     most), whereas the keep list is the whole bucket population; the
     occupancy agg itself shuffles on the same keys the candidate join
     was about to, so the guard adds one partial agg, not a new
-    exchange pattern."""
+    exchange pattern.
+
+    ``max_bucket_rel`` (optional, r14): the cap as a ONE-ROW
+    ``(cap BIGINT)`` relation instead of a driver scalar — the capped
+    entry derives its cap from occupancy telemetry, and passing it
+    relationally keeps the whole derive-cap -> drop -> join chain in
+    ONE job with no driver collect on the path (VERDICT r13 item 5)."""
     banded = minhash_band_buckets(sigs, id_col, bands, rows)
-    if max_bucket is not None:
+    if max_bucket is not None or max_bucket_rel is not None:
         sizes = banded.groupBy("band_idx", "band_hash").count()
-        drop = sizes.where(F.col("count") > max_bucket) \
-                    .select("band_idx", "band_hash")
+        if max_bucket_rel is not None:
+            drop = (sizes.crossJoin(F.broadcast(max_bucket_rel))
+                    .where(F.col("count") > F.col("cap"))
+                    .select("band_idx", "band_hash"))
+        else:
+            drop = sizes.where(F.col("count") > max_bucket) \
+                        .select("band_idx", "band_hash")
         banded = banded.join(F.broadcast(drop),
                              ["band_idx", "band_hash"], "left_anti")
     a, b = banded.alias("a"), banded.alias("b")

