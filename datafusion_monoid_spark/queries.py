@@ -13500,12 +13500,55 @@ _DRIVER_WINDOW_R13 = [
 ]
 
 
+#: entries whose latest driver check (as of the r01-r13 artifact set,
+#: when this window was cut) is r09 — the oldest cohort in the
+#: rotation, in registration order (VERDICT r13 item 10).
+_R14_STALE_HEAD = [
+    "sim_topk_bruteforce", "sim_topk_numpy", "sim_topk_lsh",
+    "sim_topk_ivf", "text_lang_id", "text_quality", "text_token_stats",
+    "text_fingerprint", "multimodal_meta", "multimodal_features",
+    "events_vector_stats", "asof_purchase_click",
+    "range_join_price_tiers", "q3_shipping_priority",
+    "cms_token_sketch", "cms_heavy_hitters", "hll_registers",
+    "bloom_token_bits", "bloom_token_membership",
+    "window_functions_smoke", "q17_small_quantity_revenue",
+    "dedup_clusters", "sample_token_stats", "train_test_split_sizes",
+    "skew_salted_event_stats", "skew_salted_join_deviation",
+    "sim_topk_ivf_kmeans", "streaming_windowed_monoid",
+    "streaming_sessionize", "text_pii_scan", "semdedup_prune",
+    "pq_adc_topk", "unigram_encode_viterbi", "kmv_anotb_novelty",
+    "ngram_novelty_curve", "tokenizer_agreement",
+]
+
+
+_DRIVER_WINDOW_R14 = [
+    # oldest-stale cohort first (after this window runs, no entry's
+    # latest check is older than r10) — dedup_clusters and
+    # cms_heavy_hitters double as r14 sentinels (connected-components
+    # lazy-checkpoint fold; the CMS tier is a neighbour of the
+    # rewritten Misra-Gries candidates)
+    *_R14_STALE_HEAD,
+    # r14 sentinels: entries whose code changed this optimization
+    # round (streaming union-write commits, OPQ rotation kernel,
+    # vectorized group fold, MG batch candidates, CC/kcore job fold,
+    # relational occupancy cap, compact error-path)
+    "streaming_containment_admit_serve", "streaming_curation_capstone",
+    "pq_opq_ivfadc_topk", "pq_opq_ivfadc_pretrained",
+    "monoid_sql_udaf", "mg_heavy_hitter_tokens",
+    "dedup_cluster_keep_best", "leakage_safe_split",
+    "pipeline_curation_capstone", "graph_kcore_sizes",
+    "dedup_lsh_occupancy_capped", "lsh_postings_compact",
+    # oldest-r10-stale rotation (registration order) to fill 50
+    "dedup_containment_pairs", "dedup_containment_lsh",
+]
+
+
 def catalog() -> dict[str, tuple[QueryFn, str | None]]:
     """Registered queries — committed driver-window manifest first,
     the remainder in registration order.  Fully deterministic: no
     filesystem state is consulted (ADVICE r3 — artifact-dependent
     ordering was non-reproducible across checkouts)."""
-    head = [n for n in _DRIVER_WINDOW_R13 if n in _CATALOG]
+    head = [n for n in _DRIVER_WINDOW_R14 if n in _CATALOG]
     in_head = set(head)
     tail = [n for n in _CATALOG if n not in in_head]
     return {n: _CATALOG[n] for n in (*head, *tail)}

@@ -111,6 +111,27 @@ def test_r11_window_leads_with_deferred():
     assert {seen.get(n) for n in qcat._R11_DEFERRED_HEAD} == {oldest}
 
 
+def test_r14_window_leads_with_r9_stale():
+    """VERDICT r13 item 10: the r14 window must lead with the 36
+    entries whose latest driver check (as of the r01-r13 artifact set,
+    i.e. when this window was cut) is r09 — the oldest cohort in the
+    rotation.  Pinned against rounds <= 13 so CORRECTNESS_r14.json
+    landing on disk cannot flip this assertion."""
+    from datafusion_monoid_spark import queries as qcat
+
+    window = list(qcat.catalog())[:50]
+    head = qcat._R14_STALE_HEAD
+    assert window[: len(head)] == head
+    assert window == qcat._DRIVER_WINDOW_R14
+    seen = _latest_check_by_entry(max_round=13)
+    r9 = sorted(n for n, p in seen.items()
+                if p == "CORRECTNESS_r09.json")
+    assert sorted(head) == r9
+    # After this window runs, no entry's latest check is older than r10.
+    assert all(seen[n] >= "CORRECTNESS_r10.json"
+               for n in qcat._CATALOG if n not in window and n in seen)
+
+
 def test_r12_window_leads_with_r7_stale():
     """VERDICT r11 item 2: the r12 window must lead with the 21
     entries whose latest driver check (as of the r01–r11 artifact
@@ -136,10 +157,12 @@ def test_r13_window_leads_with_r8_stale():
     entries whose latest driver check (as of the r01-r12 artifact set,
     i.e. when this window was cut) is r08 — the oldest cohort in the
     rotation.  Pinned against rounds <= 12 so CORRECTNESS_r13.json
-    landing on disk cannot flip this assertion."""
+    landing on disk cannot flip this assertion.  (Since r14 cut its
+    own window, this pins the frozen _DRIVER_WINDOW_R13 constant —
+    the live catalog head now serves the r14 window.)"""
     from datafusion_monoid_spark import queries as qcat
 
-    window = list(qcat.catalog())[:50]
+    window = qcat._DRIVER_WINDOW_R13
     head = qcat._R13_STALE_HEAD
     assert window[: len(head)] == head
     seen = _latest_check_by_entry(max_round=12)
